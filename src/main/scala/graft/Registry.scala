@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared operator query: the Spark plan builder plus (optionally)
+  * the ANSI-SQL oracle DuckDB replays on the same parquet tables.
+  * Queries without an oracle get the driver's weaker rows-only check.
+  */
+final case class Decl(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Decl {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Decl =
+    Decl(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Decl =
+    Decl(name, fn, None)
+}
+
+/** Cross-engine determinism helpers (SURVEY.md §2 determinism rules).
+  *
+  * The binding hazard for the DuckDB hash-compare gate is floating-point
+  * summation order: Spark and DuckDB reduce partitions in different orders,
+  * so `SUM(double)` differs in the last bits. Rounding the *result* only
+  * shrinks, never removes, the boundary risk. Instead we make the sum
+  * itself order-independent: cast each row to a fixed-scale DECIMAL, sum
+  * exactly (decimal addition is associative), and cast the exact result
+  * back to double. Both engines then produce bit-identical doubles.
+  *
+  * The cast scale must exceed the data's true decimal precision: the
+  * test tables carry money values with 2 decimals, so derived products
+  * (price × (1−discount)) have exactly 4 — casting those at scale ≤4
+  * lands exactly on rounding ties, where Spark (HALF_UP over the
+  * double's shortest decimal repr) and DuckDB (rounding the binary
+  * value) disagree systematically. At scale 6 no data value sits on a
+  * boundary and the double's ~1-ulp error (2e-12 at 1e4 magnitude) is
+  * far inside the 5e-7 tie window, so both engines round identically.
+  */
+object Det {
+  /** Order-independent, cross-engine-exact double sum; SQL twin [[sqlSum]]. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+  /** Order-independent average = exact decimal sum / count. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  def sqlSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
+  def sqlAvg(x: String): String = s"(${sqlSum(x)} / COUNT(*))"
+
+  /** Timestamps never leave a query raw (nanos/µs + naive-vs-UTC hazards):
+    * emit epoch-µs longs. DuckDB twin: `epoch_us(ts)`. */
+  def epochUs(c: Column): Column = unix_micros(c)
+  /** Date-as-string output; DuckDB twin: `strftime(d, '%Y-%m-%d')`. */
+  def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}

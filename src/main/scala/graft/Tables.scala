@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loading layer — the Spark-native analogue of the reference's
+  * Hive-table → DataFrame bridge (`dask_hivemetastore` `table_to_dask`:
+  * metastore lookup → SerDe dispatch → lazy dataframe). Here the "catalog"
+  * for the driver harness is the parquet directory layout under a
+  * scale-factor dir; `Catalog.scala` provides the real metastore-backed
+  * path (SURVEY.md §2 tier A).
+  *
+  * Scale note (100 TB): all loaders are pure `spark.read.parquet` — the
+  * scan parallelism, column pruning and row-group predicate pushdown come
+  * from the file source V2 path; nothing here materializes on the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses
+    * by default (PARQUET_TYPE_ILLEGAL) and DuckDB silently truncates to µs.
+    * Recipe (SURVEY.md §1.4): read nanos as long, integer-divide by 1000
+    * (`DIV`, exact on int64 — a double division would lose precision above
+    * 2^53) and rebuild a µs timestamp. The result is bit-identical to
+    * DuckDB's truncation, so oracle queries can compare on `ts` directly.
+    * The raw nanos value stays available as `ts_ns`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational surface (SURVEY.md §2 tier B, rows B1-B10, B17-B20,
+  * B30) — the operator set every table loaded by the reference exposes via
+  * `dask.dataframe` (filter/assign/merge/groupby/sort/drop_duplicates...),
+  * re-expressed as Catalyst-optimized DataFrame plans.
+  *
+  * Scale notes (100 TB):
+  *  - every aggregate here is a partial+final HashAggregate (map-side
+  *    combine), never a driver-side reduction;
+  *  - dimension joins (`customer`, `part`, `region`...) are broadcast —
+  *    explicitly hinted where the dimension is known small, so the big
+  *    fact table never shuffles for them;
+  *  - fact-fact joins shuffle on the join key only after filters are
+  *    pushed below the join by Catalyst;
+  *  - top-k uses TakeOrderedAndProject (per-partition heap + driver merge
+  *    of k), never a global sort.
+  */
+object Relational {
+
+  import Det._
+
+  val revenueExpr = "l_extendedprice * (1.0 - l_discount)"
+
+  def decls: Seq[Decl] = Seq(
+
+    // B1: projection + arithmetic + predicate; filter and both projected
+    // columns reach the parquet scan (PushedFilters + pruned ReadSchema).
+    Decl("proj_filter",
+      s"""SELECT l_orderkey, l_linenumber, $revenueExpr AS revenue, l_quantity
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 25
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+          && col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B2: TPC-H-Q1-style hash aggregate (partial + final).
+    Decl("agg_hash",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum(revenueExpr)} AS sum_disc_price,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // B3: distinct aggregate (two-phase Expand + agg).
+    Decl("agg_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // B4: HLL approximate distinct — sketches differ per engine, no oracle;
+    // property-tested within ±5% of exact in RelationalSpec.
+    Decl.noOracle("agg_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // B5: inner equi join (fact ⋈ dimension ⇒ broadcast the dimension).
+    Decl("join_inner",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // B6a: left outer join + aggregate (customers with zero orders kept).
+    Decl("join_outer",
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  ${sqlSum("coalesce(o_totalprice, 0.0)")} AS sum_price
+         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+        .orderBy("c_custkey")
+    },
+
+    // B6b: full outer join, null-side accounting.
+    Decl("join_outer_full",
+      """SELECT COUNT(*) AS n_rows, COUNT(c_custkey) AS n_cust,
+        |  COUNT(o_orderkey) AS n_ord
+        |FROM customer FULL JOIN orders ON o_custkey = c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "full")
+        .agg(count(lit(1)).as("n_rows"), count(col("c_custkey")).as("n_cust"),
+          count(col("o_orderkey")).as("n_ord"))
+    },
+
+    // B7: semi/anti join — EXISTS / NOT EXISTS without materializing the
+    // right side's columns (no duplication of matches).
+    Decl("join_semi_anti",
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+      val anti = c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("tag"))
+      semi.unionByName(anti).orderBy("tag", "c_custkey")
+    },
+
+    // B8: broadcast join — the `part` dimension is replicated to every
+    // executor; lineitem never shuffles. At 100 TB this is the difference
+    // between a map-side join and a full fact-table exchange.
+    Decl("join_broadcast",
+      s"""SELECT p_brand, ${sqlSum(revenueExpr)} AS revenue, COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // B9: TPC-H-Q3-style 3-way join + agg + top-k revenue.
+    Decl("join_multi",
+      s"""SELECT l_orderkey, ${sqlSum(revenueExpr)} AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          dateStr(col("o_orderdate")).as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // B10: 6-table star join — region/nation/customer/supplier broadcast;
+    // only orders⋈lineitem shuffles. Exercises Catalyst join reordering.
+    Decl("join_5way",
+      s"""SELECT r_name, n_name, ${sqlSum(revenueExpr)} AS revenue, COUNT(*) AS n
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      val dim = broadcast(Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // B17: global sort — range-partitioned SortExec, no single-node funnel.
+    Decl("sort_limit",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
+    // B18: top-k — TakeOrderedAndProject (per-partition heap of k, driver
+    // merges k per partition; never a global sort even at 100 TB).
+    Decl("topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // B19: set ops — INTERSECT/EXCEPT are distinct-semantic in both
+    // engines; implemented as aggregate-based set joins by Catalyst.
+    Decl("set_ops",
+      """SELECT ck, 'both_years' AS tag FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT ck, 'only_1995' AS tag FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |ORDER BY tag, ck""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("ck"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey").as("ck"))
+      y95.intersect(y96).withColumn("tag", lit("both_years"))
+        .unionByName(y95.except(y96).withColumn("tag", lit("only_1995")))
+        .orderBy("tag", "ck")
+    },
+
+    // B20: DISTINCT projection (hash-partitioned dedup, no global sort).
+    Decl("dedup_rows",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // B30: CASE WHEN / coalesce / nullif null handling.
+    Decl("conditional",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_or_final
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FINAL"))
+          .as("status_or_final"))
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (driver-side python:
+duckdb+pyarrow are available on this machine for the *driver*; this script
+is tooling for the build loop, not part of the library).
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Replays each oracle_sql.json entry in DuckDB over views named after the
+parquet tables, reads the Spark-written parquet for the same query, sorts
+columns by name, and compares shape + values exactly (doubles must be
+bit-identical — that is the design contract of graft.Det).
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            exp = con.execute(sql).fetchall()
+            expcols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+        gotcols = [d[0] for d in con.description]
+        # driver sorts columns by name before hashing
+        eperm = sorted(range(len(expcols)), key=lambda i: expcols[i])
+        gperm = sorted(range(len(gotcols)), key=lambda i: gotcols[i])
+        if sorted(expcols) != sorted(gotcols):
+            print(f"FAIL {name}: schema {sorted(gotcols)} != {sorted(expcols)}")
+            n_fail += 1
+            continue
+        e_rows = [tuple(norm(r[i]) for i in eperm) for r in exp]
+        g_rows = [tuple(norm(r[i]) for i in gperm) for r in got]
+        if e_rows == g_rows:
+            print(f"PASS {name} ({len(e_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            if len(e_rows) != len(g_rows):
+                print(f"FAIL {name}: rows {len(g_rows)} != {len(e_rows)}")
+            else:
+                for i, (a, b) in enumerate(zip(g_rows, e_rows)):
+                    if a != b:
+                        print(f"FAIL {name}: first diff row {i}:\n  spark={a}\n  duck ={b}")
+                        break
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
