@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDecls: Seq[Decl] =
-    _root_.graft.queries.Relational.decls
+    _root_.graft.queries.Relational.decls ++
+      _root_.graft.queries.Windows.decls ++
+      _root_.graft.queries.TimeWindows.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

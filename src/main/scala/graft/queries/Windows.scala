@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window functions + grouping extensions (SURVEY.md §2 rows B14-B16,
+  * B21-B23) — the `groupby().rank()/rolling()/shift()/cumsum()` and
+  * `pivot_table`/`explode` surface of the reference's dask tables.
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreak column —
+  * without it the frame contents (and thus moving aggregates) are
+  * engine-dependent. Cumulative double sums go through the same scale-6
+  * decimal trick as grouped sums (DuckDB evaluates running sums with a
+  * segment tree, i.e. a different association order than Spark's
+  * sequential accumulation).
+  *
+  * Scale: window functions shuffle once on partitionBy keys; frames are
+  * evaluated streaming per partition (no materialization of the whole
+  * partition for bounded frames). Skewed partition keys are the one
+  * hazard at 100 TB — partitionBy(customer) is fine, partitionBy(nothing)
+  * (global windows) is not and is avoided everywhere here.
+  */
+object Windows {
+
+  import Det._
+
+  def decls: Seq[Decl] = Seq(
+
+    // B14: ranking trio, top-3 orders per customer.
+    Decl("window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk,
+        |    dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"), rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // B15: moving average over a trailing 3-row frame.
+    Decl("window_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(avg(col("o_totalprice")).over(w), 4).as("mavg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // B16: lag/lead + cumulative (exact decimal) sum per key.
+    Decl("window_analytic",
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lag(o_orderkey) OVER w, -1) AS prev_order,
+        |  coalesce(lead(o_orderkey) OVER w, -1) AS next_order,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)).as("prev_order"),
+          coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_order"),
+          sum(col("o_totalprice").cast(DecimalType(30, 6))).over(wcum)
+            .cast(DoubleType).as("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // B21: CUBE over (returnflag, linestatus) — all 4 grouping sets, with
+    // a grouping id distinguishing subtotal levels ('(all)' marks rollups).
+    Decl("rollup_cube",
+      s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         |  coalesce(l_linestatus, '(all)') AS linestatus,
+         |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+         |  COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "returnflag", "linestatus")
+    },
+
+    // B22: pivot — day × event_type count matrix. Spark `pivot` plans a
+    // single pass (PivotFirst); the oracle is the conditional-agg idiom.
+    Decl("pivot",
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .withColumn("day", dateStr(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("day")
+    },
+
+    // B23: explode/unnest with element position (Generate node).
+    Decl("explode",
+      """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .orderBy("vec_id", "pos")
+    }
+  )
+}
