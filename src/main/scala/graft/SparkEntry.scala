@@ -12,7 +12,10 @@ object SparkEntry {
   def allDecls: Seq[Decl] =
     _root_.graft.queries.Relational.decls ++
       _root_.graft.queries.Windows.decls ++
-      _root_.graft.queries.TimeWindows.decls
+      _root_.graft.queries.TimeWindows.decls ++
+      _root_.graft.queries.Scalars.decls ++
+      _root_.graft.queries.AsofRange.decls ++
+      _root_.graft.queries.Udx.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as single primitives (SURVEY.md §2 rows
+  * B11-B13): as-of (nearest-past) join and interval/range join, plus the
+  * cartesian baseline. The reference surface is `pandas.merge_asof` and
+  * the cross+mask idiom.
+  *
+  * Implementation choices, 100 TB first:
+  *
+  * B11 as-of — the union-tag trick: tag order rows 0 and event rows 1,
+  * union them, and run `last(value, ignoreNulls)` over a window
+  * partitioned by the key, ordered by (ts, tag). One shuffle on the key,
+  * streaming window evaluation, no point lookups, no N×M expansion —
+  * this is the plan a dedicated AsOfJoinExec would produce anyway
+  * (sort-merge within key partitions), so no custom physical operator is
+  * needed. Ties: tag 0 sorts before tag 1, giving `<=` (inclusive)
+  * as-of semantics; orders are pre-deduped to one row per (key, ts) so
+  * the match is unique and deterministic.
+  *
+  * B12 range join — equi-join on (key, time-bucket) with the build side
+  * expanded to the two buckets each probe row can fall in, then the exact
+  * range predicate as a post-filter. Candidate pairs are bounded by
+  * bucket width ≈ window length, instead of the O(per-key²) blowup of a
+  * naive key-only join — the standard interval-bucketing scheme.
+  */
+object AsofRange {
+
+  def decls: Seq[Decl] = Seq(
+
+    // B11: each event matched to the user's latest order at-or-before ts.
+    Decl("join_asof",
+      """WITH dorders AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  coalesce(o.o_orderkey, -1) AS matched_order,
+        |  coalesce(o.o_totalprice, -1.0) AS matched_price
+        |FROM events e
+        |ASOF LEFT JOIN dorders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val wDedup = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy(col("o_orderkey").desc)
+      val orders = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+          lit(0).as("tag"), col("o_orderkey"), col("o_totalprice"),
+          lit(null).cast("long").as("event_id"))
+      val events = Tables.events(s, d)
+        .select(col("user_id").as("k"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"), col("event_id"))
+      val w = Window.partitionBy("k").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.unionByName(events)
+        .withColumn("matched_order",
+          last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("matched_price",
+          last(col("o_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          coalesce(col("matched_order"), lit(-1L)).as("matched_order"),
+          coalesce(col("matched_price"), lit(-1.0)).as("matched_price"))
+        .orderBy("event_id")
+    },
+
+    // B12: for each error event, clicks by the same user in the
+    // preceding 10 minutes (events self range join, bucketed).
+    Decl("join_range",
+      """SELECT err.event_id, COUNT(clk.event_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'error') err
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') clk
+        |  ON err.user_id = clk.user_id
+        |  AND clk.ts > err.ts - INTERVAL 10 MINUTE AND clk.ts <= err.ts
+        |GROUP BY err.event_id ORDER BY err.event_id""".stripMargin) { (s, d) =>
+      val BucketUs = 600L * 1000000L // bucket width = range width = 10 min
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("err_us"),
+          (col("ts_us") / BucketUs).cast("long").as("bucket"))
+      // each click can match errors in its own bucket or the next one
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+          col("ts_us").as("clk_us"),
+          explode(array((col("ts_us") / BucketUs).cast("long"),
+            (col("ts_us") / BucketUs).cast("long") + 1)).as("bucket"))
+      err.join(clk,
+          col("user_id") === col("clk_user") && err("bucket") === clk("bucket") &&
+            col("clk_us") > col("err_us") - BucketUs &&
+            col("clk_us") <= col("err_us"),
+          "left")
+        .groupBy("event_id")
+        .agg(count(col("clk_id")).as("n_clicks"))
+        .orderBy("event_id")
+    },
+
+    // B13: cartesian product (BroadcastNestedLoopJoin; small sides only —
+    // any big-side cross is a bug at scale, never a strategy).
+    Decl("cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name")
+    }
+  )
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function surface (SURVEY.md §2 rows B24-B32) — the `.str`,
+  * `.dt`, numeric-ufunc, JSON, and array accessors of the reference's
+  * dask/pandas API, as codegen'd Spark built-ins (no UDFs in this file;
+  * the deliberate-UDF rows B33-B35 live in Udx.scala).
+  *
+  * Cross-engine hazards handled here:
+  *  - `ceil`/`floor` return LONG in Spark, DOUBLE in DuckDB → oracle casts;
+  *  - transcendental fns (ln/exp/pow) are not correctly-rounded by libm,
+  *    so results are rounded to 4 decimals (sqrt IS correctly rounded —
+  *    IEEE 754 — and stays raw);
+  *  - never ROUND at or below the data's true decimal precision (money
+  *    has 2 decimals: round(x, 1) lands exactly on ties where the
+  *    engines' rounding modes disagree — see graft.Det scaladoc);
+  *  - float array elements are cast to double *before* arithmetic so
+  *    both engines promote identically.
+  */
+object Scalars {
+
+  import Det._
+
+  def decls: Seq[Decl] = Seq(
+
+    // B24: string functions on part names.
+    Decl("scalar_string",
+      """SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pre,
+        |  length(p_name) AS len, concat_ws('-', p_brand, p_type) AS bt,
+        |  (p_name LIKE '%red%') AS has_red,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS w1,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  trim(concat(' ', p_name, ' ')) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"), upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        length(col("p_name")).as("len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+        col("p_name").like("%red%").as("has_red"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("w1"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"))
+        .orderBy("p_partkey")
+    },
+
+    // B25: date/time functions on order dates.
+    Decl("scalar_date",
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dom, quarter(o_orderdate) AS q,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+        dateStr(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        dateStr(add_months(col("o_orderdate"), 3)).as("plus3m"),
+        dateStr(last_day(col("o_orderdate"))).as("month_end"))
+        .orderBy("o_orderkey")
+    },
+
+    // B26: math functions on prices/keys.
+    Decl("scalar_math",
+      """SELECT o_orderkey,
+        |  sqrt(o_totalprice) AS sq,
+        |  round(ln(o_totalprice), 4) AS ln4,
+        |  round(exp(o_totalprice / 100000.0), 4) AS ex4,
+        |  round(pow(o_totalprice, 0.3), 4) AS pw4,
+        |  abs(o_totalprice - 200000.0) AS ab,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
+        |  o_orderkey % 7 AS md
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        sqrt(col("o_totalprice")).as("sq"),
+        round(log(col("o_totalprice")), 4).as("ln4"),
+        round(exp(col("o_totalprice") / 100000.0), 4).as("ex4"),
+        round(pow(col("o_totalprice"), 0.3), 4).as("pw4"),
+        abs(col("o_totalprice") - 200000.0).as("ab"),
+        ceil(col("o_totalprice")).as("ce"),
+        floor(col("o_totalprice")).as("fl"),
+        pmod(col("o_orderkey"), lit(7)).as("md"))
+        .orderBy("o_orderkey")
+    },
+
+    // B27: JSON extraction from events.props, aggregated by type.
+    Decl("scalar_json",
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+        |    / COUNT(*) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast(DoubleType) / count(lit(1))).as("avg_k"))
+        .orderBy("event_type")
+    },
+
+    // B29: MapType — props parsed into map<string,int>, key/value access.
+    Decl("scalar_map",
+      """SELECT event_id, json_keys(props)[1] AS key0,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  len(json_keys(props)) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(map_keys(m), 1).as("key0"),
+        element_at(m, "k").as("k_val"),
+        size(map_keys(m)).as("n_keys"))
+        .orderBy("event_id")
+    },
+
+    // B28: array functions + higher-order arithmetic on embeddings.
+    // Elements cast to double before adding (float + float stays float in
+    // both engines, but mixed promotion rules differ) — explicit left-
+    // assoc double additions are bit-deterministic.
+    Decl("scalar_array",
+      """SELECT vec_id, len(embedding) AS dim,
+        |  embedding[1] AS e1, embedding[64] AS e64,
+        |  CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        |    + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+        |    AS head_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      def e(i: Int) = element_at(col("embedding"), i).cast(DoubleType)
+      Tables.embeddings(s, d).select(
+        col("vec_id"), size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("e1"),
+        element_at(col("embedding"), 64).as("e64"),
+        (e(1) + e(2) + e(3) + e(4)).as("head_sum"))
+        .orderBy("vec_id")
+    },
+
+    // B31: describe/summary statistics (exact; approx variant below).
+    Decl("sample_stats",
+      s"""SELECT COUNT(*) AS n, ${sqlAvg("l_quantity")} AS mean_qty,
+         |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |  quantile_cont(l_quantity, 0.5) AS median_qty,
+         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"), davg(col("l_quantity")).as("mean_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    },
+
+    // B31b: t-digest-style approximate quantiles — engines' sketches
+    // differ, no oracle; RelationalSpec bounds them against exact.
+    Decl.noOracle("sample_stats_approx") { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95"),
+        approx_count_distinct(col("l_partkey")).as("nd_parts"))
+    },
+
+    // B32: seeded bernoulli sample — RNG streams differ per engine, no
+    // oracle; property test asserts size bounds + determinism per seed.
+    Decl.noOracle("sample") { (s, d) =>
+      Tables.documents(s, d).sample(withReplacement = false, 0.5, seed = 42)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deliberate user-defined extension points (SURVEY.md §2 rows B33-B35):
+  * scalar UDF, typed Aggregator (the 1:1 analogue of dask's
+  * `Aggregation(chunk, agg, finalize)` partial/merge/final triple), and
+  * a one-to-many UDTF via typed flatMap.
+  *
+  * These exist to prove the extension surface — production operators in
+  * this repo prefer codegen'd built-ins (see Scalars/Text modules); each
+  * query here has a built-in-only oracle showing the UDF result is
+  * reproducible without one. UDFs break whole-stage codegen locally but
+  * still run distributed (no driver-side loops, no collect).
+  */
+object Udx {
+
+  /** B34: sum-of-squares / count — buffer is (sum, n); merge is
+    * associative+commutative, so partial aggregation (map-side combine)
+    * stays correct at any partition count. Longs, so exact. */
+  object MeanSquare extends Aggregator[Long, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: Long): (Long, Long) = (b._1 + a * a, b._2 + 1)
+    def merge(l: (Long, Long), r: (Long, Long)): (Long, Long) =
+      (l._1 + r._1, l._2 + r._2)
+    def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) 0.0 else b._1.toDouble / b._2
+    def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def decls: Seq[Decl] = Seq(
+
+    // B33: scalar UDF — whitespace token count per document.
+    Decl("udf_token_count",
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTok = udf((t: String) =>
+        if (t == null || t.isEmpty) 0 else t.split(" ", -1).length)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok(col("text")).as("n_tok"))
+        .orderBy("doc_id")
+    },
+
+    // B34: typed Aggregator over grouped data.
+    Decl("udaf_mean_square",
+      """SELECT lang, CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*)
+        |  AS mean_sq_chars, COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val ms = udaf(MeanSquare, Encoders.scalaLong)
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(ms(col("n_chars")).as("mean_sq_chars"), count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    // B35: UDTF — one-to-many row expansion via typed flatMap (tokens per
+    // doc), then a distributed count by language.
+    Decl("udtf_tokens",
+      """SELECT lang, COUNT(*) AS n_tokens FROM (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("lang"), col("text")).as[(String, String)]
+        .flatMap { case (lang, text) => text.split(" ", -1).map(t => (lang, t)) }
+        .toDF("lang", "tok")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"))
+        .orderBy("lang")
+    }
+  )
+}
