@@ -15,7 +15,10 @@ object SparkEntry {
       _root_.graft.queries.TimeWindows.decls ++
       _root_.graft.queries.Scalars.decls ++
       _root_.graft.queries.AsofRange.decls ++
-      _root_.graft.queries.Udx.decls
+      _root_.graft.queries.Udx.decls ++
+      _root_.graft.queries.Similarity.decls ++
+      _root_.graft.queries.Text.decls ++
+      _root_.graft.queries.Dedup.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector arithmetic over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDF,
+  * no driver-side math.
+  *
+  * Determinism contract (same scheme as graft.Det): float elements are
+  * cast to double *before* multiplying (float bits → identical doubles in
+  * any engine), each product is cast to DECIMAL(30,12), and the decimal
+  * sum is exact, so dot products and norms are bit-identical to the
+  * DuckDB oracle's unnest-and-SUM formulation regardless of summation
+  * order. The 1e-12 quantum sits far above a double product's ~1e-20 ulp
+  * (unit-magnitude data), so the per-term cast is unambiguous.
+  *
+  * Scale: these are per-row expressions — a brute-force top-k over them
+  * is a single scan + TakeOrderedAndProject. The ANN path (LSH bucketing,
+  * see Similarity.sim_ann_lsh) reuses the same kernels inside buckets.
+  */
+object VectorOps {
+
+  // Accumulator precision must stay low enough that decimal addition
+  // never exceeds Spark's max precision 38: (25,12)+(20,12) promotes to
+  // (26,12) — exact. An (38,12) accumulator would promote to (39,12),
+  // overflow, and silently round to scale 11 under allowPrecisionLoss,
+  // which is exactly the 1e-11 cross-engine drift this type exists to
+  // prevent.
+  private val Term = DecimalType(20, 12)
+  private val Acc = DecimalType(25, 12)
+
+  private def dsumArr(terms: Column): Column =
+    aggregate(terms,
+      lit(java.math.BigDecimal.ZERO).cast(Acc),
+      (acc, x) => (acc + x).cast(Acc)
+    ).cast(DoubleType)
+
+  /** Exact (order-independent) dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    dsumArr(zip_with(a, b,
+      (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Term)))
+
+  /** Exact squared L2 norm. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity; deterministic given [[dot]]/[[norm2]] (double
+    * division and IEEE sqrt are correctly rounded). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** SQL twin of [[dot]] for DuckDB oracles: aggregate over rows of
+    * zipped unnested elements `x`,`y`. */
+  def sqlDot(x: String, y: String): String =
+    s"CAST(SUM(CAST(CAST($x AS DOUBLE) * CAST($y AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)"
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family for training-data pipelines (SURVEY.md §2 rows
+  * C1-C2 + the mandated SimHash / n-gram-Jaccard / embedding-cosine
+  * variants). All candidate generation is hash-partitioned (group-by or
+  * equi-join on computed keys) — nothing here ever compares all pairs
+  * globally, which is the only shape that survives 100 TB:
+  *
+  *  - exact:   content hash → hash-partitioned group (one shuffle);
+  *  - MinHash: doc → 64-hash signature (single pass, min-aggregates) →
+  *             16 LSH bands → equi-join on (band, hash) → Jaccard verify
+  *             on the candidate pairs only (Broder's scheme);
+  *  - SimHash: 64-bit sign-of-weighted-bit-sums → 4×16-bit band join →
+  *             Hamming ≤ 8 verify via bit_count(xor);
+  *  - n-gram:  char-trigram set Jaccard on blocked probe pairs;
+  *  - cosine near-dup lives in Similarity.sim_join (label-blocked).
+  *
+  * MinHash family seeds are the band/row indices themselves (xxhash64's
+  * seed input), fixed, so signatures are deterministic across runs and
+  * partitionings.
+  */
+object Dedup {
+
+  private val toks = split(col("text"), " ")
+
+  /** 3-token shingles, distinct, as a column. */
+  private val shingles = array_distinct(expr(
+    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      | i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |   element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),
+      |   element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))))"""
+      .stripMargin))
+
+  private val NumHashes = 64
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows // 16
+
+  /** (doc_id, sig: array of 64 min-hashes) via explode + 64 min-aggs —
+    * one shuffle on doc_id, associative partials. */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(shingles).as("sh"))
+    val minCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** (doc_id, band, bhash) — one row per LSH band. */
+  private def bands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(1000 + b) +: rows: _*).as("bhash"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+  }
+
+  def decls: Seq[Decl] = Seq(
+
+    // C1: exact dedup via content hash (sha-256), counted per language.
+    Decl("dedup_exact",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT sha256(text)) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", sha2(col("text"), 256))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+        .orderBy("lang")
+    },
+
+    // C1b: the dedup *action* — keep the min doc_id per content hash.
+    Decl("dedup_exact_keep",
+      """SELECT COUNT(*) AS n_kept FROM (
+        |  SELECT min(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .agg(count(lit(1)).as("n_kept"))
+    },
+
+    // C2: MinHash + LSH near-duplicate detection. Spark-side hash family
+    // (xxhash64) is not reproducible in DuckDB ⇒ no oracle; DedupSpec
+    // proves exact-dup pairs collide in all bands with Jaccard 1.0 and
+    // that the pipeline is deterministic across partitionings.
+    Decl.noOracle("dedup_near") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val b = bands(signatures(docs))
+      val cand = b.as("a")
+        .join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val sh = docs.select(col("doc_id"), shingles.as("sh"))
+      val verified = cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+            size(array_union(col("sh1"), col("sh2"))))
+      verified.agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_near_dups"),
+        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"))
+    },
+
+    // SimHash near-dup: 64-bit signature = sign of per-bit token-hash
+    // sums; candidates from 4×16-bit band equality; Hamming ≤ 8 verify.
+    // xxhash64-based ⇒ no oracle; DedupSpec golden-checks signatures.
+    Decl.noOracle("dedup_simhash") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // per-token 64-bit hash, exploded; bit j contributes ±1 to slot j
+      val tok = docs.select(col("doc_id"), explode(array_distinct(toks)).as("t"))
+        .withColumn("th", xxhash64(col("t")))
+      val bitSums = (0 until 64).map(j =>
+        sum(when(expr(s"(th >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"b$j"))
+      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(j =>
+            when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(simhash >> ${16 * b}) & 65535").as("bval"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bval").as("bval"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+      cand.agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= 8, 1L).otherwise(0L)).as("n_near_dups"),
+        coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+    },
+
+    // n-gram Jaccard dedup: char-trigram set similarity on blocked probe
+    // pairs (same language, bounded id distance — the blocking keeps the
+    // candidate count linear; exact trigram sets are engine-neutral so
+    // this one *is* oracled).
+    Decl("dedup_ngram",
+      """WITH probe AS (SELECT doc_id, lang, text FROM documents
+        |               WHERE doc_id % 500 = 0),
+        |pairs AS (SELECT p.doc_id AS d1, e.doc_id AS d2,
+        |    list_distinct(list_transform(range(1, len(p.text) - 1),
+        |      i -> substr(p.text, i, 3))) AS g1,
+        |    list_distinct(list_transform(range(1, len(e.text) - 1),
+        |      i -> substr(e.text, i, 3))) AS g2
+        |  FROM probe p JOIN documents e
+        |    ON p.lang = e.lang AND e.doc_id > p.doc_id
+        |    AND e.doc_id - p.doc_id < 50)
+        |SELECT d1, d2,
+        |  CAST(len(list_intersect(g1, g2)) AS DOUBLE) /
+        |    (len(g1) + len(g2) - len(list_intersect(g1, g2))) AS jaccard
+        |FROM pairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val grams = array_distinct(expr(
+        "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+      val docs = Tables.documents(s, d)
+      val probe = docs.filter(col("doc_id") % 500 === 0)
+        .select(col("doc_id").as("d1"), col("lang").as("l1"), grams.as("g1"))
+      val cands = docs
+        .select(col("doc_id").as("d2"), col("lang").as("l2"), grams.as("g2"))
+      probe.join(cands,
+          col("l1") === col("l2") && col("d2") > col("d1")
+            && col("d2") - col("d1") < 50)
+        .select(col("d1"), col("d2"),
+          (size(array_intersect(col("g1"), col("g2"))).cast(DoubleType) /
+            (size(col("g1")) + size(col("g2"))
+              - size(array_intersect(col("g1"), col("g2"))))).as("jaccard"))
+        .orderBy("d1", "d2")
+    }
+  )
+}

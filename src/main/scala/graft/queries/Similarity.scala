@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.{Decl, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embeddings (SURVEY.md §2 tier C rows C3-C5,
+  * C10) + the ANN scale path. Patterns follow the top-k similarity-search
+  * literature referenced in PAPERS.md (block/bucket to bound candidate
+  * pairs; exact kernel inside the bucket).
+  *
+  * Scale design:
+  *  - brute-force top-k is scan + TakeOrderedAndProject — linear, no
+  *    shuffle of the big side, the right baseline at any scale;
+  *  - all-pairs joins are *always* blocked (label block or LSH bucket) —
+  *    candidates O(block²), never O(n²) global;
+  *  - the query vector travels as a broadcast single-row frame — never a
+  *    driver-side collect into a literal.
+  */
+object Similarity {
+
+  import VectorOps._
+
+  /** Single-row frame holding the query vector (vec_id = [[qid]]),
+    * broadcast to every executor. */
+  private def queryVec(s: SparkSession, d: String, qid: Long): DataFrame =
+    broadcast(Tables.embeddings(s, d).filter(col("vec_id") === qid)
+      .select(col("embedding").as("qv")))
+
+  private val simCol: Column = cosine(col("embedding"), col("qv"))
+
+  /** Shared oracle CTE: cosine of every embedding against vec 0. */
+  private def simsCte(extraCols: String = ""): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |pairs AS (SELECT e.vec_id$extraCols, unnest(e.embedding) AS x,
+       |            unnest(q.qv) AS y
+       |          FROM embeddings e, q),
+       |sims AS (SELECT vec_id$extraCols, ${sqlDot("x", "y")} AS dot,
+       |            ${sqlDot("x", "x")} AS nx, ${sqlDot("y", "y")} AS ny
+       |          FROM pairs GROUP BY ALL),
+       |cos AS (SELECT vec_id$extraCols, dot / (sqrt(nx) * sqrt(ny)) AS sim
+       |        FROM sims)""".stripMargin
+
+  def decls: Seq[Decl] = Seq(
+
+    // C3: brute-force cosine top-k against a query vector.
+    Decl("sim_topk_cosine",
+      s"""${simsCte()}
+         |SELECT vec_id, sim FROM cos
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .crossJoin(queryVec(s, d, 0))
+        .select(col("vec_id"), simCol.as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // C4: blocked all-pairs similarity join — probe subset × same-label
+    // block, threshold filter. Blocking bounds candidates to O(block²).
+    Decl("sim_join",
+      s"""WITH probe AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+         |cand AS (SELECT p.vec_id AS v1, e.vec_id AS v2, p.label,
+         |           unnest(p.embedding) AS x, unnest(e.embedding) AS y
+         |         FROM probe p JOIN embeddings e
+         |           ON p.label = e.label AND p.vec_id < e.vec_id),
+         |sims AS (SELECT v1, v2, label, ${sqlDot("x", "y")} AS dot,
+         |           ${sqlDot("x", "x")} AS nx, ${sqlDot("y", "y")} AS ny
+         |         FROM cand GROUP BY ALL)
+         |SELECT v1, v2, label, dot / (sqrt(nx) * sqrt(ny)) AS sim
+         |FROM sims WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.2
+         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("v1"), col("label"),
+          col("embedding").as("emb1"))
+      val cand = probe.join(e.select(col("vec_id").as("v2"),
+          col("label").as("l2"), col("embedding").as("emb2")),
+        col("label") === col("l2") && col("v1") < col("v2"))
+      cand.select(col("v1"), col("v2"), col("label"),
+          cosine(col("emb1"), col("emb2")).as("sim"))
+        .filter(col("sim") >= 0.2)
+        .orderBy("v1", "v2")
+    },
+
+    // C5: k-NN majority-label classification of probe vectors.
+    Decl("knn_classify",
+      s"""WITH probe AS (SELECT vec_id AS qid, embedding AS qv
+         |              FROM embeddings WHERE vec_id < 5),
+         |cand AS (SELECT p.qid, e.vec_id, e.label,
+         |           unnest(e.embedding) AS x, unnest(p.qv) AS y
+         |         FROM probe p, embeddings e WHERE e.vec_id >= 5),
+         |sims AS (SELECT qid, vec_id, label, ${sqlDot("x", "y")} AS dot,
+         |           ${sqlDot("x", "x")} AS nx, ${sqlDot("y", "y")} AS ny
+         |         FROM cand GROUP BY ALL),
+         |ranked AS (SELECT qid, vec_id, label,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id)
+         |               AS rn
+         |           FROM sims),
+         |votes AS (SELECT qid, label, COUNT(*) AS n_votes
+         |          FROM ranked WHERE rn <= 10 GROUP BY qid, label)
+         |SELECT qid, label AS pred_label, n_votes FROM (
+         |  SELECT qid, label, n_votes, row_number() OVER (
+         |    PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val cand = e.filter(col("vec_id") >= 5).crossJoin(probe)
+      val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val wVote = Window.partitionBy("qid")
+        .orderBy(col("n_votes").desc, col("label"))
+      cand.select(col("qid"), col("vec_id"), col("label"),
+          cosine(col("embedding"), col("qv")).as("sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .groupBy("qid", "label")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("n_votes"))
+        .orderBy("qid")
+    },
+
+    // C10: multimodal join — text table ⋈ vector table on id, filtered by
+    // a text-side predicate, ranked by vector-side similarity.
+    Decl("multimodal_join",
+      s"""${simsCte()}
+         |SELECT d.doc_id, c.sim, d.n_chars, d.source
+         |FROM documents d JOIN cos c ON d.doc_id = c.vec_id
+         |WHERE d.lang = 'en'
+         |ORDER BY c.sim DESC, d.doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      Tables.embeddings(s, d)
+        .crossJoin(queryVec(s, d, 0))
+        .select(col("vec_id"), simCol.as("sim"))
+        .join(docs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("sim"), col("n_chars"), col("source"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // C3-scale: ANN via random-hyperplane LSH — embeddings bucketed by an
+    // 8-bit signature (sign of dot with 8 fixed seeded hyperplanes);
+    // search touches only the query's bucket. Approximate ⇒ no oracle;
+    // SimilaritySpec checks recall ≥ 0.5 vs brute force at k=10.
+    Decl.noOracle("sim_ann_lsh") { (s, d) =>
+      val rnd = new scala.util.Random(42)
+      val planes: Seq[Seq[Float]] =
+        Seq.fill(4)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+      def sigOf(emb: Column): Column =
+        planes.zipWithIndex.map { case (p, i) =>
+          when(dot(emb, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", sigOf(col("embedding")))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket")))
+      e.join(q, col("bucket") === col("qbucket"))
+        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }
+  )
+}

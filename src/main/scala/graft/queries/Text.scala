@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2 tier C rows
+  * C6-C9, C11 + the mandated quality/language/token/fingerprint ops).
+  * Everything is tokenize-with-builtins (`split`/`explode`/higher-order
+  * fns) — codegen'd, no UDF in the hot path.
+  *
+  * Scale: token explosion multiplies rows ×~50; every downstream
+  * aggregate is partial+final on (token) or (doc) keys, so the explode
+  * never converges on the driver. Top-N-per-group goes through a
+  * window + row_number ≤ N, which at 100 TB should be preceded by a
+  * per-partition partial top-N (AQE handles the skew; heavy-hitter
+  * tokens like stopwords are exactly the skewed keys).
+  */
+object Text {
+
+  import Det._
+
+  private val toks = split(col("text"), " ")
+
+  def decls: Seq[Decl] = Seq(
+
+    // C6: corpus statistics by language (all-exact arithmetic).
+    Decl("text_stats",
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        |    AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          (sum(size(toks)).cast(DoubleType) / count(lit(1))).as("avg_tokens"))
+        .orderBy("lang")
+    },
+
+    // C7: term frequencies — top-20 tokens per language.
+    Decl("text_tf",
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |cnt AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY lang, tok)
+        |SELECT lang, tok, n, rn FROM (
+        |  SELECT lang, tok, n, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, tok) AS rn
+        |  FROM cnt) WHERE rn <= 20 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("tok"))
+        .groupBy("lang", "tok")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    },
+
+    // C8: word bigrams, top-50 corpus-wide.
+    Decl("text_ngrams",
+      """WITH t AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 1)," +
+            " i -> concat(element_at(split(text, ' '), i), ' '," +
+            " element_at(split(text, ' '), i + 1)))")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+
+    // C9: TF-IDF for a probe slice of documents.
+    Decl("text_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |       GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.tok, tf.tf,
+        |  ROUND(tf.tf * ln((nn.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+        |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nn
+        |WHERE tf.doc_id < 50 ORDER BY tf.doc_id, tf.tok""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val n = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n")))
+      tf.join(df, "tok").crossJoin(n)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("tok"), col("tf"),
+          round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4)
+            .as("tfidf"))
+        .orderBy("doc_id", "tok")
+    },
+
+    // Quality scoring: uniqueness / token-length / length heuristics
+    // (all-exact integer ratios → bit-deterministic doubles).
+    Decl("text_quality",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS uniq_ratio,
+        |  CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_tok_len,
+        |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |    * 0.5
+        |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 0.5 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTok = size(toks)
+      val nUniq = size(array_distinct(toks))
+      val uniqRatio = nUniq.cast(DoubleType) / nTok
+      Tables.documents(s, d).select(
+        col("doc_id"), nTok.as("n_tok"), nUniq.as("n_uniq"),
+        uniqRatio.as("uniq_ratio"),
+        ((col("n_chars") - nTok + 1).cast(DoubleType) / nTok).as("avg_tok_len"),
+        (least(nTok.cast(DoubleType) / 100.0, lit(1.0)) * 0.5
+          + uniqRatio * 0.5).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID: deterministic stopword-marker heuristic (the point is
+    // the operator shape — routing on a computed label — not NLP quality).
+    Decl("text_lang_id",
+      """SELECT doc_id, lang,
+        |  CASE WHEN text LIKE '%the %' THEN 'en'
+        |       WHEN text LIKE '%der %' THEN 'de'
+        |       WHEN text LIKE '%el %' THEN 'es'
+        |       WHEN text LIKE '%le %' THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        when(col("text").like("%the %"), "en")
+          .when(col("text").like("%der %"), "de")
+          .when(col("text").like("%el %"), "es")
+          .when(col("text").like("%le %"), "fr")
+          .otherwise("zh").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting two ways: whitespace + BPE-ish regex segmentation.
+    Decl("text_token_count",
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(toks).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting (winnowing): 3-token k-gram hashes, sliding
+    // min over a 4-window, distinct fingerprints kept. Hash fn is
+    // Spark's xxhash64 ⇒ not reproducible in DuckDB ⇒ no oracle; golden
+    // + idempotence properties in TextSpec.
+    Decl.noOracle("text_fingerprint") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(size(toks) >= 6)
+        .withColumn("kgrams", expr(
+          """transform(sequence(1, size(split(text, ' ')) - 2),
+            | i -> xxhash64(element_at(split(text, ' '), i),
+            |               element_at(split(text, ' '), i + 1),
+            |               element_at(split(text, ' '), i + 2)))""".stripMargin))
+        .withColumn("fps", expr(
+          """transform(sequence(1, size(kgrams) - 3),
+            | i -> array_min(slice(kgrams, i, 4)))""".stripMargin))
+        .select(col("doc_id"), size(array_distinct(col("fps"))).as("n_fp"))
+        .orderBy("doc_id")
+    },
+
+    // C11: per-language routing (pipeline fan-out); the partitioned-write
+    // flavor (`partitionBy("lang")`) is exercised in CatalogSpec.
+    Decl("lang_route",
+      """SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents WHERE lang IN ('en', 'de', 'fr')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang").isin("en", "de", "fr"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "source")
+    }
+  )
+}
