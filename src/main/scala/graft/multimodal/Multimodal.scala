@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline (builder mandate: image/audio/video as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * / frame-sample as batched partition-local transforms).
+  *
+  * The Spark-side plumbing is real: payloads travel as `BinaryType`
+  * through shuffles, decoding runs inside `mapPartitions` over a typed
+  * Dataset (the Scala analogue of `mapInPandas` — batched, executor-local,
+  * no driver involvement), and downstream ops are ordinary relational
+  * plans over the extracted features.
+  *
+  * The decoder itself is a clearly-marked STUB: real image/audio codecs
+  * are not in this container (per the builder brief), so `decodeStub`
+  * derives deterministic pseudo-metadata from the payload bytes. Swapping
+  * in a real codec changes only the body of that one function — the
+  * schema, batching, partitioning and query shapes stay identical.
+  *
+  * Scale: decode is embarrassingly parallel per partition; payload bytes
+  * never pass through a wide transform before feature extraction, so the
+  * heavy binary column is dropped (column pruning) as soon as features
+  * are projected out.
+  */
+object Multimodal {
+
+  /** A media asset: id + mime + opaque payload. The test corpus has no
+    * binary table, so payloads are synthesized from `documents.text`
+    * bytes (UTF-8) — an honest stand-in: opaque, variable-length,
+    * content-correlated. */
+  final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — stands in for an image/video codec (`???` in spirit):
+    * deterministic pseudo-metadata derived from payload length. A real
+    * implementation would parse the container header here. */
+  def decodeStub(m: MediaRow): MediaFeatures = {
+    val n = m.payload.length
+    MediaFeatures(m.doc_id, m.mime, n, n % 640, n % 480, n % 30 + 1)
+  }
+
+  /** documents → media assets (payload = text bytes, mime routed by
+    * language as a stand-in for a real mime column). */
+  private def mediaOf(docs: org.apache.spark.sql.DataFrame): Dataset[MediaRow] = {
+    val enc = Encoders.product[MediaRow]
+    docs.select(col("doc_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as(enc)
+  }
+
+  def decls: Seq[Decl] = Seq(
+
+    // Decode + feature-extract through the binary pipeline. Oracle
+    // reproduces the stub arithmetic from the text length (payload is
+    // the UTF-8 encoding of all-ASCII text ⇒ n_bytes = n_chars).
+    Decl("multimodal_decode",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 640 AS width,
+        |  octet_length(encode(text)) % 480 AS height,
+        |  octet_length(encode(text)) % 30 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[MediaFeatures]
+      mediaOf(Tables.documents(s, d))
+        .mapPartitions(_.map(decodeStub))
+        .select("doc_id", "n_bytes", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+
+    // Frame sampling: one row per (asset, frame index) with a synthetic
+    // 30fps timestamp — the explode pattern a video pipeline uses.
+    Decl("multimodal_frames",
+      """SELECT doc_id, CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1))
+        |    AS BIGINT) AS frame_idx,
+        |  CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1)) AS DOUBLE)
+        |    / 30.0 AS frame_ts
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[MediaFeatures]
+      mediaOf(Tables.documents(s, d).filter(col("doc_id") < 100))
+        .mapPartitions(_.map(decodeStub))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames").cast("long") - 1))
+            .as("frame_idx"))
+        .withColumn("frame_ts", col("frame_idx").cast("double") / 30.0)
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Catalog, Decl, Det, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tier-A catalog & I/O operators (SURVEY.md §2 rows A2-A11): catalog
+  * listing/description, the three scan formats the reference dispatches
+  * to by SerDe (parquet / delimited text / JSON-lines), partitioned
+  * layout with partition-key injection + pruning, and the parquet sink.
+  *
+  * The csv/json/partitioned queries materialize a deterministic copy of
+  * a driver table into target/graft_io first (overwrite, so reruns are
+  * idempotent), then read it back through the format reader under test —
+  * the oracle runs against the *source* parquet table, so the round-trip
+  * itself is what's being checked.
+  *
+  * Scale: all writes are distributed (`df.write`, one file per task);
+  * partition pruning is plan-level (verified in CatalogSpec via
+  * executedPlan file counts), so a year-filter touches 1/7th of the
+  * files no matter the total size.
+  */
+object CatalogIO {
+
+  import Det._
+
+  def decls: Seq[Decl] = Seq(
+
+    // A2: list catalog objects (rows-only check: engine-specific shape).
+    Decl.noOracle("catalog_list") { (s, d) =>
+      Catalog.registerAll(s, d)
+      s.catalog.listTables()
+        .select(col("name"), col("tableType"), col("isTemporary"))
+        .orderBy("name")
+    },
+
+    // A3: table schema via catalog lookup.
+    Decl.noOracle("catalog_describe") { (s, d) =>
+      Catalog.registerAll(s, d)
+      s.catalog.listColumns("lineitem")
+        .select(col("name"), col("dataType"), col("nullable"))
+        .orderBy("name")
+    },
+
+    // A4: parquet scan (projection + predicate reach the scan node).
+    Decl("scan_parquet",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 49)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A5: delimited-text scan — write a csv copy, read it back with an
+    // explicit schema (the reference's LazySimpleSerDe path), aggregate.
+    Decl("scan_csv",
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "lineitem_csv")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").option("sep", "|").csv(path)
+      s.read
+        .schema(StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_returnflag", StringType),
+          StructField("l_quantity", DoubleType))))
+        .option("sep", "|").csv(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // A6: JSON-lines scan.
+    Decl("scan_jsonl",
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "documents_json")
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType))))
+        .json(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    },
+
+    // A7+A9: partition enumeration + key injection — orders written
+    // partitioned by year; the partition column comes back from directory
+    // metadata, not file contents.
+    Decl("show_partitions",
+      """SELECT DISTINCT year(o_orderdate) AS o_year FROM orders
+        |ORDER BY o_year""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "orders_by_year")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      s.read.parquet(path).select("o_year").distinct().orderBy("o_year")
+    },
+
+    // A8: partition-pruned scan — the year filter hits only one
+    // partition directory (plan-shape asserted in CatalogSpec).
+    Decl("partition_prune",
+      s"""SELECT COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "orders_by_year")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_year") === 1996)
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // A10: parquet sink + re-read round-trip.
+    Decl("sink_parquet",
+      s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")} AS revenue
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "sink_revenue")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy("l_returnflag")
+    }
+  )
+}
