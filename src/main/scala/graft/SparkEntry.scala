@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.Text.decls ++
       _root_.graft.queries.Dedup.decls ++
       _root_.graft.queries.CatalogIO.decls ++
-      _root_.graft.multimodal.Multimodal.decls
+      _root_.graft.multimodal.Multimodal.decls ++
+      _root_.graft.queries.StreamingBatch.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,10 +26,10 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  private val toks = split(col("text"), " ")
+  private[graft] val toks = split(col("text"), " ")
 
   /** 3-token shingles, distinct, as a column. */
-  private val shingles = array_distinct(expr(
+  private[graft] val shingles = array_distinct(expr(
     """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
       | i -> concat_ws(' ', element_at(split(text, ' '), i),
       |   element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),
@@ -42,7 +42,7 @@ object Dedup {
 
   /** (doc_id, sig: array of 64 min-hashes) via explode + 64 min-aggs —
     * one shuffle on doc_id, associative partials. */
-  private def signatures(docs: DataFrame): DataFrame = {
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
     val exploded = docs.select(col("doc_id"), explode(shingles).as("sh"))
     val minCols = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
@@ -50,7 +50,7 @@ object Dedup {
   }
 
   /** (doc_id, band, bhash) — one row per LSH band. */
-  private def bands(sigs: DataFrame): DataFrame = {
+  private[graft] def bands(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
       struct(lit(b).as("band"), xxhash64(lit(1000 + b) +: rows: _*).as("bhash"))

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import graft.streaming.Streaming.{UserEvent, UserRunning}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** Batch twins of the streaming tier (B39-B41) for the oracle gate —
+  * the same semantics the streaming forms in graft.streaming implement
+  * incrementally, expressed as finite-input queries DuckDB can replay.
+  * StreamingSpec proves the streaming forms converge to these answers.
+  */
+object StreamingBatch {
+
+  import Det._
+
+  def decls: Seq[Decl] = Seq(
+
+    // B39 batch analogue: a 10-minute watermark at end-of-input drops
+    // rows more than 10 min behind the global max event time.
+    Decl("watermark_late",
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT COUNT(*) AS n_total,
+        |  SUM(CASE WHEN ts >= mx - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+        |    AS n_within,
+        |  SUM(CASE WHEN ts < mx - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+        |    AS n_late
+        |FROM events CROSS JOIN m""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val mx = broadcast(ev.agg(max(col("ts")).as("mx")))
+      ev.crossJoin(mx).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("ts") >= col("mx") - expr("INTERVAL 10 MINUTE"), 1L)
+          .otherwise(0L)).as("n_within"),
+        sum(when(col("ts") < col("mx") - expr("INTERVAL 10 MINUTE"), 1L)
+          .otherwise(0L)).as("n_late"))
+    },
+
+    // B40 batch analogue: exactly-once dedup by event id.
+    Decl("streaming_dedup",
+      """SELECT COUNT(*) AS n_total, COUNT(DISTINCT event_id) AS n_unique
+        |FROM events""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val uniq = ev.dropDuplicates("event_id")
+      ev.agg(count(lit(1)).as("n_total"))
+        .crossJoin(uniq.agg(count(lit(1)).as("n_unique")))
+    },
+
+    // B41 batch analogue: the per-user running aggregate's final state,
+    // computed through the same typed groupByKey path the streaming form
+    // uses (imperative per-group fold, executor-local). The in-group sum
+    // quantizes each value to scale 6 (BigDecimal) — the exact analogue
+    // of Det.dsum, so the fold order cannot perturb the oracle match.
+    Decl("stateful_running_agg",
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .as[UserEvent]
+      ev.groupByKey(_.user_id)
+        .mapGroups { (uid, rows) =>
+          var n = 0L
+          var acc = JBigDecimal.ZERO
+          rows.foreach { e =>
+            n += 1
+            acc = acc.add(
+              JBigDecimal.valueOf(e.value).setScale(6, RoundingMode.HALF_UP))
+          }
+          UserRunning(uid, n, acc.doubleValue())
+        }(Encoders.product[UserRunning])
+        .toDF("user_id", "n_events", "sum_value")
+        .orderBy("user_id")
+    }
+  )
+}

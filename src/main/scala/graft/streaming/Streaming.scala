@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface (SURVEY.md §2 rows B39-B41). The reference (dask)
+  * is batch-only — this tier is the engine's capability uplift, designed
+  * batch-first: every transform here takes a plain DataFrame and runs
+  * identically under `readStream` (StreamingSpec drives them through
+  * MemoryStream micro-batches and asserts batch ≡ streaming).
+  *
+  * Scale: all stateful ops key their state by user/event id — state
+  * stores shard with the shuffle partitioning; watermarks bound state
+  * retention so a 100 TB/day stream does not accumulate unbounded state.
+  */
+object Streaming {
+
+  /** B36-twin used by StreamingSpec: tumbling 1h counts by type —
+    * identical expression batch or stream. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** B39: watermarked windowed aggregate — on a stream, rows later than
+    * `delay` behind the max event time are dropped from open windows. */
+  def watermarkedCounts(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** B40: exactly-once event dedup bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** B41: per-user running aggregate with explicit custom state —
+    * `flatMapGroupsWithState`, the custom-state primitive. Emits the
+    * updated running row on every input batch.
+    *
+    * `withTimeout` arms a processing-time timeout that flushes+evicts
+    * idle users' state (the production state-bounding knob). Note: an
+    * armed timeout makes Spark schedule no-data micro-batches forever,
+    * so `processAllAvailable()`-style synchronous tests must use the
+    * default NoTimeout form. */
+  def runningUserAgg(events: Dataset[UserEvent],
+      withTimeout: Boolean = false): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, timeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+            state.remove()
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.value))
+            val next = sorted.foldLeft(prev)((acc, e) =>
+              UserRunning(uid, acc.n_events + 1, acc.sum_value + e.value))
+            state.update(next)
+            if (withTimeout) state.setTimeoutDuration("1 hour")
+            Iterator(next)
+          }
+      }
+  }
+}

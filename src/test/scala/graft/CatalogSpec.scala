@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tier-A over a real Hive metastore (SURVEY.md §5.2 item 4): embedded
+  * Derby catalog, external + partitioned external tables, SHOW PARTITIONS
+  * round-trip, metastore-backed partition pruning. This is the authentic
+  * analogue of the reference's Thrift `get_table`/`get_partitions_by_
+  * filter` path. Owns its SparkSession (hive catalog must be fixed at
+  * session creation) and restores a clean slate for the other suites.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  test("derby metastore: external tables, partitions, pruning (A1-A3, A7-A8)") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val base = "/root/repo/target/hive"
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      .enableHiveSupport()
+      .getOrCreate()
+    try {
+      val sf = "/root/testdata/sf0.001"
+      // partitioned parquet layout to hang the external table over
+      val part = s"$base/orders_by_year"
+      Tables.orders(spark, sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(part)
+
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      spark.sql("DROP TABLE IF EXISTS graft_db.orders_part")
+      spark.sql(
+        s"""CREATE EXTERNAL TABLE graft_db.orders_part (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+           |  o_orderpriority STRING)
+           |PARTITIONED BY (o_year INT)
+           |STORED AS PARQUET LOCATION '$part'""".stripMargin)
+      spark.sql("MSCK REPAIR TABLE graft_db.orders_part")
+
+      // A1/A2: catalog listing through the metastore
+      assert(spark.catalog.listDatabases().collect()
+        .exists(_.name == "graft_db"))
+      assert(spark.catalog.listTables("graft_db").collect()
+        .exists(_.name == "orders_part"))
+
+      // A3: schema round-trip
+      val cols = spark.catalog.listColumns("graft_db.orders_part")
+        .collect().map(c => c.name -> c.dataType).toMap
+      assert(cols("o_totalprice") == "double")
+      assert(cols("o_year") == "int")
+
+      // A7: partition enumeration via the metastore
+      val parts = spark.sql("SHOW PARTITIONS graft_db.orders_part")
+        .collect().map(_.getString(0)).sorted
+      val years = Tables.orders(spark, sf)
+        .select(year(col("o_orderdate"))).distinct()
+        .collect().map(r => s"o_year=${r.getInt(0)}").sorted
+      assert(parts.toSeq == years.toSeq)
+
+      // A8+A9: pruned read matches source-side filter; partition key
+      // column is injected from directory metadata
+      val pruned = spark.table("graft_db.orders_part")
+        .filter(col("o_year") === 1996)
+      val expected = Tables.orders(spark, sf)
+        .filter(year(col("o_orderdate")) === 1996).count()
+      assert(pruned.count() == expected)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("1996"), plan)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

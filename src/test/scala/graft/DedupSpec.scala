@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MinHash/LSH and exact-dedup properties (SURVEY.md §5.2 item 3). The
+  * test corpus has no exact duplicates (FIXTURES.md), so duplicates are
+  * injected here. */
+class DedupSpec extends AnyFunSuite with SparkSuite {
+
+  private def docsWithDup = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document about spark query engines ok"),
+      (3L, "the quick brown fox jumps over the lazy dog again and MUTATED"))
+      .toDF("doc_id", "text")
+  }
+
+  test("identical docs get identical minhash signatures; distinct docs don't") {
+    val sigs = Dedup.signatures(docsWithDup).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(0L) == sigs(1L), "exact dup must have equal signature")
+    assert(sigs(0L) != sigs(2L), "unrelated docs should differ")
+  }
+
+  test("LSH bands surface the duplicate pair as a candidate") {
+    val b = Dedup.bands(Dedup.signatures(docsWithDup))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), s"candidates were $cand")
+  }
+
+  test("near-identical doc (one token changed) is also caught") {
+    val b = Dedup.bands(Dedup.signatures(docsWithDup))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 3L)) || cand.contains((1L, 3L)),
+      s"near-dup should collide in ≥1 of 16 bands; got $cand")
+  }
+
+  test("signatures are invariant under repartitioning") {
+    def sigOf(np: Int) =
+      Dedup.signatures(docsWithDup.repartition(np)).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigOf(1) == sigOf(7))
+  }
+
+  test("exact dedup is idempotent") {
+    val docs = Tables.documents(spark, sf)
+    val once = docs.dropDuplicates("text")
+    val twice = once.dropDuplicates("text")
+    assert(once.count() == twice.count())
+  }
+
+  test("dedup_exact consistency: n_docs - n_dups == n_distinct") {
+    SparkEntry.queries("dedup_exact")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") - r.getAs[Long]("n_dups")
+        == r.getAs[Long]("n_distinct"))
+    }
+  }
+
+  test("jaccard of injected dup pair is 1.0 through the verify stage") {
+    val sh = docsWithDup.select(col("doc_id"), Dedup.shingles.as("sh"))
+    val j = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) < 0.2)
+  }
+}

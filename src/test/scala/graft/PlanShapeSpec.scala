@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY.md §5.2 item 2): the physical plans must
+  * be the ones a 100 TB deployment needs — pushdown reaching the scan,
+  * broadcast where hinted, TakeOrdered instead of global sort for top-k.
+  * These catch silent regressions that correctness tests cannot (a query
+  * can be right and still shuffle the fact table).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Formatted explain (full PushedFilters, codegen spans), after
+    * executing so AQE has finalized the plan. */
+  private def formattedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("topk plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_multi top-10 also plans as TakeOrderedAndProject") {
+    assert(plan("join_multi").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_broadcast uses BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_5way broadcasts every dimension (single fact-side shuffle)") {
+    val p = plan("join_5way")
+    assert(p.contains("BroadcastHashJoin"))
+    // orders⋈lineitem is the only shuffle join allowed
+    val sortMerge = "SortMergeJoin".r.findAllIn(p).size
+    val shuffledHash = "ShuffledHashJoin".r.findAllIn(p).size
+    assert(sortMerge + shuffledHash <= 1,
+      s"expected ≤1 shuffle join, plan:\n$p")
+  }
+
+  test("proj_filter pushes predicate and prunes columns at the scan") {
+    val p = formattedPlan("proj_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // pruned read schema: only the 6 referenced columns, not all 11
+    val scanSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_tax"), scanSchema)
+  }
+
+  test("partitioned read prunes partitions on the filter") {
+    val path = Catalog.scratch(sf, "orders_by_year")
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    val df = spark.read.parquet(path).filter(col("o_year") === 1996)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    // pruned scan reads strictly fewer files than the full table
+    val all = spark.read.parquet(path).inputFiles.length
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }
+    assert(scan.exists(_ < all), s"scan=$scan all=$all")
+  }
+
+  test("agg_hash is a two-phase hash aggregate (partial + final)") {
+    val p = plan("agg_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen covers the proj_filter pipeline") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") == "true")
+    // AQE wraps stages lazily and hides codegen nodes from the stored
+    // plan; inspect the non-adaptive physical plan for the codegen spans.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("proj_filter")(spark, sf)
+      val codegenNodes = df.queryExecution.executedPlan
+        .collect { case w: WholeStageCodegenExec => w }
+      assert(codegenNodes.nonEmpty,
+        df.queryExecution.executedPlan.toString.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

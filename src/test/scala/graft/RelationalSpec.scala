@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level properties of the relational tier that the oracle gate
+  * can't express (approximate ops, equivalences between formulations). */
+class RelationalSpec extends AnyFunSuite with SparkSuite {
+
+  test("approx_count_distinct within 5% of exact (B4)") {
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("topk == orderBy.limit (B18 TakeOrdered equivalence)") {
+    val viaTopk = SparkEntry.queries("topk")(spark, sf).collect()
+    val viaSort = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .collect().take(100)
+    assert(viaTopk.map(_.toSeq).toSeq == viaSort.map(_.toSeq).toSeq)
+  }
+
+  test("partial+final agg == single-partition agg (repartition invariance)") {
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(Det.dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val li = Tables.lineitem(spark, sf)
+    assert(agg(li.repartition(32)) == agg(li.coalesce(1)))
+  }
+
+  test("set-op algebra: (a∩b) and (a∖b) partition a (B19)") {
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+    val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    val inter = a.intersect(b)
+    val diff = a.except(b)
+    assert(inter.intersect(diff).count() == 0)
+    assert(inter.count() + diff.count() == a.count())
+  }
+
+  test("sample: seeded, bounded, deterministic (B32)") {
+    val q = SparkEntry.queries("sample")
+    val n1 = q(spark, sf).count()
+    val n2 = q(spark, sf).count()
+    assert(n1 == n2, "same seed must give same sample")
+    val total = Tables.documents(spark, sf).count()
+    assert(n1 > total * 0.3 && n1 < total * 0.7, s"n=$n1 of $total")
+  }
+
+  test("asof join: every event gets exactly one row, price matches order") {
+    val out = SparkEntry.queries("join_asof")(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(out.count() == nEvents)
+    // spot-check one user: matched order must be that user's max-date order
+    val row = out.filter(col("user_id") === 0).collect().head
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_custkey") === 0)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .select("o_orderkey").collect().head.getLong(0)
+    assert(row.getAs[Long]("matched_order") == expected)
+  }
+}

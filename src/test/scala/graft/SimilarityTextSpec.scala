@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search and text-analysis properties. */
+class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
+
+  test("cosine(v, v) == 1 within double tolerance") {
+    val e = Tables.embeddings(spark, sf).limit(20)
+    val sims = e.select(VectorOps.cosine(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9, s))
+  }
+
+  test("ann lsh results are a subset of the exact ranking with true sims") {
+    val brute = SparkEntry.queries("sim_topk_cosine")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim"))
+    // the query vector itself must be its own nearest neighbor
+    assert(ann.head._1 == 0L && math.abs(ann.head._2 - 1.0) < 1e-9)
+    // any ann hit that appears in the exact top-10 must carry the same sim
+    ann.foreach { case (id, s) =>
+      brute.get(id).foreach(bs => assert(math.abs(bs - s) < 1e-12)) }
+  }
+
+  test("knn predictions are valid labels with ≥1 vote") {
+    SparkEntry.queries("knn_classify")(spark, sf).collect().foreach { r =>
+      assert((0 to 9).contains(r.getAs[Int]("pred_label")))
+      assert(r.getAs[Long]("n_votes") >= 1)
+    }
+  }
+
+  test("sim_join pairs are label-consistent and above threshold") {
+    SparkEntry.queries("sim_join")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("sim") >= 0.2)
+      assert(r.getAs[Long]("v1") < r.getAs[Long]("v2"))
+    }
+  }
+
+  test("fingerprints: deterministic and bounded by k-gram count") {
+    val a = SparkEntry.queries("text_fingerprint")(spark, sf).collect()
+    val b = SparkEntry.queries("text_fingerprint")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r => assert(r.getAs[Int]("n_fp") >= 1) }
+  }
+
+  test("quality scores live in (0, 1]") {
+    SparkEntry.queries("text_quality")(spark, sf).collect().foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q > 0 && q <= 1.0, s"quality=$q")
+      val u = r.getAs[Double]("uniq_ratio")
+      assert(u > 0 && u <= 1.0)
+    }
+  }
+
+  test("tfidf: common tokens weigh less than rare ones within a doc") {
+    val rows = SparkEntry.queries("text_tfidf")(spark, sf)
+      .filter(col("doc_id") === 0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0 ||
+      r.getAs[Long]("tf") > 0))
+  }
+
+  test("text_tf: at most 20 tokens per language, ranks contiguous") {
+    val byLang = SparkEntry.queries("text_tf")(spark, sf).collect()
+      .groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.length <= 20)
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{UserEvent, UserRunning}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured-Streaming semantics (SURVEY.md §2 rows B39-B41, §5.2 item
+  * 5): the batch-first transforms run unchanged under MemoryStream
+  * micro-batches; watermarks drop late rows; dedup is exactly-once within
+  * the watermark; custom state accumulates across batches. */
+case class Ev(event_id: Long, ts: Timestamp, event_type: String,
+    user_id: Long, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window: streaming ≡ batch on the same rows (B36/B39)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      Ev(1, ts(5), "click", 1, 1.0), Ev(2, ts(15), "click", 1, 2.0),
+      Ev(3, ts(25), "view", 2, 3.0), Ev(4, ts(59), "click", 2, 4.0))
+    val input = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumble")
+        .select(col("window.start"), col("event_type"), col("n"))
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.tumblingCounts(rows.toDF())
+        .select(col("window.start"), col("event_type"), col("n"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermark drops rows later than the delay (B39)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streaming.watermarkedCounts(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: events in the 10:00 window
+      input.addData(Ev(1, ts(5), "click", 1, 1.0), Ev(2, ts(30), "click", 1, 1.0))
+      q.processAllAvailable()
+      // batch 2: event far ahead — watermark passes 10:59 + closes window
+      input.addData(Ev(3, Timestamp.valueOf("2024-01-01 12:30:00"), "view", 2, 1.0))
+      q.processAllAvailable()
+      // batch 3: late row for the already-closed 10:00 window → dropped
+      input.addData(Ev(4, ts(10), "click", 3, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("wm")
+        .select(col("window.start"), col("n")).collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(out("2024-01-01 10:00:00.0") == 2L,
+        s"late row must not bump the closed window: $out")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark is exactly-once per event id (B40)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streaming.dedupWithinWatermark(input.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts(5), "click", 1, 1.0), Ev(1, ts(5), "click", 1, 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts(6), "click", 1, 1.0), Ev(2, ts(7), "view", 1, 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches (B41)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Streaming.runningUserAgg(input.toDS())
+      .writeStream.format("memory").queryName("state")
+      .outputMode("append").start()
+    try {
+      input.addData(UserEvent(1, 1000, 2.0), UserEvent(1, 2000, 3.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1, 3000, 5.0), UserEvent(2, 1000, 7.0))
+      q.processAllAvailable()
+      val last = spark.table("state").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(last(1L).n_events == 3 && math.abs(last(1L).sum_value - 10.0) < 1e-9)
+      assert(last(2L).n_events == 1 && math.abs(last(2L).sum_value - 7.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("batch twin equals streaming final state (B41 oracle linkage)") {
+    import spark.implicits._
+    // the declared stateful_running_agg query at sf0.001 vs a direct agg
+    val declared = SparkEntry.queries("stateful_running_agg")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(declared.keySet == direct.keySet)
+    declared.foreach { case (u, (n, s)) =>
+      assert(direct(u)._1 == n)
+      assert(math.abs(direct(u)._2 - s) < 1e-6, s"user $u: $s vs ${direct(u)._2}")
+    }
+  }
+}
