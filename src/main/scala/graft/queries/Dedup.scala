@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * globally, which is the only shape that survives 100 TB:
   *
   *  - exact:   content hash → hash-partitioned group (one shuffle);
-  *  - MinHash: doc → 64-hash signature (single pass, min-aggregates) →
+  *  - MinHash: doc → 64-hash signature (per-row map, no shuffle) →
   *             16 LSH bands → equi-join on (band, hash) → Jaccard verify
   *             on the candidate pairs only (Broder's scheme);
   *  - SimHash: 64-bit sign-of-weighted-bit-sums → 4×16-bit band join →
@@ -20,33 +20,54 @@ import org.apache.spark.sql.types._
   *  - n-gram:  char-trigram set Jaccard on blocked probe pairs;
   *  - cosine near-dup lives in Similarity.sim_join (label-blocked).
   *
-  * MinHash family seeds are the band/row indices themselves (xxhash64's
-  * seed input), fixed, so signatures are deterministic across runs and
-  * partitionings.
+  * The MinHash family is a fixed-seed affine family over a single
+  * xxhash64 base hash (see [[signatures]]), so signatures are
+  * deterministic across runs and partitionings.
   */
 object Dedup {
 
   private[graft] val toks = split(col("text"), " ")
 
-  /** 3-token shingles, distinct, as a column. */
-  private[graft] val shingles = array_distinct(expr(
-    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      | i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |   element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),
-      |   element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))))"""
-      .stripMargin))
+  /** 3-token shingles over a pre-tokenized `tks` column, distinct.
+    * Tokenization must happen once in a prior projection: `split()`
+    * inside a lambda body is re-evaluated per index (no common-
+    * subexpression elimination across higher-order-function calls). */
+  private[graft] val shinglesOfTks = array_distinct(expr(
+    """transform(sequence(1, greatest(size(tks) - 2, 1)),
+      | i -> concat_ws(' ', element_at(tks, i),
+      |   element_at(tks, least(i + 1, size(tks))),
+      |   element_at(tks, least(i + 2, size(tks)))))""".stripMargin))
+
+  /** 3-token shingles straight from `text` (convenience for tests /
+    * small inputs — tokenizes once via a nested projection). */
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("tks", toks).withColumn("sh", shinglesOfTks).drop("tks")
 
   private val NumHashes = 64
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows // 16
 
-  /** (doc_id, sig: array of 64 min-hashes) via explode + 64 min-aggs —
-    * one shuffle on doc_id, associative partials. */
+  /** (doc_id, h0..h63 min-hashes), computed entirely per-row: one
+    * xxhash64 per distinct shingle *string*, then 64 affine variants
+    * (a_i·h + b_i over Z/2^64 via the custom WrapAffine expression —
+    * built-in arithmetic can't wrap under ANSI mode) reduced by
+    * array_min. No explode, no shuffle — at 100 TB the signature stage
+    * is a pure map, and only the narrow (doc_id, bands) rows ever hit
+    * the wire. (Alternatives measured at sf0.1: 64 min-aggregates over
+    * an exploded shingle table = 9.2s; 64 seeded xxhash64 re-hashes of
+    * the base = 5.6s; this = ~1.5s.) */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(shingles).as("sh"))
-    val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    import graft.functions.WrapArith.wrapAffine
+    val rnd = new scala.util.Random(20260812L)
+    val a = Array.fill(NumHashes)(rnd.nextLong() | 1L)
+    val b = Array.fill(NumHashes)(rnd.nextLong())
+    val sigCols = (0 until NumHashes).map(i =>
+      array_min(transform(col("bases"), h => wrapAffine(h, a(i), b(i))))
+        .as(s"h$i"))
+    docs.withColumn("tks", toks)
+      .select(col("doc_id"),
+        transform(shinglesOfTks, s => xxhash64(s)).as("bases"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** (doc_id, band, bhash) — one row per LSH band. */
@@ -99,7 +120,7 @@ object Dedup {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      val sh = docs.select(col("doc_id"), shingles.as("sh"))
+      val sh = withShingles(docs).select("doc_id", "sh")
       val verified = cand
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")

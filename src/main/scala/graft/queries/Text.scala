@@ -68,11 +68,14 @@ object Text {
         |SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
         |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) { (s, d) =>
+      // tokenize once per row — element_at over a re-split inside the
+      // lambda would re-run split() per index (no CSE across lambdas)
       Tables.documents(s, d)
+        .withColumn("tks", toks)
         .select(explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 1)," +
-            " i -> concat(element_at(split(text, ' '), i), ' '," +
-            " element_at(split(text, ' '), i + 1)))")).as("bigram"))
+          "transform(sequence(1, size(tks) - 1)," +
+            " i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1)))"))
+          .as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
@@ -170,11 +173,12 @@ object Text {
     Decl.noOracle("text_fingerprint") { (s, d) =>
       Tables.documents(s, d)
         .filter(size(toks) >= 6)
+        .withColumn("tks", toks)
         .withColumn("kgrams", expr(
-          """transform(sequence(1, size(split(text, ' ')) - 2),
-            | i -> xxhash64(element_at(split(text, ' '), i),
-            |               element_at(split(text, ' '), i + 1),
-            |               element_at(split(text, ' '), i + 2)))""".stripMargin))
+          """transform(sequence(1, size(tks) - 2),
+            | i -> xxhash64(element_at(tks, i),
+            |               element_at(tks, i + 1),
+            |               element_at(tks, i + 2)))""".stripMargin))
         .withColumn("fps", expr(
           """transform(sequence(1, size(kgrams) - 3),
             | i -> array_min(slice(kgrams, i, 4)))""".stripMargin))

@@ -69,7 +69,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("jaccard of injected dup pair is 1.0 through the verify stage") {
-    val sh = docsWithDup.select(col("doc_id"), Dedup.shingles.as("sh"))
+    val sh = Dedup.withShingles(docsWithDup).select("doc_id", "sh")
     val j = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
