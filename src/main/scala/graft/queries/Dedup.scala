@@ -166,6 +166,39 @@ object Dedup {
         coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     },
 
+    // Embedding-cosine near-dup: label-blocked pairs above a high cosine
+    // threshold — the semantic-dedup flavor (same blocking discipline as
+    // the other families; the cosine kernel is the deterministic
+    // VectorOps one, so this is oracle-checkable).
+    Decl("dedup_embedding",
+      s"""WITH probe AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+         |cand AS (SELECT p.vec_id AS v1, e.vec_id AS v2, p.label,
+         |           unnest(p.embedding) AS x, unnest(e.embedding) AS y
+         |         FROM probe p JOIN embeddings e
+         |           ON p.label = e.label AND p.vec_id < e.vec_id),
+         |sims AS (SELECT v1, v2, label,
+         |           ${graft.functions.VectorOps.sqlDot("x", "y")} AS dot,
+         |           ${graft.functions.VectorOps.sqlDot("x", "x")} AS nx,
+         |           ${graft.functions.VectorOps.sqlDot("y", "y")} AS ny
+         |         FROM cand GROUP BY ALL)
+         |SELECT label, COUNT(*) AS n_pairs,
+         |  SUM(CASE WHEN dot / (sqrt(nx) * sqrt(ny)) >= 0.5 THEN 1 ELSE 0 END)
+         |    AS n_near_dups
+         |FROM sims GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.cosine
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("v1"), col("label"), col("embedding").as("emb1"))
+      probe.join(e.select(col("vec_id").as("v2"), col("label").as("l2"),
+          col("embedding").as("emb2")),
+        col("label") === col("l2") && col("v1") < col("v2"))
+        .select(col("label"), cosine(col("emb1"), col("emb2")).as("sim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sim") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"))
+        .orderBy("label")
+    },
+
     // n-gram Jaccard dedup: char-trigram set similarity on blocked probe
     // pairs (same language, bounded id distance — the blocking keeps the
     // candidate count linear; exact trigram sets are engine-neutral so

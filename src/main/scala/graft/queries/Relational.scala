@@ -267,6 +267,44 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // B3-scale: skew-proof distinct count — two-phase: distinct on
+    // (group, key) first (shuffle keyed by BOTH columns, so a heavy
+    // group spreads over all partitions), then count per group. The
+    // scalable alternative to Expand-based COUNT(DISTINCT) when one
+    // group dominates; result is identical, so the oracle is the plain
+    // COUNT(DISTINCT).
+    Decl("agg_salted_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_orderkey")
+        .distinct() // phase 1: dedup on the full pair — no skewed key
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_orders")) // phase 2: tiny aggregation
+        .orderBy("l_returnflag")
+    },
+
+    // B: typed Dataset flavor — case-class Encoders + groupByKey, the
+    // compile-time-checked path the reference's pandas dtypes map onto.
+    Decl("typed_dataset",
+      s"""SELECT l_returnflag,
+         |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem WHERE l_quantity < 30
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .as[(String, Double)]
+      ds.filter(_._2 < 30)
+        .groupByKey(_._1)
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty").as[Double],
+          count(lit(1)).as("n").as[Long])
+        .toDF("l_returnflag", "sum_qty", "n")
+        .orderBy("l_returnflag")
+    },
+
     // B30: CASE WHEN / coalesce / nullif null handling.
     Decl("conditional",
       """SELECT o_orderkey,

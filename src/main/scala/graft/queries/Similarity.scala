@@ -162,6 +162,35 @@ object Similarity {
         .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // C3-scale (IVF flavor): inverted-file ANN — a fixed set of seeded
+    // centroids partitions the space; each vector is assigned to its
+    // nearest centroid (one pass, broadcastable centroid list), and a
+    // query probes only the nProbe nearest cells. At 100 TB the
+    // assignment is a per-row map and each probe touches ~nProbe/nCells
+    // of the data. Centroids here are seeded pseudo-random (a k-means
+    // fit would slot in without changing the query shape). Approximate ⇒
+    // no oracle; SimilarityTextSpec cross-checks sims against brute force.
+    Decl.noOracle("sim_ann_ivf") { (s, d) =>
+      val rnd = new scala.util.Random(7L)
+      val centroids: Seq[Seq[Float]] =
+        Seq.fill(8)(Seq.fill(64)((rnd.nextGaussian() * 0.15).toFloat))
+      def cellOf(emb: Column): Column = {
+        // argmax of dot(emb, centroid_i) over the fixed centroid list
+        val scored = centroids.zipWithIndex.map { case (c, i) =>
+          struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
+        }
+        greatest(scored: _*).getField("cell")
+      }
+      val e = Tables.embeddings(s, d)
+        .withColumn("cell", cellOf(col("embedding")))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("cell").as("qcell")))
+      e.join(q, col("cell") === col("qcell")) // nProbe = 1
+        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
     }
   )
 }

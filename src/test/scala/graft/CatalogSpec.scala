@@ -76,6 +76,35 @@ class CatalogSpec extends AnyFunSuite {
       assert(pruned.count() == expected)
       val plan = pruned.queryExecution.executedPlan.toString
       assert(plan.contains("1996"), plan)
+      // Bucketed co-located join: both sides bucketed by the join key →
+      // SortMergeJoin with NO Exchange on either side. At 100 TB this is
+      // the difference between a metadata-only join and shuffling both
+      // fact tables.
+      spark.sql("DROP TABLE IF EXISTS graft_db.orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_db.cust_bkt")
+      Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable("graft_db.orders_bkt")
+      Tables.customer(spark, sf)
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable("graft_db.cust_bkt")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = spark.table("graft_db.orders_bkt")
+          .join(spark.table("graft_db.cust_bkt"),
+            col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        assert(joined.count() ==
+          Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+            col("o_custkey") === col("c_custkey")).count())
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

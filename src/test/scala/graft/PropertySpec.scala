@@ -1,0 +1,95 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven properties (SURVEY.md §5.2 item 3) —
+  * algebraic laws the operators must satisfy for arbitrary inputs, not
+  * just the fixtures. (The scalatest-scalacheck bridge artifact isn't in
+  * the offline cache, so generators are sampled with fixed seeds —
+  * deterministic and replayable.) */
+class PropertySpec extends AnyFunSuite with SparkSuite {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(0xC0FFEE + i.toLong)))
+
+  test("topk(k) == sort.limit(k) for arbitrary k") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").cache()
+    val sortedAll = orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(_.toSeq).toSeq
+    samples(Gen.choose(1, 300), 12).foreach { k =>
+      val topk = orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(k).collect().map(_.toSeq).toSeq
+      assert(topk == sortedAll.take(k), s"k=$k")
+    }
+    orders.unpersist()
+  }
+
+  test("dedup is idempotent and bounded for arbitrary column subsets") {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+    val li = Tables.lineitem(spark, sf).select(cols.map(col): _*).cache()
+    val total = li.count()
+    val subsets = samples(Gen.someOf(cols).suchThat(_.nonEmpty), 6)
+      .map(_.toSeq).distinct
+    subsets.foreach { subset =>
+      val once = li.dropDuplicates(subset)
+      val n1 = once.count()
+      assert(once.dropDuplicates(subset).count() == n1, s"subset=$subset")
+      assert(n1 <= total)
+    }
+    li.unpersist()
+  }
+
+  test("minhash signature similarity tracks true jaccard (±0.25 at 64 hashes)") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val docGen = for {
+      n <- Gen.choose(8, 20)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val pairs = samples(Gen.zip(docGen, docGen), 8)
+    pairs.foreach { case (t1, t2) =>
+      val df = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val sh = Dedup.withShingles(df).select("doc_id", "sh")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val uni = sh(1L).union(sh(2L))
+      val trueJ =
+        if (uni.isEmpty) 1.0
+        else sh(1L).intersect(sh(2L)).size.toDouble / uni.size
+      val sigs = Dedup.signatures(df).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 64.0
+      assert(math.abs(est - trueJ) <= 0.25,
+        s"est=$est true=$trueJ t1='$t1' t2='$t2'")
+    }
+  }
+
+  test("decimal sum is invariant under union order (associativity)") {
+    val li = Tables.lineitem(spark, sf).select("l_extendedprice")
+    val a = li.limit(1000).cache()
+    val b = li.limit(3000).exceptAll(a).cache()
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Det.dsum(col("l_extendedprice"))).collect()(0).getDouble(0)
+    assert(s(a.union(b)) == s(b.union(a)))
+  }
+
+  test("minhash estimate is exactly 1.0 for identical docs (any doc)") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(10,
+      Gen.oneOf("spark", "scan", "merge", "sort", "hash")).map(_.mkString(" "))
+    samples(docGen, 5).foreach { t =>
+      val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      val sigs = Dedup.signatures(df).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(sigs(1L) == sigs(2L), s"t='$t'")
+    }
+  }
+}
