@@ -11,8 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // a failed query must read as -1, not as a (misleadingly fast)
-    // elapsed time — exceptions can fire in milliseconds
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // elapsed time — exceptions can fire in milliseconds.
+    // sorted order: map iteration order is hash-random, which would move
+    // the ~5s first-query session warm-up to a different query each run.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -24,7 +26,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
