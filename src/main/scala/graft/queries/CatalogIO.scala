@@ -91,6 +91,39 @@ object CatalogIO {
         .orderBy("lang")
     },
 
+    // A5b: ORC scan — the other columnar SerDe the reference dispatches
+    // on (OrcSerde → columnar read); same materialize-and-re-read
+    // pattern, vectorized ORC reader on the way back.
+    Decl("scan_orc",
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "orders_orc")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // SQL entry point: the same engine through spark.sql over registered
+    // views — proves the ANTLR parser → analyzer → catalog path works
+    // against our table layer (§3.3 lifecycle, `spark.sql(...)` column).
+    Decl("sql_api",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Catalog.registerAll(s, d)
+      s.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+           |  ${sqlSum("o_totalprice")} AS revenue
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // A7+A9: partition enumeration + key injection — orders written
     // partitioned by year; the partition column comes back from directory
     // metadata, not file contents.

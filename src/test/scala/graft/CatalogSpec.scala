@@ -26,6 +26,7 @@ class CatalogSpec extends AnyFunSuite {
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      .config("spark.sql.cbo.enabled", "true") // surface ANALYZE stats
       .enableHiveSupport()
       .getOrCreate()
     try {
@@ -76,6 +77,17 @@ class CatalogSpec extends AnyFunSuite {
       assert(pruned.count() == expected)
       val plan = pruned.queryExecution.executedPlan.toString
       assert(plan.contains("1996"), plan)
+      // CBO: table + column statistics through the metastore — the
+      // optimizer input for join reordering (ANALYZE ≡ the reference's
+      // metastore-side table metadata, upgraded with real stats).
+      spark.sql("ANALYZE TABLE graft_db.orders_part COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE graft_db.orders_part COMPUTE STATISTICS " +
+        "FOR COLUMNS o_custkey, o_totalprice")
+      val stats = spark.table("graft_db.orders_part")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong > 0),
+        s"expected row count from ANALYZE, got $stats")
+
       // Bucketed co-located join: both sides bucketed by the join key →
       // SortMergeJoin with NO Exchange on either side. At 100 TB this is
       // the difference between a metadata-only join and shuffling both

@@ -77,6 +77,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("AQE + skew-join handling are armed (the 100 TB skew path)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+  }
+
   test("whole-stage codegen covers the proj_filter pipeline") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     assert(spark.conf.get("spark.sql.codegen.wholeStage") == "true")
