@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-inventory plan audit — the automated version of "explain every
+  * operator and make sure it's the plan you'd want at 100 TB":
+  *
+  *  - no CartesianProduct anywhere (an unconstrained cartesian is always
+  *    a bug at scale; even cross_join must ride a broadcast);
+  *  - BroadcastNestedLoopJoin only where a deliberately tiny side exists
+  *    (cross_join, the broadcast query-vector similarity queries);
+  *  - shuffle (Exchange) count bounded per query — a regression that
+  *    sneaks an extra exchange into a hot query shows up here, not in
+  *    production.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSuite {
+
+  // queries whose semantics legitimately need a nested-loop over a
+  // broadcast side (single-row query vector / tiny cross)
+  private val bnljAllowed = Set(
+    "cross_join", "sim_topk_cosine", "sim_ann_lsh", "sim_ann_ivf",
+    "multimodal_join", "knn_classify", "watermark_late", "streaming_dedup",
+    "text_tfidf")
+
+  private val maxShuffles = 6
+
+  SparkEntry.allDecls.foreach { decl =>
+    test(s"${decl.name}: plan is scale-sane") {
+      val plan = decl.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${decl.name} plans a cartesian product:\n${plan.take(1200)}")
+      if (!bnljAllowed(decl.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${decl.name} plans a nested-loop join:\n${plan.take(1200)}")
+      // count shuffles only — BroadcastExchange is the cheap kind we
+      // *want* (it's how dimensions avoid shuffling the fact side)
+      val shuffles = "Exchange (hash|range|Single)".r.findAllIn(plan).size
+      assert(shuffles <= maxShuffles,
+        s"${decl.name} plans $shuffles shuffle exchanges (> $maxShuffles)")
+    }
+  }
+}
