@@ -50,6 +50,14 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Cosine from a fresh dot product and *precomputed* squared norms.
+    * Bit-identical to [[cosine]] (the norm fold yields the same double
+    * whether run once per row or once per pair), but in a join each side's
+    * norm is computed once per row instead of once per candidate pair —
+    * at k probes per vector that is ~3× less decimal arithmetic. */
+  def cosineWithNorms(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dot(a, b) / (sqrt(n2a) * sqrt(n2b))
+
   /** SQL twin of [[dot]] for DuckDB oracles: aggregate over rows of
     * zipped unnested elements `x`,`y`. */
   def sqlDot(x: String, y: String): String =

@@ -185,14 +185,18 @@ object Dedup {
          |  SUM(CASE WHEN dot / (sqrt(nx) * sqrt(ny)) >= 0.5 THEN 1 ELSE 0 END)
          |    AS n_near_dups
          |FROM sims GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
-      import graft.functions.VectorOps.cosine
+      import graft.functions.VectorOps.{cosineWithNorms, norm2}
       val e = Tables.embeddings(s, d)
+        .withColumn("n2", norm2(col("embedding")))
       val probe = e.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("v1"), col("label"), col("embedding").as("emb1"))
+        .select(col("vec_id").as("v1"), col("label"),
+          col("embedding").as("emb1"), col("n2").as("n2a"))
       probe.join(e.select(col("vec_id").as("v2"), col("label").as("l2"),
-          col("embedding").as("emb2")),
+          col("embedding").as("emb2"), col("n2").as("n2b")),
         col("label") === col("l2") && col("v1") < col("v2"))
-        .select(col("label"), cosine(col("emb1"), col("emb2")).as("sim"))
+        .select(col("label"),
+          cosineWithNorms(col("emb1"), col("emb2"), col("n2a"), col("n2b"))
+            .as("sim"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("sim") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"))

@@ -23,13 +23,19 @@ object Similarity {
 
   import VectorOps._
 
-  /** Single-row frame holding the query vector (vec_id = [[qid]]),
-    * broadcast to every executor. */
+  /** Single-row frame holding the query vector (vec_id = [[qid]]) and
+    * its squared norm, broadcast to every executor. */
   private def queryVec(s: SparkSession, d: String, qid: Long): DataFrame =
     broadcast(Tables.embeddings(s, d).filter(col("vec_id") === qid)
-      .select(col("embedding").as("qv")))
+      .select(col("embedding").as("qv"), norm2(col("embedding")).as("qn2")))
 
-  private val simCol: Column = cosine(col("embedding"), col("qv"))
+  /** Embeddings with per-row precomputed squared norm (computed once per
+    * vector, not once per candidate pair). */
+  private def withN2(df: DataFrame): DataFrame =
+    df.withColumn("n2", norm2(col("embedding")))
+
+  private val simCol: Column =
+    cosineWithNorms(col("embedding"), col("qv"), col("n2"), col("qn2"))
 
   /** Shared oracle CTE: cosine of every embedding against vec 0. */
   private def simsCte(extraCols: String = ""): String =
@@ -50,7 +56,7 @@ object Similarity {
       s"""${simsCte()}
          |SELECT vec_id, sim FROM cos
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-      Tables.embeddings(s, d)
+      withN2(Tables.embeddings(s, d))
         .crossJoin(queryVec(s, d, 0))
         .select(col("vec_id"), simCol.as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -71,15 +77,17 @@ object Similarity {
          |SELECT v1, v2, label, dot / (sqrt(nx) * sqrt(ny)) AS sim
          |FROM sims WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.2
          |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = withN2(Tables.embeddings(s, d))
       val probe = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("v1"), col("label"),
-          col("embedding").as("emb1"))
+          col("embedding").as("emb1"), col("n2").as("n2a"))
       val cand = probe.join(e.select(col("vec_id").as("v2"),
-          col("label").as("l2"), col("embedding").as("emb2")),
+          col("label").as("l2"), col("embedding").as("emb2"),
+          col("n2").as("n2b")),
         col("label") === col("l2") && col("v1") < col("v2"))
       cand.select(col("v1"), col("v2"), col("label"),
-          cosine(col("emb1"), col("emb2")).as("sim"))
+          cosineWithNorms(col("emb1"), col("emb2"), col("n2a"), col("n2b"))
+            .as("sim"))
         .filter(col("sim") >= 0.2)
         .orderBy("v1", "v2")
     },
@@ -105,15 +113,15 @@ object Similarity {
          |  SELECT qid, label, n_votes, row_number() OVER (
          |    PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
          |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = withN2(Tables.embeddings(s, d))
       val probe = broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2")))
       val cand = e.filter(col("vec_id") >= 5).crossJoin(probe)
       val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
       val wVote = Window.partitionBy("qid")
         .orderBy(col("n_votes").desc, col("label"))
-      cand.select(col("qid"), col("vec_id"), col("label"),
-          cosine(col("embedding"), col("qv")).as("sim"))
+      cand.select(col("qid"), col("vec_id"), col("label"), simCol.as("sim"))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 10)
         .groupBy("qid", "label")
@@ -133,7 +141,7 @@ object Similarity {
          |WHERE d.lang = 'en'
          |ORDER BY c.sim DESC, d.doc_id LIMIT 20""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("lang") === "en")
-      Tables.embeddings(s, d)
+      withN2(Tables.embeddings(s, d))
         .crossJoin(queryVec(s, d, 0))
         .select(col("vec_id"), simCol.as("sim"))
         .join(docs, col("doc_id") === col("vec_id"))
@@ -154,12 +162,13 @@ object Similarity {
         planes.zipWithIndex.map { case (p, i) =>
           when(dot(emb, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _)
-      val e = Tables.embeddings(s, d)
+      val e = withN2(Tables.embeddings(s, d))
         .withColumn("bucket", sigOf(col("embedding")))
       val q = broadcast(e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("bucket").as("qbucket")))
+        .select(col("embedding").as("qv"), col("n2").as("qn2"),
+          col("bucket").as("qbucket")))
       e.join(q, col("bucket") === col("qbucket"))
-        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("sim"))
+        .select(col("vec_id"), simCol.as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
@@ -183,12 +192,13 @@ object Similarity {
         }
         greatest(scored: _*).getField("cell")
       }
-      val e = Tables.embeddings(s, d)
+      val e = withN2(Tables.embeddings(s, d))
         .withColumn("cell", cellOf(col("embedding")))
       val q = broadcast(e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("cell").as("qcell")))
+        .select(col("embedding").as("qv"), col("n2").as("qn2"),
+          col("cell").as("qcell")))
       e.join(q, col("cell") === col("qcell")) // nProbe = 1
-        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("sim"))
+        .select(col("vec_id"), simCol.as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }
