@@ -72,6 +72,36 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Resize/normalize stage: clamp decoded dimensions to a target box
+    // preserving aspect ratio — the feature-normalization step between
+    // decode and model input. Arithmetic-only on the decoded metadata
+    // (the pixel work would live in the same mapPartitions as the
+    // decoder), so it is oracle-checkable end-to-end.
+    Decl("multimodal_resize",
+      """SELECT doc_id, width, height,
+        |  CAST(floor(width * scale) AS INTEGER) AS out_w,
+        |  CAST(floor(height * scale) AS INTEGER) AS out_h
+        |FROM (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) % 640 AS width,
+        |    octet_length(encode(text)) % 480 AS height,
+        |    least(224.0 / greatest(octet_length(encode(text)) % 640, 1),
+        |          224.0 / greatest(octet_length(encode(text)) % 480, 1),
+        |          1.0) AS scale
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[MediaFeatures]
+      mediaOf(Tables.documents(s, d))
+        .mapPartitions(_.map(decodeStub))
+        .withColumn("scale",
+          least(lit(224.0) / greatest(col("width"), lit(1)),
+            lit(224.0) / greatest(col("height"), lit(1)), lit(1.0)))
+        .select(col("doc_id"), col("width"), col("height"),
+          floor(col("width") * col("scale")).cast("int").as("out_w"),
+          floor(col("height") * col("scale")).cast("int").as("out_h"))
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: one row per (asset, frame index) with a synthetic
     // 30fps timestamp — the explode pattern a video pipeline uses.
     Decl("multimodal_frames",
