@@ -305,6 +305,38 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // B: fillna/dropna surface (dask `df.fillna` / `df.dropna`) — nulls
+    // are minted with nullif, then repaired (na.fill) and filtered
+    // (na.drop); counts prove both paths.
+    Decl("null_handling",
+      """WITH n AS (
+        |  SELECT nullif(o_orderstatus, 'F') AS st,
+        |    CASE WHEN o_totalprice > 200000 THEN NULL
+        |         ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT COUNT(*) AS n_total,
+        |  COUNT(st) AS st_nonnull,
+        |  SUM(CASE WHEN coalesce(st, 'FILLED') = 'FILLED' THEN 1 ELSE 0 END)
+        |    AS st_filled,
+        |  COUNT(price) AS n_after_drop,
+        |  CAST(SUM(CAST(coalesce(price, 0.0) AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_filled_price
+        |FROM n""".stripMargin) { (s, d) =>
+      val withNulls = Tables.orders(s, d).select(
+        nullif(col("o_orderstatus"), lit("F")).as("st"),
+        when(col("o_totalprice") > 200000, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"))
+      val filled = withNulls.na.fill("FILLED", Seq("st")).na.fill(0.0, Seq("price"))
+      val dropped = withNulls.na.drop(Seq("price"))
+      withNulls.agg(count(lit(1)).as("n_total"), count(col("st")).as("st_nonnull"))
+        .crossJoin(filled.agg(
+          sum(when(col("st") === "FILLED", 1L).otherwise(0L)).as("st_filled"),
+          dsum(col("price")).as("sum_filled_price")))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_after_drop")))
+        .select("n_total", "st_nonnull", "st_filled", "n_after_drop",
+          "sum_filled_price")
+    },
+
     // B30: CASE WHEN / coalesce / nullif null handling.
     Decl("conditional",
       """SELECT o_orderkey,

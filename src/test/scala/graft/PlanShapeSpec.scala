@@ -77,6 +77,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("custom WrapAffine expression registers as a SQL function") {
+    import graft.functions.WrapAffine
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wrap_affine", exprs => WrapAffine(exprs.head, 3L, 7L), "scala_udf")
+    val r = spark.sql("SELECT wrap_affine(9L) AS v").collect()(0).getLong(0)
+    assert(r == 3L * 9L + 7L)
+    // wrap-around (the whole point): Long.MaxValue * 3 + 7 must not throw
+    val big = spark.sql(s"SELECT wrap_affine(${Long.MaxValue}L) AS v")
+      .collect()(0).getLong(0)
+    assert(big == Long.MaxValue * 3L + 7L)
+  }
+
   test("AQE + skew-join handling are armed (the 100 TB skew path)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
