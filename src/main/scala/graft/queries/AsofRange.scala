@@ -71,6 +71,45 @@ object AsofRange {
         .orderBy("event_id")
     },
 
+    // B11-forward: pandas merge_asof(direction='forward') — each click
+    // matched to the user's *earliest error at-or-after* it. Same
+    // union-tag machinery run in reverse ts order; the oracle reverses
+    // DuckDB's backward-only ASOF by negating epoch-µs keys.
+    Decl("join_asof_forward",
+      """WITH clk AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |             FROM events WHERE event_type = 'click'),
+        |err AS (SELECT * FROM (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |                       ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'error') WHERE rn = 1)
+        |SELECT c.event_id, c.user_id,
+        |  coalesce(e.event_id, -1) AS next_error
+        |FROM clk c
+        |ASOF LEFT JOIN err e
+        |  ON c.user_id = e.user_id AND -c.us >= -e.us
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val wDedup = Window.partitionBy("user_id", "us").orderBy("event_id")
+      val errs = ev.filter(col("event_type") === "error")
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+        .select(col("user_id").as("k"), col("us"), lit(0).as("tag"),
+          col("event_id").as("err_id"),
+          lit(null).cast("long").as("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("us"), lit(1).as("tag"),
+          lit(null).cast("long").as("err_id"), col("event_id"))
+      // reverse time order: "next at-or-after" = "last at-or-before" on -us
+      val w = Window.partitionBy("k").orderBy(col("us").desc, col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      errs.unionByName(clicks)
+        .withColumn("next_error", last(col("err_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          coalesce(col("next_error"), lit(-1L)).as("next_error"))
+        .orderBy("event_id")
+    },
+
     // B12: for each error event, clicks by the same user in the
     // preceding 10 minutes (events self range join, bucketed).
     Decl("join_range",

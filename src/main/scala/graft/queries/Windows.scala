@@ -63,6 +63,26 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // B15b: value-based (RANGE) frame — trailing 90-day spend per
+    // customer, bounds on the day number rather than row offsets.
+    Decl("window_range",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY date_diff('day',
+        |      DATE '1990-01-01', o_orderdate)
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS spend_90d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val dayNum = datediff(col("o_orderdate"), lit("1990-01-01"))
+      val w = Window.partitionBy("o_custkey").orderBy(dayNum)
+        .rangeBetween(-90, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+            .cast(DoubleType).as("spend_90d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // B16: lag/lead + cumulative (exact decimal) sum per key.
     Decl("window_analytic",
       """SELECT o_custkey, o_orderkey,

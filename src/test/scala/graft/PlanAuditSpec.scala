@@ -20,7 +20,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   private val bnljAllowed = Set(
     "cross_join", "sim_topk_cosine", "sim_ann_lsh", "sim_ann_ivf",
     "multimodal_join", "knn_classify", "watermark_late", "streaming_dedup",
-    "text_tfidf")
+    "text_tfidf", "null_handling")
 
   private val maxShuffles = 6
 
