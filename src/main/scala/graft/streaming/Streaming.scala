@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** Streaming surface (SURVEY.md §2 rows B39-B41). The reference (dask)
   * is batch-only — this tier is the engine's capability uplift, designed
@@ -36,6 +37,39 @@ object Streaming {
 
   final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** B41 (new API): the same running aggregate as a Spark 4
+    * `StatefulProcessor` for `transformWithState` — typed ValueState,
+    * richer lifecycle (init/timers/close) than flatMapGroupsWithState.
+    * Requires the RocksDB state store provider (StreamingSpec arms it). */
+  class RunningUserProcessor
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev =
+        if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      val next = rows.toSeq.sortBy(e => (e.ts_us, e.value))
+        .foldLeft(prev)((acc, e) =>
+          UserRunning(key, acc.n_events + 1, acc.sum_value + e.value))
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** transformWithState flavor of [[runningUserAgg]]. */
+  def runningUserAggTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** B41: per-user running aggregate with explicit custom state —
     * `flatMapGroupsWithState`, the custom-state primitive. Emits the

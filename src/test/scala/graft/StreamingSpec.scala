@@ -105,6 +105,30 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (StatefulProcessor) matches flatMapGroupsWithState (B41)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val q = Streaming.runningUserAggTws(input.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("append").start()
+      try {
+        input.addData(UserEvent(1, 1000, 2.0), UserEvent(1, 2000, 3.0))
+        q.processAllAvailable()
+        input.addData(UserEvent(1, 3000, 5.0), UserEvent(2, 1000, 7.0))
+        q.processAllAvailable()
+        val last = spark.table("tws").as[UserRunning].collect()
+          .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+        assert(last(1L).n_events == 3 && math.abs(last(1L).sum_value - 10.0) < 1e-9)
+        assert(last(2L).n_events == 1 && math.abs(last(2L).sum_value - 7.0) < 1e-9)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("batch twin equals streaming final state (B41 oracle linkage)") {
     import spark.implicits._
     // the declared stateful_running_agg query at sf0.001 vs a direct agg
