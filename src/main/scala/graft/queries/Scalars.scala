@@ -145,6 +145,28 @@ object Scalars {
         .orderBy("vec_id")
     },
 
+    // B28b: array manipulation — sort, join-to-string, position, contains,
+    // reverse — over the token arrays (the pandas object-column idioms).
+    Decl("scalar_array_ops",
+      """SELECT doc_id,
+        |  list_sort(string_split(text, ' '))[1] AS first_tok,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3],
+        |    ',') AS top3,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  list_reverse(string_split(text, ' '))[1] AS last_tok
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          element_at(array_sort(tks), 1).as("first_tok"),
+          array_join(slice(array_sort(array_distinct(tks)), 1, 3), ",")
+            .as("top3"),
+          array_contains(tks, "the").as("has_the"),
+          element_at(reverse(tks), 1).as("last_tok"))
+        .orderBy("doc_id")
+    },
+
     // B31: describe/summary statistics (exact; approx variant below).
     Decl("sample_stats",
       s"""SELECT COUNT(*) AS n, ${sqlAvg("l_quantity")} AS mean_qty,

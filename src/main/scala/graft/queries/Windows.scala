@@ -127,6 +127,25 @@ object Windows {
         .orderBy("gid", "returnflag", "linestatus")
     },
 
+    // B21b: explicit GROUPING SETS — the third grouping-extension form
+    // (rollup/cube cover the hierarchical/full cases), via the SQL path.
+    Decl("grouping_sets",
+      s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         |  coalesce(l_linestatus, '(all)') AS linestatus,
+         |  COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      graft.Catalog.registerAll(s, d)
+      s.sql(
+        s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           |  coalesce(l_linestatus, '(all)') AS linestatus,
+           |  COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS sum_price
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           |ORDER BY returnflag, linestatus""".stripMargin)
+    },
+
     // B22: pivot — day × event_type count matrix. Spark `pivot` plans a
     // single pass (PivotFirst); the oracle is the conditional-agg idiom.
     Decl("pivot",
