@@ -88,6 +88,16 @@ class CatalogSpec extends AnyFunSuite {
       assert(stats.rowCount.exists(_.toLong > 0),
         s"expected row count from ANALYZE, got $stats")
 
+      // The table_to_dask-analogue facade: catalog resolution + pushed
+      // partition filter through the public entry point.
+      val viaFacade = HiveTables.table(spark, "graft_db", "orders_part",
+        Seq(col("o_year") === 1996))
+      assert(viaFacade.count() ==
+        Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1996).count())
+      assert(HiveTables.tables(spark, "graft_db").contains("orders_part"))
+      val facadePlan = viaFacade.queryExecution.executedPlan.toString
+      assert(facadePlan.contains("1996"), facadePlan)
+
       // Bucketed co-located join: both sides bucketed by the join key →
       // SortMergeJoin with NO Exchange on either side. At 100 TB this is
       // the difference between a metadata-only join and shuffling both
