@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Run-to-run determinism for the queries where nondeterminism can hide
+  * (seeded sampling, window tiebreaks, as-of matching, hash families,
+  * top-k ties). The DuckDB oracle gate would only catch these flakily —
+  * a nondeterministic query can agree with the oracle on one run and
+  * diverge on the next. */
+class DeterminismSpec extends AnyFunSuite with SparkSuite {
+
+  private val risky = Seq(
+    "sample",             // seeded RNG
+    "window_rank",        // tiebreak completeness
+    "window_frame",       // frame-content stability
+    "join_asof",          // per-(key,ts) dedup + tag ordering
+    "join_asof_forward",
+    "topk",               // boundary ties
+    "dedup_near",         // hash family + join order
+    "text_fingerprint",   // hash + sliding min
+    "sim_ann_lsh",        // bucket assignment
+    "knn_classify")       // vote ties
+
+  risky.foreach { name =>
+    test(s"$name: two executions yield identical results") {
+      val q = SparkEntry.queries(name)
+      val a = q(spark, sf).collect().map(_.toSeq).toSeq
+      val b = q(spark, sf).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name differs between runs")
+    }
+  }
+
+  test("join_asof is invariant under input repartitioning") {
+    // same plan over a repartitioned source must match (shuffle-order
+    // independence of the window trick)
+    val base = SparkEntry.queries("join_asof")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val again = SparkEntry.queries("join_asof")(spark, sf)
+      .repartition(13).sort("event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(base == again)
+  }
+}
