@@ -337,6 +337,41 @@ object Relational {
           "sum_filled_price")
     },
 
+    // B7b: correlated scalar subquery — exercises Catalyst's
+    // RewriteCorrelatedScalarSubquery decorrelation (the subquery becomes
+    // an aggregate + join, no per-row re-execution). SQL path on both
+    // engines; decimal avg keeps the threshold bit-identical.
+    Decl("subquery_scalar",
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         |WHERE o_totalprice > 1.5 * (
+         |  SELECT ${sqlAvg("i.o_totalprice")} FROM orders i
+         |  WHERE i.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      graft.Catalog.registerAll(s, d)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+           |WHERE o_totalprice > 1.5 * (
+           |  SELECT ${sqlAvg("i.o_totalprice")} FROM orders i
+           |  WHERE i.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // B30b: null-safe equality (<=> / IS NOT DISTINCT FROM).
+    Decl("null_safe_eq",
+      """SELECT
+        |  SUM(CASE WHEN nullif(o_orderstatus, 'F')
+        |           IS NOT DISTINCT FROM nullif(o_orderpriority, o_orderpriority)
+        |           THEN 1 ELSE 0 END) AS both_null,
+        |  SUM(CASE WHEN nullif(o_orderstatus, 'F')
+        |           IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS eq_o
+        |FROM orders""".stripMargin) { (s, d) =>
+      val st = nullif(col("o_orderstatus"), lit("F"))
+      val alwaysNull = nullif(col("o_orderpriority"), col("o_orderpriority"))
+      Tables.orders(s, d).agg(
+        sum(when(st <=> alwaysNull, 1L).otherwise(0L)).as("both_null"),
+        sum(when(st <=> "O", 1L).otherwise(0L)).as("eq_o"))
+    },
+
     // B30: CASE WHEN / coalesce / nullif null handling.
     Decl("conditional",
       """SELECT o_orderkey,
