@@ -27,8 +27,15 @@ object HiveTables {
     * (partition-key predicates prune at the metastore/file-index level;
     * other predicates push down to the scan). */
   def table(spark: SparkSession, database: String, name: String,
-      filters: Seq[Column] = Nil): DataFrame =
-    filters.foldLeft(spark.table(s"$database.$name"))((df, f) => df.filter(f))
+      filters: Seq[Column] = Nil): DataFrame = {
+    // backtick-quote both identifiers: the reference passes raw strings
+    // to the metastore client, so a dotted or spaced name must not be
+    // re-parsed as a multi-part reference here (dask_hivemetastore
+    // core.py table_to_dask)
+    def q(id: String) = "`" + id.replace("`", "``") + "`"
+    filters.foldLeft(spark.table(s"${q(database)}.${q(name)}"))(
+      (df, f) => df.filter(f))
+  }
 
   /** List a database's tables (the reference's `get_all_tables`). */
   def tables(spark: SparkSession, database: String): Seq[String] =

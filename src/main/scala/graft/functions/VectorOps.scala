@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   *
   * Determinism contract (same scheme as graft.Det): float elements are
   * cast to double *before* multiplying (float bits → identical doubles in
-  * any engine), each product is cast to DECIMAL(30,12), and the decimal
-  * sum is exact, so dot products and norms are bit-identical to the
-  * DuckDB oracle's unnest-and-SUM formulation regardless of summation
-  * order. The 1e-12 quantum sits far above a double product's ~1e-20 ulp
-  * (unit-magnitude data), so the per-term cast is unambiguous.
+  * any engine), each product is cast to DECIMAL(26,12) — the SAME type on
+  * the Spark side and in the DuckDB [[sqlDot]] twin, so an overflowing
+  * term (|product| >= 1e14) errors symmetrically on both engines instead
+  * of only one — and the decimal sum is exact, so dot products and norms
+  * are bit-identical to the oracle's unnest-and-SUM formulation
+  * regardless of summation order. The 1e-12 quantum sits far above a
+  * double product's ~1e-20 ulp (unit-magnitude data), so the per-term
+  * cast is unambiguous.
   *
   * Scale: these are per-row expressions — a brute-force top-k over them
   * is a single scan + TakeOrderedAndProject. The ANN path (LSH bucketing,
@@ -23,12 +26,12 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   // Accumulator precision must stay low enough that decimal addition
-  // never exceeds Spark's max precision 38: (25,12)+(20,12) promotes to
-  // (26,12) — exact. An (38,12) accumulator would promote to (39,12),
+  // never exceeds Spark's max precision 38: (25,12)+(26,12) promotes to
+  // (27,12) — exact. A (38,12) accumulator would promote to (39,12),
   // overflow, and silently round to scale 11 under allowPrecisionLoss,
   // which is exactly the 1e-11 cross-engine drift this type exists to
   // prevent.
-  private val Term = DecimalType(20, 12)
+  private val Term = DecimalType(26, 12)
   private val Acc = DecimalType(25, 12)
 
   private def dsumArr(terms: Column): Column =
@@ -59,7 +62,7 @@ object VectorOps {
     dot(a, b) / (sqrt(n2a) * sqrt(n2b))
 
   /** SQL twin of [[dot]] for DuckDB oracles: aggregate over rows of
-    * zipped unnested elements `x`,`y`. */
+    * zipped unnested elements `x`,`y`. Per-term type matches [[Term]]. */
   def sqlDot(x: String, y: String): String =
-    s"CAST(SUM(CAST(CAST($x AS DOUBLE) * CAST($y AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)"
+    s"CAST(SUM(CAST(CAST($x AS DOUBLE) * CAST($y AS DOUBLE) AS DECIMAL(26,12))) AS DOUBLE)"
 }

@@ -29,6 +29,36 @@ import org.apache.spark.sql.functions._
   */
 object AsofRange {
 
+  /** The B11 backward as-of join over arbitrary event/order frames —
+    * factored out so DeterminismSpec can drive it with repartitioned
+    * sources (shuffle-order independence is the whole claim). */
+  def asofBackward(eventsDf: org.apache.spark.sql.DataFrame,
+      ordersDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wDedup = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val orders = ordersDf
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+        lit(0).as("tag"), col("o_orderkey"), col("o_totalprice"),
+        lit(null).cast("long").as("event_id"))
+    val events = eventsDf
+      .select(col("user_id").as("k"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), col("event_id"))
+    val w = Window.partitionBy("k").orderBy("ts", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("matched_order",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("matched_price",
+        last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        coalesce(col("matched_order"), lit(-1L)).as("matched_order"),
+        coalesce(col("matched_price"), lit(-1.0)).as("matched_price"))
+      .orderBy("event_id")
+  }
+
   def decls: Seq[Decl] = Seq(
 
     // B11: each event matched to the user's latest order at-or-before ts.
@@ -46,29 +76,7 @@ object AsofRange {
         |ASOF LEFT JOIN dorders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
-      val wDedup = Window.partitionBy("o_custkey", "o_orderdate")
-        .orderBy(col("o_orderkey").desc)
-      val orders = Tables.orders(s, d)
-        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
-        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
-          lit(0).as("tag"), col("o_orderkey"), col("o_totalprice"),
-          lit(null).cast("long").as("event_id"))
-      val events = Tables.events(s, d)
-        .select(col("user_id").as("k"), col("ts"), lit(1).as("tag"),
-          lit(null).cast("long").as("o_orderkey"),
-          lit(null).cast("double").as("o_totalprice"), col("event_id"))
-      val w = Window.partitionBy("k").orderBy("ts", "tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      orders.unionByName(events)
-        .withColumn("matched_order",
-          last(col("o_orderkey"), ignoreNulls = true).over(w))
-        .withColumn("matched_price",
-          last(col("o_totalprice"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
-        .select(col("event_id"), col("k").as("user_id"),
-          coalesce(col("matched_order"), lit(-1L)).as("matched_order"),
-          coalesce(col("matched_price"), lit(-1.0)).as("matched_price"))
-        .orderBy("event_id")
+      asofBackward(Tables.events(s, d), Tables.orders(s, d))
     },
 
     // B11-forward: pandas merge_asof(direction='forward') — each click

@@ -74,7 +74,7 @@ object CatalogIO {
 
     // A6: JSON-lines scan.
     Decl("scan_jsonl",
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "documents_json")
       Tables.documents(s, d)

@@ -182,8 +182,8 @@ object Dedup {
          |           ${graft.functions.VectorOps.sqlDot("y", "y")} AS ny
          |         FROM cand GROUP BY ALL)
          |SELECT label, COUNT(*) AS n_pairs,
-         |  SUM(CASE WHEN dot / (sqrt(nx) * sqrt(ny)) >= 0.5 THEN 1 ELSE 0 END)
-         |    AS n_near_dups
+         |  CAST(SUM(CASE WHEN dot / (sqrt(nx) * sqrt(ny)) >= 0.5
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
          |FROM sims GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
       import graft.functions.VectorOps.{cosineWithNorms, norm2}
       val e = Tables.embeddings(s, d)
@@ -209,7 +209,7 @@ object Dedup {
     // this one *is* oracled).
     Decl("dedup_ngram",
       """WITH probe AS (SELECT doc_id, lang, text FROM documents
-        |               WHERE doc_id % 500 = 0),
+        |               WHERE doc_id % 500 = 0 AND len(text) >= 3),
         |pairs AS (SELECT p.doc_id AS d1, e.doc_id AS d2,
         |    list_distinct(list_transform(range(1, len(p.text) - 1),
         |      i -> substr(p.text, i, 3))) AS g1,
@@ -217,14 +217,17 @@ object Dedup {
         |      i -> substr(e.text, i, 3))) AS g2
         |  FROM probe p JOIN documents e
         |    ON p.lang = e.lang AND e.doc_id > p.doc_id
-        |    AND e.doc_id - p.doc_id < 50)
+        |    AND e.doc_id - p.doc_id < 50 AND len(e.text) >= 3)
         |SELECT d1, d2,
         |  CAST(len(list_intersect(g1, g2)) AS DOUBLE) /
         |    (len(g1) + len(g2) - len(list_intersect(g1, g2))) AS jaccard
         |FROM pairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // len >= 3 on BOTH sides (and mirrored in the oracle): Spark's
+      // sequence(1, len - 2) turns DESCENDING for len < 3 and substr
+      // would index out of range, where DuckDB's range() is just empty.
       val grams = array_distinct(expr(
         "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
       val probe = docs.filter(col("doc_id") % 500 === 0)
         .select(col("doc_id").as("d1"), col("lang").as("l1"), grams.as("g1"))
       val cands = docs

@@ -316,8 +316,8 @@ object Relational {
         |  FROM orders)
         |SELECT COUNT(*) AS n_total,
         |  COUNT(st) AS st_nonnull,
-        |  SUM(CASE WHEN coalesce(st, 'FILLED') = 'FILLED' THEN 1 ELSE 0 END)
-        |    AS st_filled,
+        |  CAST(SUM(CASE WHEN coalesce(st, 'FILLED') = 'FILLED'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS st_filled,
         |  COUNT(price) AS n_after_drop,
         |  CAST(SUM(CAST(coalesce(price, 0.0) AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_filled_price
@@ -359,11 +359,11 @@ object Relational {
     // B30b: null-safe equality (<=> / IS NOT DISTINCT FROM).
     Decl("null_safe_eq",
       """SELECT
-        |  SUM(CASE WHEN nullif(o_orderstatus, 'F')
+        |  CAST(SUM(CASE WHEN nullif(o_orderstatus, 'F')
         |           IS NOT DISTINCT FROM nullif(o_orderpriority, o_orderpriority)
-        |           THEN 1 ELSE 0 END) AS both_null,
-        |  SUM(CASE WHEN nullif(o_orderstatus, 'F')
-        |           IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS eq_o
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS both_null,
+        |  CAST(SUM(CASE WHEN nullif(o_orderstatus, 'F')
+        |           IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS BIGINT) AS eq_o
         |FROM orders""".stripMargin) { (s, d) =>
       val st = nullif(col("o_orderstatus"), lit("F"))
       val alwaysNull = nullif(col("o_orderpriority"), col("o_orderpriority"))

@@ -98,7 +98,8 @@ object Scalars {
     // B27: JSON extraction from events.props, aggregated by type.
     Decl("scalar_json",
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+        |    AS sum_k,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
         |    / COUNT(*) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>

@@ -150,8 +150,9 @@ object Similarity {
         .limit(20)
     },
 
-    // C3-scale: ANN via random-hyperplane LSH — embeddings bucketed by an
-    // 8-bit signature (sign of dot with 8 fixed seeded hyperplanes);
+    // C3-scale: ANN via random-hyperplane LSH — embeddings bucketed by a
+    // 4-bit signature (sign of dot with 4 fixed seeded hyperplanes, 16
+    // buckets — plenty at test scale; at 100 TB raise the plane count);
     // search touches only the query's bucket. Approximate ⇒ no oracle;
     // SimilaritySpec checks recall ≥ 0.5 vs brute force at k=10.
     Decl.noOracle("sim_ann_lsh") { (s, d) =>

@@ -22,10 +22,10 @@ object StreamingBatch {
     Decl("watermark_late",
       """WITH m AS (SELECT max(ts) AS mx FROM events)
         |SELECT COUNT(*) AS n_total,
-        |  SUM(CASE WHEN ts >= mx - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
-        |    AS n_within,
-        |  SUM(CASE WHEN ts < mx - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
-        |    AS n_late
+        |  CAST(SUM(CASE WHEN ts >= mx - INTERVAL 10 MINUTE
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+        |  CAST(SUM(CASE WHEN ts < mx - INTERVAL 10 MINUTE
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         |FROM events CROSS JOIN m""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val mx = broadcast(ev.agg(max(col("ts")).as("mx")))

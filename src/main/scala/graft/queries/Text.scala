@@ -27,7 +27,8 @@ object Text {
 
     // C6: corpus statistics by language (all-exact arithmetic).
     Decl("text_stats",
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
         |    AS avg_tokens
@@ -69,9 +70,13 @@ object Text {
         |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) { (s, d) =>
       // tokenize once per row — element_at over a re-split inside the
-      // lambda would re-run split() per index (no CSE across lambdas)
+      // lambda would re-run split() per index (no CSE across lambdas).
+      // size >= 2 filter: sequence(1, 0) is DESCENDING in Spark, so a
+      // 1-token doc would index element_at(tks, 0) and throw under ANSI;
+      // the oracle's pos-join drops those docs naturally.
       Tables.documents(s, d)
         .withColumn("tks", toks)
+        .filter(size(col("tks")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(tks) - 1)," +
             " i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1)))"))
@@ -189,7 +194,8 @@ object Text {
     // C11: per-language routing (pipeline fan-out); the partitioned-write
     // flavor (`partitionBy("lang")`) is exercised in CatalogSpec.
     Decl("lang_route",
-      """SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT lang, source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang IN ('en', 'de', 'fr')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
       Tables.documents(s, d)

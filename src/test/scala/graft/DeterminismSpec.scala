@@ -31,12 +31,14 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("join_asof is invariant under input repartitioning") {
-    // same plan over a repartitioned source must match (shuffle-order
-    // independence of the window trick)
+    // run the as-of logic over REPARTITIONED SOURCE tables (shuffle-order
+    // independence of the union-tag + last(ignoreNulls) window trick) —
+    // repartitioning the *output* would only test sort stability
     val base = SparkEntry.queries("join_asof")(spark, sf)
       .collect().map(_.toSeq).toSeq
-    val again = SparkEntry.queries("join_asof")(spark, sf)
-      .repartition(13).sort("event_id")
+    val ev = Tables.events(spark, sf).repartition(13)
+    val od = Tables.orders(spark, sf).repartition(7)
+    val again = queries.AsofRange.asofBackward(ev, od)
       .collect().map(_.toSeq).toSeq
     assert(base == again)
   }

@@ -57,6 +57,21 @@ def main():
             print(f"FAIL {name}: schema {sorted(gotcols)} != {sorted(expcols)}")
             n_fail += 1
             continue
+        # Driver-hash hazard: DuckDB SUM(integer) returns HUGEINT, which
+        # surfaces as decimal128(38,0) in arrow — the driver stringifies
+        # that differently from Spark's int64 even when values agree
+        # (round-1 lesson: 8 queries failed ONLY in the driver for this).
+        # Any decimal in the oracle's arrow schema is therefore an error:
+        # CAST the oracle column (usually to BIGINT).
+        duck_arrow = con.execute(sql).arrow()
+        decs = [f"{n}:{t}" for n, t in zip(duck_arrow.schema.names,
+                                           duck_arrow.schema.types)
+                if "decimal" in str(t)]
+        if decs:
+            print(f"FAIL {name}: oracle arrow emits decimal cols {decs} "
+                  f"(HUGEINT sums? CAST ... AS BIGINT)")
+            n_fail += 1
+            continue
         e_rows = [tuple(norm(r[i]) for i in eperm) for r in exp]
         g_rows = [tuple(norm(r[i]) for i in gperm) for r in got]
         if e_rows == g_rows:
