@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine 64-bit-ish hashing: the building block that lets the
+  * hash-family operators (MinHash LSH, SimHash, winnowing fingerprints,
+  * hash-gate sampling) be DuckDB-oracled instead of rows-only checked.
+  *
+  * Spark's `xxhash64`/`hash` have no DuckDB twin, so any operator built
+  * on them can only be property-tested. Instead we derive a 60-bit
+  * integer from sha-256 — both engines agree on sha-256 of UTF-8 text
+  * and on hex→int conversion, so `sha60` is bit-identical across
+  * engines, partitionings, and runs:
+  *
+  *   Spark:  conv(substr(sha2(s, 256), 1, 15), 16, 10) :: long
+  *   DuckDB: CAST(('0x' || substr(sha256(s), 1, 15)) AS BIGINT)
+  *
+  * 15 hex chars = 60 bits keeps every value strictly positive in a
+  * signed 64-bit long, which in turn keeps modular arithmetic on top of
+  * it (the [[WrapAffine]] MinHash family) expressible in DuckDB as plain
+  * HUGEINT math (see [[sqlWrapAffine]]).
+  *
+  * Cost note (100 TB): sha-256 is ~5× slower per byte than xxhash64 but
+  * both are per-row map-side work that never hits the wire; the shuffle
+  * and join shapes — the actual scale constraints — are unchanged. A
+  * deployment that does not need cross-engine reproducibility can swap
+  * `xxhash64` back in without touching any operator shape.
+  */
+object XHash {
+
+  /** Deterministic 60-bit non-negative hash of a string column. */
+  def sha60(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB twin of [[sha60]] — `x` must be a VARCHAR expression. */
+  def sqlSha60(x: String): String =
+    s"CAST(('0x' || substr(sha256($x), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of [[WrapAffine]] `a·h + b mod 2^64` for NON-NEGATIVE
+    * `h` (e.g. a [[sha60]] value) and non-negative constants: HUGEINT
+    * multiply-add, wrap at 2^64, then map back into signed-long range
+    * exactly like Java's two's-complement arithmetic does. */
+  def sqlWrapAffine(h: String, a: Long, b: Long): String = {
+    require(a >= 0 && b >= 0, "use non-negative constants for the SQL twin")
+    val u = s"((CAST($a AS HUGEINT) * ($h) + $b) % 18446744073709551616)"
+    s"CAST(CASE WHEN $u >= 9223372036854775808 " +
+      s"THEN $u - 18446744073709551616 ELSE $u END AS BIGINT)"
+  }
+}

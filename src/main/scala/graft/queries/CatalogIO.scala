@@ -27,15 +27,35 @@ object CatalogIO {
   def decls: Seq[Decl] = Seq(
 
     // A2: list catalog objects (rows-only check: engine-specific shape).
-    Decl.noOracle("catalog_list") { (s, d) =>
+    // Oracle is a VALUES literal pinning the expected catalog state —
+    // the registered table set IS the contract (Catalog.registerAll),
+    // so drift in either direction is a real failure.
+    Decl("catalog_list",
+      """SELECT * FROM (VALUES
+        |  ('customer', 'TEMPORARY', true), ('documents', 'TEMPORARY', true),
+        |  ('embeddings', 'TEMPORARY', true), ('events', 'TEMPORARY', true),
+        |  ('lineitem', 'TEMPORARY', true), ('nation', 'TEMPORARY', true),
+        |  ('orders', 'TEMPORARY', true), ('part', 'TEMPORARY', true),
+        |  ('region', 'TEMPORARY', true), ('supplier', 'TEMPORARY', true))
+        |  AS t(name, tableType, isTemporary)
+        |ORDER BY name""".stripMargin) { (s, d) =>
       Catalog.registerAll(s, d)
       s.catalog.listTables()
         .select(col("name"), col("tableType"), col("isTemporary"))
         .orderBy("name")
     },
 
-    // A3: table schema via catalog lookup.
-    Decl.noOracle("catalog_describe") { (s, d) =>
+    // A3: table schema via catalog lookup; VALUES oracle pins the
+    // lineitem schema contract (TESTDATA.md types as Spark renders them).
+    Decl("catalog_describe",
+      """SELECT * FROM (VALUES
+        |  ('l_discount', 'double', true), ('l_extendedprice', 'double', true),
+        |  ('l_linenumber', 'int', true), ('l_linestatus', 'string', true),
+        |  ('l_orderkey', 'bigint', true), ('l_partkey', 'bigint', true),
+        |  ('l_quantity', 'double', true), ('l_returnflag', 'string', true),
+        |  ('l_shipdate', 'timestamp_ntz', true), ('l_suppkey', 'bigint', true),
+        |  ('l_tax', 'double', true)) AS t(name, dataType, nullable)
+        |ORDER BY name""".stripMargin) { (s, d) =>
       Catalog.registerAll(s, d)
       s.catalog.listColumns("lineitem")
         .select(col("name"), col("dataType"), col("nullable"))

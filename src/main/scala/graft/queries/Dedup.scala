@@ -21,10 +21,21 @@ import org.apache.spark.sql.types._
   *  - cosine near-dup lives in Similarity.sim_join (label-blocked).
   *
   * The MinHash family is a fixed-seed affine family over a single
-  * xxhash64 base hash (see [[signatures]]), so signatures are
-  * deterministic across runs and partitionings.
+  * cross-engine base hash (graft.functions.XHash.sha60 — see
+  * [[signatures]]), so signatures are deterministic across runs and
+  * partitionings AND reproducible in DuckDB: the near-dup and SimHash
+  * pipelines are fully oracled, not just property-tested.
   */
 object Dedup {
+
+  import graft.functions.XHash._
+
+  /** Fixed affine family constants (non-negative so the DuckDB HUGEINT
+    * twin needs no sign plumbing; odd multiplier keeps the map a
+    * bijection mod 2^64). */
+  private val rndSeed = new scala.util.Random(20260812L)
+  private val affA = Array.fill(64)((rndSeed.nextLong() >>> 3) | 1L)
+  private val affB = Array.fill(64)(rndSeed.nextLong() >>> 3)
 
   private[graft] val toks = split(col("text"), " ")
 
@@ -48,36 +59,64 @@ object Dedup {
   private val NumBands = NumHashes / BandRows // 16
 
   /** (doc_id, h0..h63 min-hashes), computed entirely per-row: one
-    * xxhash64 per distinct shingle *string*, then 64 affine variants
+    * sha60 base per distinct shingle *string*, then 64 affine variants
     * (a_i·h + b_i over Z/2^64 via the custom WrapAffine expression —
     * built-in arithmetic can't wrap under ANSI mode) reduced by
     * array_min. No explode, no shuffle — at 100 TB the signature stage
     * is a pure map, and only the narrow (doc_id, bands) rows ever hit
     * the wire. (Alternatives measured at sf0.1: 64 min-aggregates over
-    * an exploded shingle table = 9.2s; 64 seeded xxhash64 re-hashes of
+    * an exploded shingle table = 9.2s; 64 independent re-hashes of
     * the base = 5.6s; this = ~1.5s.) */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
     import graft.functions.WrapArith.wrapAffine
-    val rnd = new scala.util.Random(20260812L)
-    val a = Array.fill(NumHashes)(rnd.nextLong() | 1L)
-    val b = Array.fill(NumHashes)(rnd.nextLong())
     val sigCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("bases"), h => wrapAffine(h, a(i), b(i))))
+      array_min(transform(col("bases"), h => wrapAffine(h, affA(i), affB(i))))
         .as(s"h$i"))
     docs.withColumn("tks", toks)
       .select(col("doc_id"),
-        transform(shinglesOfTks, s => xxhash64(s)).as("bases"))
+        transform(shinglesOfTks, s => sha60(s)).as("bases"))
       .select(col("doc_id") +: sigCols: _*)
   }
 
-  /** (doc_id, band, bhash) — one row per LSH band. */
+  /** (doc_id, band, bhash) — one row per LSH band; the band key
+    * compresses the band's 4 min-hashes through sha60 of their joined
+    * decimal rendering (cross-engine, keeps the shuffled row at two
+    * longs instead of five). */
   private[graft] def bands(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
-      struct(lit(b).as("band"), xxhash64(lit(1000 + b) +: rows: _*).as("bhash"))
+      struct(lit(b).as("band"),
+        sha60(concat_ws("_", lit(b) +: rows: _*)).as("bhash"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+  }
+
+  /** DuckDB twins of [[signatures]]/[[bands]], assembled into CTEs for
+    * the dedup_near oracle. Token shingling mirrors [[shinglesOfTks]]
+    * exactly (including the least()-clamped short-doc behavior). */
+  private def sqlSignatureCtes: String = {
+    val sigCols = (0 until NumHashes).map(i =>
+      s"    list_min(list_transform(bases, h -> " +
+        s"${sqlWrapAffine("h", affA(i), affB(i))})) AS h$i").mkString(",\n")
+    val bandArms = (0 until NumBands).map { b =>
+      val hs = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(", ")
+      s"    WHEN $b THEN ${sqlSha60(s"concat_ws('_', $b, $hs)")}"
+    }.mkString("\n")
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+       |    i -> concat_ws(' ', tks[i], tks[least(i + 1, len(tks))],
+       |                   tks[least(i + 2, len(tks))]))) AS sh
+       |  FROM docs),
+       |bases AS (SELECT doc_id,
+       |  list_transform(sh, s -> ${sqlSha60("s")}) AS bases FROM sh),
+       |sigs AS (SELECT doc_id,
+       |$sigCols
+       |  FROM bases),
+       |bands AS (SELECT doc_id, band, CASE band
+       |$bandArms
+       |  END AS bhash FROM sigs, UNNEST(range(0, $NumBands)) AS u(band))""".stripMargin
   }
 
   def decls: Seq[Decl] = Seq(
@@ -107,11 +146,28 @@ object Dedup {
         .agg(count(lit(1)).as("n_kept"))
     },
 
-    // C2: MinHash + LSH near-duplicate detection. Spark-side hash family
-    // (xxhash64) is not reproducible in DuckDB ⇒ no oracle; DedupSpec
-    // proves exact-dup pairs collide in all bands with Jaccard 1.0 and
-    // that the pipeline is deterministic across partitionings.
-    Decl.noOracle("dedup_near") { (s, d) =>
+    // C2: MinHash + LSH near-duplicate detection. The sha60 base hash
+    // and HUGEINT affine twins make the whole pipeline — signatures,
+    // band keys, candidate pairs, Jaccard verify — reproducible in
+    // DuckDB, so this is a full value-level oracle, not a rows-only
+    // check. DedupSpec additionally proves exact-dup pairs collide in
+    // all bands and that the pipeline is partitioning-invariant.
+    Decl("dedup_near",
+      s"""WITH $sqlSignatureCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bhash = b.bhash
+         |    AND a.doc_id < b.doc_id),
+         |jac AS (SELECT d1, d2,
+         |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.sh, s2.sh))) AS jaccard
+         |  FROM cand JOIN sh s1 ON s1.doc_id = d1
+         |            JOIN sh s2 ON s2.doc_id = d2)
+         |SELECT COUNT(*) AS n_candidates,
+         |  COALESCE(CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END)
+         |    AS BIGINT), 0) AS n_near_dups,
+         |  COALESCE(MAX(jaccard), 0.0) AS max_jaccard
+         |FROM jac""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val b = bands(signatures(docs))
       val cand = b.as("a")
@@ -129,29 +185,55 @@ object Dedup {
             size(array_union(col("sh1"), col("sh2"))))
       verified.agg(
         count(lit(1)).as("n_candidates"),
-        sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_near_dups"),
-        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"))
+        coalesce(sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)), lit(0L))
+          .as("n_near_dups"),
+        coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
     },
 
-    // SimHash near-dup: 64-bit signature = sign of per-bit token-hash
-    // sums; candidates from 4×16-bit band equality; Hamming ≤ 8 verify.
-    // xxhash64-based ⇒ no oracle; DedupSpec golden-checks signatures.
-    Decl.noOracle("dedup_simhash") { (s, d) =>
+    // SimHash near-dup: 60-bit signature = sign of per-bit token-hash
+    // sums; candidates from 4×15-bit band equality; Hamming ≤ 8 verify.
+    // Computed entirely PER ROW (a document's tokens are already
+    // colocated — the explode + 64-aggregate formulation shuffles the
+    // whole token table for nothing), and sha60-based so the oracle
+    // replays it exactly.
+    Decl("dedup_simhash",
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      s -> CAST(('0x' || substr(sha256(s), 1, 15)) AS BIGINT)) AS ths
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN 2 * len(list_filter(ths, h -> ((h >> j) & 1) = 1))
+        |                > len(ths)
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+        |      AS simhash
+        |  FROM t),
+        |banded AS (SELECT doc_id, simhash, band,
+        |    (simhash >> (15 * band)) & 32767 AS bval
+        |  FROM sig, UNNEST(range(0, 4)) AS u(band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT COUNT(*) AS n_candidates,
+        |  COALESCE(CAST(SUM(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS n_near_dups,
+        |  COALESCE(MIN(hamming), -1) AS min_hamming
+        |FROM cand""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // per-token 64-bit hash, exploded; bit j contributes ±1 to slot j
-      val tok = docs.select(col("doc_id"), explode(array_distinct(toks)).as("t"))
-        .withColumn("th", xxhash64(col("t")))
-      val bitSums = (0 until 64).map(j =>
-        sum(when(expr(s"(th >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"b$j"))
-      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(j =>
-            when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+      val sig = docs
+        .withColumn("ths", expr(
+          "transform(array_distinct(split(text, ' ')), " +
+            "s -> CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT))"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 59), 0L, (acc, j) ->
+            |  acc + IF(2 * size(filter(ths, h -> ((h >> j) & 1) = 1))
+            |             > size(ths),
+            |           shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            expr(s"(simhash >> ${16 * b}) & 65535").as("bval"))): _*)).as("bb"))
+            expr(s"(simhash >> ${15 * b}) & 32767").as("bval"))): _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
           col("bb.band").as("band"), col("bb.bval").as("bval"))
       val cand = banded.as("a")
@@ -162,7 +244,8 @@ object Dedup {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .distinct()
       cand.agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("hamming") <= 8, 1L).otherwise(0L)).as("n_near_dups"),
+        coalesce(sum(when(col("hamming") <= 8, 1L).otherwise(0L)), lit(0L))
+          .as("n_near_dups"),
         coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     },
 

@@ -194,10 +194,21 @@ object Scalars {
         approx_count_distinct(col("l_partkey")).as("nd_parts"))
     },
 
-    // B32: seeded bernoulli sample — RNG streams differ per engine, no
-    // oracle; property test asserts size bounds + determinism per seed.
-    Decl.noOracle("sample") { (s, d) =>
-      Tables.documents(s, d).sample(withReplacement = false, 0.5, seed = 42)
+    // B32: deterministic bernoulli sample via a hash gate on the key.
+    // df.sample(seed)'s XORShift stream is PARTITIONING-dependent — the
+    // same seed gives a different sample after a repartition, which is
+    // the wrong property for a reproducible 100 TB pipeline (and has no
+    // DuckDB twin). Hashing the row key is partition-invariant, exactly
+    // reproducible in any engine, and still an unbiased p=0.5 bernoulli
+    // draw per row.
+    Decl("sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) % 100) < 50
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.XHash.sha60
+      Tables.documents(s, d)
+        .filter(sha60(col("doc_id").cast(StringType)) % 100 < 50)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }

@@ -37,6 +37,21 @@ object Similarity {
   private val simCol: Column =
     cosineWithNorms(col("embedding"), col("qv"), col("n2"), col("qn2"))
 
+  /** Exact decimal repr of a float vector as a DuckDB double-list
+    * literal (BigDecimal(double) is the exact binary value, so the SQL
+    * literal widens to the same double as Spark's float→double cast). */
+  private def sqlVec(v: Seq[Float]): String =
+    v.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+      .mkString("[", ", ", "]")
+
+  /** List-indexed twin of VectorOps.dot for two DuckDB list expressions
+    * (same DECIMAL(26,12) per-term contract as sqlDot, but usable
+    * per-row instead of via unnest + GROUP BY). */
+  private def sqlDotList(a: String, b: String, dims: Int = 64): String =
+    s"CAST(list_sum(list_transform(range(1, ${dims + 1}), k -> " +
+      s"CAST(CAST(($a)[k] AS DOUBLE) * CAST(($b)[k] AS DOUBLE) " +
+      s"AS DECIMAL(26,12)))) AS DOUBLE)"
+
   /** Shared oracle CTE: cosine of every embedding against vec 0. */
   private def simsCte(extraCols: String = ""): String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -153,25 +168,44 @@ object Similarity {
     // C3-scale: ANN via random-hyperplane LSH — embeddings bucketed by a
     // 4-bit signature (sign of dot with 4 fixed seeded hyperplanes, 16
     // buckets — plenty at test scale; at 100 TB raise the plane count);
-    // search touches only the query's bucket. Approximate ⇒ no oracle;
-    // SimilaritySpec checks recall ≥ 0.5 vs brute force at k=10.
-    Decl.noOracle("sim_ann_lsh") { (s, d) =>
+    // search touches only the query's bucket. Approximate vs brute
+    // force, but fully DETERMINISTIC given the fixed planes, so the
+    // oracle replays the exact bucketing (plane literals embedded as
+    // exact decimals); SimilaritySpec keeps the recall ≥ 0.5 property.
+    {
       val rnd = new scala.util.Random(42)
       val planes: Seq[Seq[Float]] =
         Seq.fill(4)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
-      def sigOf(emb: Column): Column =
-        planes.zipWithIndex.map { case (p, i) =>
-          when(dot(emb, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      val e = withN2(Tables.embeddings(s, d))
-        .withColumn("bucket", sigOf(col("embedding")))
-      val q = broadcast(e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("n2").as("qn2"),
-          col("bucket").as("qbucket")))
-      e.join(q, col("bucket") === col("qbucket"))
-        .select(col("vec_id"), simCol.as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
+      val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${sqlDotList("embedding", sqlVec(p))} >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      Decl("sim_ann_lsh",
+        s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+           |           FROM embeddings),
+           |q AS (SELECT embedding AS qv, bucket AS qbucket
+           |      FROM b WHERE vec_id = 0),
+           |cand AS (SELECT vec_id,
+           |    ${sqlDotList("embedding", "qv")} AS dot,
+           |    ${sqlDotList("embedding", "embedding")} AS nx,
+           |    ${sqlDotList("qv", "qv")} AS ny
+           |  FROM b, q WHERE b.bucket = q.qbucket)
+           |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
+           |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+        def sigOf(emb: Column): Column =
+          planes.zipWithIndex.map { case (p, i) =>
+            when(dot(emb, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        val e = withN2(Tables.embeddings(s, d))
+          .withColumn("bucket", sigOf(col("embedding")))
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("n2").as("qn2"),
+            col("bucket").as("qbucket")))
+        e.join(q, col("bucket") === col("qbucket"))
+          .select(col("vec_id"), simCol.as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      }
     },
 
     // C3-scale (IVF flavor): inverted-file ANN — a fixed set of seeded
@@ -180,28 +214,46 @@ object Similarity {
     // query probes only the nProbe nearest cells. At 100 TB the
     // assignment is a per-row map and each probe touches ~nProbe/nCells
     // of the data. Centroids here are seeded pseudo-random (a k-means
-    // fit would slot in without changing the query shape). Approximate ⇒
-    // no oracle; SimilarityTextSpec cross-checks sims against brute force.
-    Decl.noOracle("sim_ann_ivf") { (s, d) =>
+    // fit would slot in without changing the query shape). Deterministic
+    // given the fixed centroids ⇒ oracled (struct list_max mirrors
+    // Spark's greatest-of-structs argmax incl. the tie→max-cell order);
+    // SimilarityTextSpec keeps the brute-force cross-check.
+    {
       val rnd = new scala.util.Random(7L)
       val centroids: Seq[Seq[Float]] =
         Seq.fill(8)(Seq.fill(64)((rnd.nextGaussian() * 0.15).toFloat))
-      def cellOf(emb: Column): Column = {
-        // argmax of dot(emb, centroid_i) over the fixed centroid list
-        val scored = centroids.zipWithIndex.map { case (c, i) =>
-          struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
+      val cellSql = centroids.zipWithIndex.map { case (c, i) =>
+        s"struct_pack(s := ${sqlDotList("embedding", sqlVec(c))}, c := $i)"
+      }.mkString("(list_max([", ", ", "])).c")
+      Decl("sim_ann_ivf",
+        s"""WITH a AS (SELECT vec_id, embedding, $cellSql AS cell
+           |           FROM embeddings),
+           |q AS (SELECT embedding AS qv, cell AS qcell
+           |      FROM a WHERE vec_id = 0),
+           |cand AS (SELECT vec_id,
+           |    ${sqlDotList("embedding", "qv")} AS dot,
+           |    ${sqlDotList("embedding", "embedding")} AS nx,
+           |    ${sqlDotList("qv", "qv")} AS ny
+           |  FROM a, q WHERE a.cell = q.qcell)
+           |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
+           |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+        def cellOf(emb: Column): Column = {
+          // argmax of dot(emb, centroid_i) over the fixed centroid list
+          val scored = centroids.zipWithIndex.map { case (c, i) =>
+            struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
+          }
+          greatest(scored: _*).getField("cell")
         }
-        greatest(scored: _*).getField("cell")
+        val e = withN2(Tables.embeddings(s, d))
+          .withColumn("cell", cellOf(col("embedding")))
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("n2").as("qn2"),
+            col("cell").as("qcell")))
+        e.join(q, col("cell") === col("qcell")) // nProbe = 1
+          .select(col("vec_id"), simCol.as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
       }
-      val e = withN2(Tables.embeddings(s, d))
-        .withColumn("cell", cellOf(col("embedding")))
-      val q = broadcast(e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("n2").as("qn2"),
-          col("cell").as("qcell")))
-      e.join(q, col("cell") === col("qcell")) // nProbe = 1
-        .select(col("vec_id"), simCol.as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
     }
   )
 }

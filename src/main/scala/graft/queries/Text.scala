@@ -172,18 +172,30 @@ object Text {
     },
 
     // Document fingerprinting (winnowing): 3-token k-gram hashes, sliding
-    // min over a 4-window, distinct fingerprints kept. Hash fn is
-    // Spark's xxhash64 ⇒ not reproducible in DuckDB ⇒ no oracle; golden
-    // + idempotence properties in TextSpec.
-    Decl.noOracle("text_fingerprint") { (s, d) =>
+    // min over a 4-window, distinct fingerprints kept. Hash fn is the
+    // cross-engine sha60 (graft.functions.XHash), so the whole winnowing
+    // pipeline replays exactly in DuckDB — full value oracle; golden +
+    // idempotence properties stay in TextSpec.
+    Decl("text_fingerprint",
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tks
+        |              FROM documents),
+        |kg AS (SELECT doc_id,
+        |    list_transform(range(1, len(tks) - 1),
+        |      i -> CAST(('0x' || substr(sha256(concat_ws(' ', tks[i],
+        |             tks[i + 1], tks[i + 2])), 1, 15)) AS BIGINT)) AS kg
+        |  FROM docs WHERE len(tks) >= 6)
+        |SELECT doc_id,
+        |  len(list_distinct(list_transform(range(1, len(kg) - 2),
+        |    i -> list_min(kg[i:i + 3])))) AS n_fp
+        |FROM kg ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .filter(size(toks) >= 6)
         .withColumn("tks", toks)
         .withColumn("kgrams", expr(
           """transform(sequence(1, size(tks) - 2),
-            | i -> xxhash64(element_at(tks, i),
-            |               element_at(tks, i + 1),
-            |               element_at(tks, i + 2)))""".stripMargin))
+            | i -> CAST(conv(substr(sha2(concat_ws(' ', element_at(tks, i),
+            |        element_at(tks, i + 1), element_at(tks, i + 2)), 256),
+            |      1, 15), 16, 10) AS BIGINT))""".stripMargin))
         .withColumn("fps", expr(
           """transform(sequence(1, size(kgrams) - 3),
             | i -> array_min(slice(kgrams, i, 4)))""".stripMargin))

@@ -47,11 +47,11 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert(inter.count() + diff.count() == a.count())
   }
 
-  test("sample: seeded, bounded, deterministic (B32)") {
+  test("sample: hash-gated, bounded, deterministic (B32)") {
     val q = SparkEntry.queries("sample")
     val n1 = q(spark, sf).count()
     val n2 = q(spark, sf).count()
-    assert(n1 == n2, "same seed must give same sample")
+    assert(n1 == n2, "hash gate must give the same sample every run")
     val total = Tables.documents(spark, sf).count()
     assert(n1 > total * 0.3 && n1 < total * 0.7, s"n=$n1 of $total")
   }
