@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Single-pass signature kernels for the hash-family dedup operators.
+  *
+  * The declarative formulations (`transform` × 64 + `array_min`, or 60 ×
+  * `filter` + `size`) are semantically right but materialize one
+  * intermediate array per hash variant per row. These expressions fuse
+  * the whole signature into one primitive-typed loop inside whole-stage
+  * codegen — same values, ~0 allocation. Values stay bit-identical to
+  * the DuckDB oracle twins (wrap-around multiply-add over non-negative
+  * sha60 bases; see graft.functions.XHash).
+  */
+
+/** All 64 MinHash values in one pass: `min over bases of a_i·h + b_i`
+  * (Z/2^64 wrap) for each i. Input: array<long> of non-null base
+  * hashes; output: array<long> of [[MinHashSig.NumHashes]] minima
+  * (Long.MaxValue sentinels if the input array is empty). */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+
+  require(a.length == b.length)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(a.length)(Long.MaxValue)
+    var k = 0
+    while (k < arr.numElements()) {
+      val h = arr.getLong(k)
+      var i = 0
+      while (i < a.length) {
+        val v = a(i) * h + b(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[${a.length}];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $k = 0; $k < $c.numElements(); $k++) {
+         |  long $h = $c.getLong($k);
+         |  for (int $i = 0; $i < ${a.length}; $i++) {
+         |    long $v = $aRef[$i] * $h + $bRef[$i];
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 60-bit SimHash in one pass: bit j of the result is set iff more than
+  * half of the input hashes have bit j set (ties → unset, matching the
+  * `2·cnt > n` formulation of the declarative twin). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](60)
+    var k = 0
+    while (k < arr.numElements()) {
+      val h = arr.getLong(k)
+      var j = 0
+      while (j < 60) { cnt(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      k += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (2 * cnt(j) > arr.numElements()) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cnt = ctx.freshName("cnt")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $cnt = new int[60];
+         |for (int $k = 0; $k < $c.numElements(); $k++) {
+         |  long $h = $c.getLong($k);
+         |  for (int $j = 0; $j < 60; $j++) $cnt[$j] += (int) (($h >>> $j) & 1L);
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 60; $j++) {
+         |  if (2 * $cnt[$j] > $c.numElements()) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash60"
+}
+
+object HashSig {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def minhashSig(bases: Column, a: Array[Long], b: Array[Long]): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(bases), a, b))
+
+  def simhash60(hashes: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(hashes)))
+}

@@ -59,23 +59,22 @@ object Dedup {
   private val NumBands = NumHashes / BandRows // 16
 
   /** (doc_id, h0..h63 min-hashes), computed entirely per-row: one
-    * sha60 base per distinct shingle *string*, then 64 affine variants
-    * (a_i·h + b_i over Z/2^64 via the custom WrapAffine expression —
-    * built-in arithmetic can't wrap under ANSI mode) reduced by
-    * array_min. No explode, no shuffle — at 100 TB the signature stage
-    * is a pure map, and only the narrow (doc_id, bands) rows ever hit
-    * the wire. (Alternatives measured at sf0.1: 64 min-aggregates over
-    * an exploded shingle table = 9.2s; 64 independent re-hashes of
-    * the base = 5.6s; this = ~1.5s.) */
+    * sha60 base per distinct shingle *string*, then all 64 affine
+    * variants (a_i·h + b_i over Z/2^64 — built-in arithmetic can't wrap
+    * under ANSI mode) reduced to their minima in a single fused loop by
+    * the custom MinHashSig codegen expression (graft.functions.HashSig)
+    * instead of 64 transform+array_min passes. No explode, no shuffle —
+    * at 100 TB the signature stage is a pure map, and only the narrow
+    * (doc_id, bands) rows ever hit the wire. (Alternatives measured at
+    * sf0.1: 64 min-aggregates over an exploded shingle table = 9.2s; 64
+    * transform+array_min passes = 6.2s; fused = see BENCH.) */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
-    import graft.functions.WrapArith.wrapAffine
-    val sigCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("bases"), h => wrapAffine(h, affA(i), affB(i))))
-        .as(s"h$i"))
     docs.withColumn("tks", toks)
       .select(col("doc_id"),
-        transform(shinglesOfTks, s => sha60(s)).as("bases"))
-      .select(col("doc_id") +: sigCols: _*)
+        graft.functions.HashSig.minhashSig(
+          transform(shinglesOfTks, s => sha60(s)), affA, affB).as("sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
   }
 
   /** (doc_id, band, bhash) — one row per LSH band; the band key
@@ -169,12 +168,22 @@ object Dedup {
          |  COALESCE(MAX(jaccard), 0.0) AS max_jaccard
          |FROM jac""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val b = bands(signatures(docs))
-      val cand = b.as("a")
-        .join(b.as("b"),
-          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // bucket-grouping instead of a band self-join: one shuffle on
+      // (band, bhash), the signature pipeline computed exactly once
+      // (a self-join re-evaluates it per side — no ReusedExchange for
+      // differently-aliased subplans), and in-bucket pair expansion is
+      // bounded by LSH bucket size. least/greatest orders each pair
+      // deterministically whatever order collect_list saw the rows in.
+      val cand = bands(signatures(docs))
+        .groupBy("band", "bhash")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(expr(
+          """transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |    y -> named_struct('d1', least(x, y), 'd2', greatest(x, y))))"""
+            .stripMargin))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .distinct()
       val sh = withShingles(docs).select("doc_id", "sh")
       val verified = cand
@@ -225,23 +234,28 @@ object Dedup {
         .withColumn("ths", expr(
           "transform(array_distinct(split(text, ' ')), " +
             "s -> CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT))"))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 59), 0L, (acc, j) ->
-            |  acc + IF(2 * size(filter(ths, h -> ((h >> j) & 1) = 1))
-            |             > size(ths),
-            |           shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.HashSig.simhash60(col("ths")).as("simhash"))
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             expr(s"(simhash >> ${15 * b}) & 32767").as("bval"))): _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
           col("bb.band").as("band"), col("bb.bval").as("bval"))
-      val cand = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      // bucket-grouping, as in dedup_near: one shuffle, no self-join
+      val cand = banded
+        .groupBy("band", "bval")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(flatten(expr(
+          """transform(xs, (x, i) ->
+            |  transform(slice(xs, i + 2, size(xs)),
+            |    y -> named_struct(
+            |      'd1', least(x.doc_id, y.doc_id),
+            |      'd2', greatest(x.doc_id, y.doc_id),
+            |      'hamming', bit_count(x.simhash ^ y.simhash))))"""
+            .stripMargin))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming"))
         .distinct()
       cand.agg(count(lit(1)).as("n_candidates"),
         coalesce(sum(when(col("hamming") <= 8, 1L).otherwise(0L)), lit(0L))
