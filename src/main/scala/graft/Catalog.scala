@@ -17,12 +17,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
-  /** Register every test table as a session temp view (idempotent). */
+  private val onceKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val viewsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run `write` once per (session, key): queries that materialize a
+    * side copy (csv/json/orc/partitioned parquet) re-use it for the
+    * rest of the JVM instead of rewriting identical bytes per call.
+    * Keys embed the sf dir (see [[scratch]]), so scale factors never
+    * share an output. */
+  def once(s: SparkSession, key: String)(write: => Unit): Unit =
+    if (onceKeys.add(s.sparkContext.applicationId + "@" + key)) write
+
+  /** Register every test table as a session temp view. Skipped when
+    * this session's views already point at `dir` (re-reading ten
+    * parquet footers per catalog query is pure waste); re-run whenever
+    * the dir changes so tests can hop between scale factors. */
   def registerAll(s: SparkSession, dir: String): Unit =
-    Tables.names.foreach { n =>
-      val df = if (n == "events") Tables.events(s, dir) else Tables.t(s, dir, n)
-      df.createOrReplaceTempView(n)
-    }
+    if (viewsDir.put(s.sparkContext.applicationId, dir) != dir)
+      Tables.names.foreach { n =>
+        val df = if (n == "events") Tables.events(s, dir) else Tables.t(s, dir, n)
+        df.createOrReplaceTempView(n)
+      }
 
   /** Scratch dir for materialized formats (csv/json/partitioned parquet),
     * keyed by scale-factor name so sfs don't clobber each other. */

@@ -78,9 +78,11 @@ object CatalogIO {
       s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "lineitem_csv")
-      Tables.lineitem(s, d)
-        .select("l_orderkey", "l_returnflag", "l_quantity")
-        .write.mode("overwrite").option("sep", "|").csv(path)
+      Catalog.once(s, path) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").option("sep", "|").csv(path)
+      }
       s.read
         .schema(StructType(Seq(
           StructField("l_orderkey", LongType),
@@ -97,9 +99,11 @@ object CatalogIO {
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "documents_json")
-      Tables.documents(s, d)
-        .select("doc_id", "lang", "n_chars")
-        .write.mode("overwrite").json(path)
+      Catalog.once(s, path) {
+        Tables.documents(s, d)
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").json(path)
+      }
       s.read
         .schema(StructType(Seq(
           StructField("doc_id", LongType),
@@ -119,9 +123,11 @@ object CatalogIO {
          |  ${sqlSum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_orc")
-      Tables.orders(s, d)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .write.mode("overwrite").orc(path)
+      Catalog.once(s, path) {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").orc(path)
+      }
       s.read.orc(path)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -151,9 +157,11 @@ object CatalogIO {
       """SELECT DISTINCT year(o_orderdate) AS o_year FROM orders
         |ORDER BY o_year""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
-      Tables.orders(s, d)
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      Catalog.once(s, path) {
+        Tables.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      }
       s.read.parquet(path).select("o_year").distinct().orderBy("o_year")
     },
 
@@ -163,9 +171,11 @@ object CatalogIO {
       s"""SELECT COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
          |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
-      Tables.orders(s, d)
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      Catalog.once(s, path) {
+        Tables.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      }
       s.read.parquet(path)
         .filter(col("o_year") === 1996)
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -176,10 +186,12 @@ object CatalogIO {
       s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")} AS revenue
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "sink_revenue")
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(dsum(col("l_extendedprice")).as("revenue"))
-        .write.mode("overwrite").parquet(path)
+      Catalog.once(s, path) {
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(dsum(col("l_extendedprice")).as("revenue"))
+          .write.mode("overwrite").parquet(path)
+      }
       s.read.parquet(path).orderBy("l_returnflag")
     }
   )
