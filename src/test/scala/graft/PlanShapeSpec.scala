@@ -89,6 +89,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(big == Long.MaxValue * 3L + 7L)
   }
 
+  test("dedup_near: fused kernel once, bucket-group instead of self-join") {
+    val plan = SparkEntry.queries("dedup_near")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_sig"),
+      "signature stage must use the fused MinHashSig kernel")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"candidate generation must group buckets, not shuffle-join bands:\n" +
+        plan.take(1200))
+  }
+
+  test("dedup_simhash: per-row fused signature, no token-table shuffle join") {
+    val plan = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("simhash60"),
+      "signature stage must use the fused SimHash60 kernel")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"candidate generation must group buckets, not shuffle-join bands:\n" +
+        plan.take(1200))
+  }
+
   test("AQE + skew-join handling are armed (the 100 TB skew path)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
