@@ -203,6 +203,38 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // End-to-end cleaning pipeline — the composition a training-data
+    // pipeline actually runs: language gate → quality gate (integer
+    // ratio math, no float risk) → exact-dedup keep-min → per-language
+    // survivor stats. One wide filter+map pass, one shuffle on the
+    // content hash, a small final agg — nothing here grows with corpus
+    // size except the hash groupBy, which partitions cleanly.
+    Decl("pipeline_clean",
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr')),
+        |g AS (SELECT * FROM q WHERE n_tok >= 20 AND n_uniq * 2 >= n_tok),
+        |k AS (SELECT lang, min(doc_id) AS keep_id, min(n_tok) AS n_tok
+        |      FROM g GROUP BY lang, sha256(text))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang").isin("en", "de", "fr"))
+        .withColumn("tks", toks)
+        .withColumn("n_tok", size(col("tks")))
+        .withColumn("n_uniq", size(array_distinct(col("tks"))))
+        .filter(col("n_tok") >= 20 && col("n_uniq") * 2 >= col("n_tok"))
+        .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), min(col("n_tok")).as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("total_tokens"))
+        .orderBy("lang")
+    },
+
     // C11: per-language routing (pipeline fan-out); the partitioned-write
     // flavor (`partitionBy("lang")`) is exercised in CatalogSpec.
     Decl("lang_route",
