@@ -40,8 +40,20 @@ object VectorOps {
       (acc, x) => (acc + x).cast(Acc)
     ).cast(DoubleType)
 
-  /** Exact (order-independent) dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Exact (order-independent) dot product of two float-array columns,
+    * via the fused [[DecimalDot]] kernel (one pass, no intermediate
+    * array, bit-identical to [[dotDeclarative]] — VectorOpsSpec pins
+    * the equivalence). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      DecimalDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The declarative formulation [[dot]] fuses: zip_with product terms
+    * cast to [[Term]], decimal-folded at [[Acc]]. Kept as the executable
+    * spec of the kernel (and of the DuckDB [[sqlDot]] twin). */
+  private[graft] def dotDeclarative(a: Column, b: Column): Column =
     dsumArr(zip_with(a, b,
       (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Term)))
 

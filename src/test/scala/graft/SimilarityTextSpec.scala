@@ -7,6 +7,32 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Similarity-search and text-analysis properties. */
 class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
 
+  test("fused DecimalDot is bit-identical to the declarative decimal fold") {
+    val e = Tables.embeddings(spark, sf)
+    val both = e.crossJoin(broadcast(
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))))
+      .select(
+        VectorOps.dot(col("embedding"), col("qv")).as("fused"),
+        VectorOps.dotDeclarative(col("embedding"), col("qv")).as("decl"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fused=${r.getDouble(0)} decl=${r.getDouble(1)}"))
+    // interpreted path too (covers nullSafe eval divergence)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = e.limit(50).select(
+          VectorOps.dot(col("embedding"), col("embedding")).as("f"),
+          VectorOps.dotDeclarative(col("embedding"), col("embedding")).as("d"))
+        .collect()
+      interp.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("cosine(v, v) == 1 within double tolerance") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val sims = e.select(VectorOps.cosine(col("embedding"), col("embedding")).as("s"))
