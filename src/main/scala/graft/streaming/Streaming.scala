@@ -35,6 +35,24 @@ object Streaming {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * errors within the following `window`. Watermarks on BOTH sides plus
+    * the two-sided time-range predicate are what let Spark evict join
+    * state — without them a stream-stream join buffers both streams
+    * forever (the 100 TB/day failure mode). The batch twin is the
+    * `join_range` query shape; StreamingSpec asserts stream ≡ batch. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      delay: String = "10 minutes", window: String = "5 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay).alias("c")
+    val e = errors.withWatermark("ts", delay).alias("e")
+    c.join(e, expr(
+      s"""c.user_id = e.user_id AND
+         |e.ts >= c.ts AND e.ts <= c.ts + interval $window""".stripMargin))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("e.event_id").as("error_id"))
+  }
+
   final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

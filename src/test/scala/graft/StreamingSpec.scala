@@ -68,6 +68,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join ≡ batch join on the same rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = Seq(
+      Ev(1, ts(5), "click", 1, 1.0), Ev(2, ts(20), "click", 1, 1.0),
+      Ev(3, ts(8), "click", 2, 1.0))
+    val errors = Seq(
+      Ev(10, ts(7), "error", 1, 1.0),   // within 5m of click 1
+      Ev(11, ts(30), "error", 1, 1.0),  // not within 5m of any click
+      Ev(12, ts(9), "error", 2, 1.0),   // within 5m of click 3
+      Ev(13, ts(6), "error", 3, 1.0))   // no click for user 3
+    val cIn = MemoryStream[Ev]
+    val eIn = MemoryStream[Ev]
+    val q = Streaming.clickErrorJoin(cIn.toDF(), eIn.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks: _*)
+      eIn.addData(errors: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin").collect().map(_.toSeq).toSet
+      val batch = Streaming.clickErrorJoin(clicks.toDF(), errors.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(Seq(1L, 1L, 10L), Seq(2L, 3L, 12L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark is exactly-once per event id (B40)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
