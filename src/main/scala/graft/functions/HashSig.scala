@@ -129,6 +129,61 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash60"
 }
 
+/** All LSH band keys in one pass: key b = sha60 of the string
+  * `"b_h(4b)_h(4b+1)_h(4b+2)_h(4b+3)"` over the signature array —
+  * byte-for-byte the value of `sha60(concat_ws('_', b, h...))` and of
+  * the DuckDB twin in Dedup.sqlSignatureCtes, but with one reused
+  * digest instead of 16 sha expression trees in the generated code. */
+case class LshBandKeys(child: Expression, bandRows: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      LshBandKeys.keys(input.asInstanceOf[ArrayData], bandRows))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.LshBandKeys.keys($c, $bandRows));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_band_keys"
+}
+
+object LshBandKeys {
+  /** Shared by interpreted eval and generated code. */
+  def keys(sig: ArrayData, bandRows: Int): Array[Long] = {
+    val nBands = sig.numElements() / bandRows
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      val sb = new java.lang.StringBuilder
+      sb.append(b)
+      var r = 0
+      while (r < bandRows) {
+        sb.append('_').append(sig.getLong(b * bandRows + r))
+        r += 1
+      }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      out(b) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      b += 1
+    }
+    out
+  }
+}
+
 object HashSig {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -137,4 +192,7 @@ object HashSig {
 
   def simhash60(hashes: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(hashes)))
+
+  def lshBandKeys(sig: Column, bandRows: Int): Column =
+    ColumnBridge.column(LshBandKeys(ColumnBridge.expression(sig), bandRows))
 }

@@ -68,28 +68,30 @@ object Dedup {
     * (doc_id, bands) rows ever hit the wire. (Alternatives measured at
     * sf0.1: 64 min-aggregates over an exploded shingle table = 9.2s; 64
     * transform+array_min passes = 6.2s; fused = see BENCH.) */
-  private[graft] def signatures(docs: DataFrame): DataFrame = {
+  /** (doc_id, sig array<long>[64]) — the fused-kernel signature form
+    * the pipeline consumes. */
+  private[graft] def sigArray(docs: DataFrame): DataFrame =
     docs.withColumn("tks", toks)
       .select(col("doc_id"),
         graft.functions.HashSig.minhashSig(
           transform(shinglesOfTks, s => sha60(s)), affA, affB).as("sig"))
-      .select(col("doc_id") +:
-        (0 until NumHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
-  }
+
+  /** [[sigArray]] widened to (doc_id, h0..h63) columns — the
+    * spec-friendly view DedupSpec asserts against. */
+  private[graft] def signatures(docs: DataFrame): DataFrame =
+    sigArray(docs).select(col("doc_id") +:
+      (0 until NumHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
 
   /** (doc_id, band, bhash) — one row per LSH band; the band key
     * compresses the band's 4 min-hashes through sha60 of their joined
     * decimal rendering (cross-engine, keeps the shuffled row at two
-    * longs instead of five). */
-  private[graft] def bands(sigs: DataFrame): DataFrame = {
-    val bandStructs = (0 until NumBands).map { b =>
-      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
-      struct(lit(b).as("band"),
-        sha60(concat_ws("_", lit(b) +: rows: _*)).as("bhash"))
-    }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-  }
+    * longs instead of five), all 16 keys in one fused pass
+    * (LshBandKeys; equivalence to the declarative sha60(concat_ws)
+    * pinned in HashSigSpec). */
+  private[graft] def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(graft.functions.HashSig.lshBandKeys(col("sig"), BandRows)))
+      .toDF("doc_id", "band", "bhash")
 
   /** DuckDB twins of [[signatures]]/[[bands]], assembled into CTEs for
     * the dedup_near oracle. Token shingling mirrors [[shinglesOfTks]]
@@ -174,7 +176,7 @@ object Dedup {
       // differently-aliased subplans), and in-bucket pair expansion is
       // bounded by LSH bucket size. least/greatest orders each pair
       // deterministically whatever order collect_list saw the rows in.
-      val cand = bands(signatures(docs))
+      val cand = bands(sigArray(docs))
         .groupBy("band", "bhash")
         .agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)

@@ -27,7 +27,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("LSH bands surface the duplicate pair as a candidate") {
-    val b = Dedup.bands(Dedup.signatures(docsWithDup))
+    val b = Dedup.bands(Dedup.sigArray(docsWithDup))
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
           && col("a.doc_id") < col("b.doc_id"))
@@ -37,7 +37,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("near-identical doc (one token changed) is also caught") {
-    val b = Dedup.bands(Dedup.signatures(docsWithDup))
+    val b = Dedup.bands(Dedup.sigArray(docsWithDup))
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash")
           && col("a.doc_id") < col("b.doc_id"))

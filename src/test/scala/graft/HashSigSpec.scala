@@ -52,6 +52,23 @@ class HashSigSpec extends AnyFunSuite with SparkSuite {
     assert(fused == decl)
   }
 
+  test("LshBandKeys equals sha60 over the declarative concat rendering") {
+    import graft.functions.XHash.sha60
+    val df = hashesDf.select(col("id"),
+      HashSig.minhashSig(col("bases"), a, b).as("sig"))
+    val fused = df.select(col("id"),
+      HashSig.lshBandKeys(col("sig"), 4).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val decl = df.select(col("id") +: (0 until 16).map { bd =>
+      sha60(concat_ws("_",
+        lit(bd) +: (0 until 4).map(r => col("sig").getItem(bd * 4 + r)): _*))
+        .as(s"k$bd")
+    }: _*).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail.map(_.asInstanceOf[Long])).toMap
+    assert(fused.keySet == decl.keySet)
+    fused.foreach { case (k, v) => assert(v == decl(k), s"row $k diverges") }
+  }
+
   test("kernels agree between codegen and interpreted eval") {
     val df = hashesDf
     def run(): Seq[(Seq[Long], Long)] =
