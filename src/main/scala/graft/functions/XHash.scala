@@ -1,8 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Cross-engine 64-bit-ish hashing: the building block that lets the
   * hash-family operators (MinHash LSH, SimHash, winnowing fingerprints,
@@ -28,10 +31,50 @@ import org.apache.spark.sql.types._
   * deployment that does not need cross-engine reproducibility can swap
   * `xxhash64` back in without touching any operator shape.
   */
+/** [[XHash.sha60]] as one fused expression: SHA-256 digest → top 60
+  * bits, skipping the hex-encode + 15-char-substring + base-16-parse
+  * round trip of the declarative `conv(substr(sha2(s,256),1,15),16,10)`
+  * (same value — the first 15 hex chars ARE the top 60 bits; XHashSpec
+  * pins the equivalence). */
+case class Sha60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sha60.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sha60.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Sha60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "sha60"
+}
+
+object Sha60 {
+  /** Shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+}
+
 object XHash {
 
-  /** Deterministic 60-bit non-negative hash of a string column. */
-  def sha60(c: Column): Column =
+  /** Deterministic 60-bit non-negative hash of a string column (fused
+    * [[Sha60]] kernel; declarative twin kept as [[sha60Declarative]]). */
+  def sha60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Sha60(ColumnBridge.expression(c.cast(StringType))))
+  }
+
+  /** The formulation [[sha60]] fuses — and the shape of the DuckDB twin. */
+  private[graft] def sha60Declarative(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast(LongType)
 
   /** DuckDB twin of [[sha60]] — `x` must be a VARCHAR expression. */

@@ -233,9 +233,8 @@ object Dedup {
         |FROM cand""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val sig = docs
-        .withColumn("ths", expr(
-          "transform(array_distinct(split(text, ' ')), " +
-            "s -> CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT))"))
+        .withColumn("ths",
+          transform(array_distinct(split(col("text"), " ")), t => sha60(t)))
         .select(col("doc_id"),
           graft.functions.HashSig.simhash60(col("ths")).as("simhash"))
       val banded = sig.select(col("doc_id"), col("simhash"),

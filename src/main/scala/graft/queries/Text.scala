@@ -191,11 +191,12 @@ object Text {
       Tables.documents(s, d)
         .filter(size(toks) >= 6)
         .withColumn("tks", toks)
-        .withColumn("kgrams", expr(
-          """transform(sequence(1, size(tks) - 2),
-            | i -> CAST(conv(substr(sha2(concat_ws(' ', element_at(tks, i),
-            |        element_at(tks, i + 1), element_at(tks, i + 2)), 256),
-            |      1, 15), 16, 10) AS BIGINT))""".stripMargin))
+        .withColumn("kgrams",
+          transform(sequence(lit(1), size(col("tks")) - 2, lit(1)),
+            i => graft.functions.XHash.sha60(concat_ws(" ",
+              element_at(col("tks"), i),
+              element_at(col("tks"), i + lit(1)),
+              element_at(col("tks"), i + lit(2))))))
         .withColumn("fps", expr(
           """transform(sequence(1, size(kgrams) - 3),
             | i -> array_min(slice(kgrams, i, 4)))""".stripMargin))
