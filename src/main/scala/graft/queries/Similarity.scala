@@ -5,6 +5,7 @@ import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over embeddings (SURVEY.md §2 tier C rows C3-C5,
   * C10) + the ANN scale path. Patterns follow the top-k similarity-search
@@ -51,6 +52,28 @@ object Similarity {
     s"CAST(list_sum(list_transform(range(1, ${dims + 1}), k -> " +
       s"CAST(CAST(($a)[k] AS DOUBLE) * CAST(($b)[k] AS DOUBLE) " +
       s"AS DECIMAL(26,12)))) AS DOUBLE)"
+
+  /** Fixed seeded IVF centroids, shared by the ANN probe query and the
+    * one-Lloyd-iteration fit query. */
+  private val ivfCentroids: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(7L)
+    Seq.fill(8)(Seq.fill(64)((rnd.nextGaussian() * 0.15).toFloat))
+  }
+
+  /** DuckDB argmax-cell twin of [[ivfCellOf]]. */
+  private def ivfCellSql: String =
+    ivfCentroids.zipWithIndex.map { case (c, i) =>
+      s"struct_pack(s := ${sqlDotList("embedding", sqlVec(c))}, c := $i)"
+    }.mkString("(list_max([", ", ", "])).c")
+
+  /** Nearest-centroid assignment: argmax of dot(emb, centroid_i) over
+    * the fixed centroid list (tie → max cell, mirrored in SQL). */
+  private def ivfCellOf(emb: Column): Column = {
+    val scored = ivfCentroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
+    }
+    greatest(scored: _*).getField("cell")
+  }
 
   /** Shared oracle CTE: cosine of every embedding against vec 0. */
   private def simsCte(extraCols: String = ""): String =
@@ -218,42 +241,66 @@ object Similarity {
     // given the fixed centroids ⇒ oracled (struct list_max mirrors
     // Spark's greatest-of-structs argmax incl. the tie→max-cell order);
     // SimilarityTextSpec keeps the brute-force cross-check.
-    {
-      val rnd = new scala.util.Random(7L)
-      val centroids: Seq[Seq[Float]] =
-        Seq.fill(8)(Seq.fill(64)((rnd.nextGaussian() * 0.15).toFloat))
-      val cellSql = centroids.zipWithIndex.map { case (c, i) =>
-        s"struct_pack(s := ${sqlDotList("embedding", sqlVec(c))}, c := $i)"
-      }.mkString("(list_max([", ", ", "])).c")
-      Decl("sim_ann_ivf",
-        s"""WITH a AS (SELECT vec_id, embedding, $cellSql AS cell
-           |           FROM embeddings),
-           |q AS (SELECT embedding AS qv, cell AS qcell
-           |      FROM a WHERE vec_id = 0),
-           |cand AS (SELECT vec_id,
-           |    ${sqlDotList("embedding", "qv")} AS dot,
-           |    ${sqlDotList("embedding", "embedding")} AS nx,
-           |    ${sqlDotList("qv", "qv")} AS ny
-           |  FROM a, q WHERE a.cell = q.qcell)
-           |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
-           |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-        def cellOf(emb: Column): Column = {
-          // argmax of dot(emb, centroid_i) over the fixed centroid list
-          val scored = centroids.zipWithIndex.map { case (c, i) =>
-            struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
-          }
-          greatest(scored: _*).getField("cell")
-        }
-        val e = withN2(Tables.embeddings(s, d))
-          .withColumn("cell", cellOf(col("embedding")))
-        val q = broadcast(e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"), col("n2").as("qn2"),
-            col("cell").as("qcell")))
-        e.join(q, col("cell") === col("qcell")) // nProbe = 1
-          .select(col("vec_id"), simCol.as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(10)
-      }
+    Decl("sim_ann_ivf",
+      s"""WITH a AS (SELECT vec_id, embedding, $ivfCellSql AS cell
+         |           FROM embeddings),
+         |q AS (SELECT embedding AS qv, cell AS qcell
+         |      FROM a WHERE vec_id = 0),
+         |cand AS (SELECT vec_id,
+         |    ${sqlDotList("embedding", "qv")} AS dot,
+         |    ${sqlDotList("embedding", "embedding")} AS nx,
+         |    ${sqlDotList("qv", "qv")} AS ny
+         |  FROM a, q WHERE a.cell = q.qcell)
+         |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
+         |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = withN2(Tables.embeddings(s, d))
+        .withColumn("cell", ivfCellOf(col("embedding")))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("n2").as("qn2"),
+          col("cell").as("qcell")))
+      e.join(q, col("cell") === col("qcell")) // nProbe = 1
+        .select(col("vec_id"), simCol.as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // IVF training step — one Lloyd iteration over the corpus: assign
+    // every vector to its nearest centroid (per-row map, broadcastable
+    // centroid list), then recompute each cell's mean per dimension.
+    // The recompute is posexplode → groupBy(cell, dim) — a single
+    // shuffle of narrow (cell, dim, value) rows whose width is fixed by
+    // k×dims, not corpus size, which is exactly how a distributed
+    // k-means iteration scales. Exact decimal means keep the 512-row
+    // output bit-identical to the DuckDB replay.
+    Decl("sim_ivf_fit",
+      s"""WITH a AS (SELECT vec_id, embedding, $ivfCellSql AS cell
+         |           FROM embeddings),
+         |d AS (SELECT cell, k AS dim,
+         |        CAST(embedding[k] AS DOUBLE) AS x
+         |      FROM a, UNNEST(range(1, 65)) AS u(k))
+         |SELECT cell, dim - 1 AS dim, COUNT(*) AS n,
+         |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,12))) AS DOUBLE)
+         |    / COUNT(*) AS mean
+         |FROM d GROUP BY cell, dim ORDER BY cell, dim""".stripMargin) { (s, d) =>
+      // scale-12 decimal mean (the VectorOps quantum, NOT Det's scale 6:
+      // embedding floats carry ~1e-8 precision, money data only 1e-4).
+      // The oracle casts via VARCHAR: a raw float-widened double can be
+      // dyadic with its exact decimal expansion ending in 5 at digit 13
+      // (0.1983642578125 = 1625/2^13 in the fixtures) — a true scale-12
+      // tie, where Spark rounds the SHORTEST REPR half-up but DuckDB's
+      // direct double→decimal rounds the binary value half-to-even.
+      // DuckDB's double→VARCHAR prints the shortest repr and its
+      // VARCHAR→DECIMAL rounds half-up, so via-VARCHAR reproduces
+      // Spark's Cast exactly. (Product terms — VectorOps — never tie:
+      // a float×float product carries ~50 fraction bits.)
+      Tables.embeddings(s, d)
+        .withColumn("cell", ivfCellOf(col("embedding")))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("x").cast(DoubleType).cast(DecimalType(30, 12)))
+            .cast(DoubleType) / count(lit(1))).as("mean"))
+        .orderBy("cell", "dim")
     }
   )
 }
