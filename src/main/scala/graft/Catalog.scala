@@ -26,9 +26,16 @@ object Catalog {
     * side copy (csv/json/orc/partitioned parquet) re-use it for the
     * rest of the JVM instead of rewriting identical bytes per call.
     * Keys embed the sf dir (see [[scratch]]), so scale factors never
-    * share an output. */
-  def once(s: SparkSession, key: String)(write: => Unit): Unit =
-    if (onceKeys.add(s.sparkContext.applicationId + "@" + key)) write
+    * share an output. The key is recorded only AFTER the write
+    * succeeds — a failed write must not poison later calls into
+    * reading a half-written copy. */
+  def once(s: SparkSession, key: String)(write: => Unit): Unit = {
+    val k = s.sparkContext.applicationId + "@" + key
+    if (!onceKeys.contains(k)) {
+      write
+      onceKeys.add(k)
+    }
+  }
 
   /** Register every test table as a session temp view. Skipped when
     * this session's views already point at `dir` (re-reading ten

@@ -156,10 +156,14 @@ case class LshBandKeys(child: Expression, bandRows: Int)
 }
 
 object LshBandKeys {
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
   /** Shared by interpreted eval and generated code. */
   def keys(sig: ArrayData, bandRows: Int): Array[Long] = {
     val nBands = sig.numElements() / bandRows
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = digests.get()
     val out = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {

@@ -53,9 +53,16 @@ case class Sha60(child: Expression) extends UnaryExpression {
 }
 
 object Sha60 {
+  // one digest per thread — getInstance per hashed value is the
+  // dominant allocation in the signature hot loops
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
   /** Shared by interpreted eval and generated code. */
   def hash(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = digests.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     var v = 0L
     var i = 0
