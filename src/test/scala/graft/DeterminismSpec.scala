@@ -16,9 +16,13 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "join_asof",          // per-(key,ts) dedup + tag ordering
     "join_asof_forward",
     "topk",               // boundary ties
-    "dedup_near",         // hash family + join order
+    "dedup_near",         // hash family + collect_list bucket order
+    "dedup_simhash",      // collect_list bucket order
     "text_fingerprint",   // hash + sliding min
     "sim_ann_lsh",        // bucket assignment
+    "sim_ann_ivf",        // cell argmax ties
+    "sim_ivf_fit",        // assignment + mean aggregation order
+    "pipeline_clean",     // keep-min per content hash
     "knn_classify")       // vote ties
 
   risky.foreach { name =>
