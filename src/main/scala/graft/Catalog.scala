@@ -18,35 +18,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Catalog {
 
   private val onceKeys =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val viewsDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val viewsDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Run `write` once per (session, key): queries that materialize a
-    * side copy (csv/json/orc/partitioned parquet) re-use it for the
-    * rest of the JVM instead of rewriting identical bytes per call.
-    * Keys embed the sf dir (see [[scratch]]), so scale factors never
-    * share an output. The key is recorded only AFTER the write
-    * succeeds — a failed write must not poison later calls into
-    * reading a half-written copy. */
-  def once(s: SparkSession, key: String)(write: => Unit): Unit = {
-    val k = s.sparkContext.applicationId + "@" + key
-    if (!onceKeys.contains(k)) {
-      write
-      onceKeys.add(k)
-    }
-  }
+  /** Run `write` once per (session, input dir, key): queries that
+    * materialize a side copy (csv/json/orc/partitioned parquet) re-use
+    * it for the rest of the JVM instead of rewriting identical bytes
+    * per call. The key carries the full input dir — [[scratch]] paths
+    * embed only the sf basename, and two data roots with the same
+    * basename must not share a materialization. computeIfAbsent makes
+    * the guard atomic (no concurrent double-write) and records the key
+    * only if the write SUCCEEDS — a failed write must not poison later
+    * calls into reading a half-written copy. */
+  def once(s: SparkSession, dir: String, key: String)(write: => Unit): Unit =
+    onceKeys.computeIfAbsent(
+      s"${s.sparkContext.applicationId}@$dir@$key",
+      _ => { write; java.lang.Boolean.TRUE })
 
-  /** Register every test table as a session temp view. Skipped when
-    * this session's views already point at `dir` (re-reading ten
-    * parquet footers per catalog query is pure waste); re-run whenever
-    * the dir changes so tests can hop between scale factors. */
+  /** Register every test table as a temp view of THIS session (temp
+    * views are session-scoped — a memo keyed app-wide would silently
+    * skip sibling `newSession()`s). Skipped when the session's views
+    * already point at `dir` (re-reading ten parquet footers per catalog
+    * query is pure waste); re-run whenever the dir changes so tests can
+    * hop between scale factors; recorded only after all ten registered. */
   def registerAll(s: SparkSession, dir: String): Unit =
-    if (viewsDir.put(s.sparkContext.applicationId, dir) != dir)
+    if (viewsDir.get(s) != dir) {
       Tables.names.foreach { n =>
         val df = if (n == "events") Tables.events(s, dir) else Tables.t(s, dir, n)
         df.createOrReplaceTempView(n)
       }
+      viewsDir.put(s, dir)
+    }
 
   /** Scratch dir for materialized formats (csv/json/partitioned parquet),
     * keyed by scale-factor name so sfs don't clobber each other. */

@@ -30,10 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit =
-    all.foreach { case (name, _, builder) =>
+    all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        new ExpressionInfo(
+          classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
 }
@@ -57,24 +58,24 @@ object GraftExtensions {
   /** (name, usage, builder) for every injected function. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("sha60",
-      "sha60(str) - deterministic non-negative 60-bit hash (SHA-256 prefix)",
+      "_FUNC_(str) - deterministic non-negative 60-bit hash (SHA-256 prefix)",
       exprs => Sha60(exprs.head)),
     ("wrap_affine",
-      "wrap_affine(h, a, b) - a*h + b over Z/2^64 (ANSI-safe wrap-around)",
+      "_FUNC_(h, a, b) - a*h + b over Z/2^64 (ANSI-safe wrap-around)",
       exprs => WrapAffine(exprs(0),
         longConst(exprs(1), "a"), longConst(exprs(2), "b"))),
     ("minhash_sig",
-      "minhash_sig(bases, array(a...), array(b...)) - per-row MinHash signature",
+      "_FUNC_(bases, array(a...), array(b...)) - per-row MinHash signature",
       exprs => MinHashSig(exprs(0),
         longArray(exprs(1), "a"), longArray(exprs(2), "b"))),
     ("simhash60",
-      "simhash60(hashes) - 60-bit SimHash of an array of 60-bit hashes",
+      "_FUNC_(hashes) - 60-bit SimHash of an array of 60-bit hashes",
       exprs => SimHash60(exprs.head)),
     ("lsh_band_keys",
-      "lsh_band_keys(sig, band_rows) - sha60 band keys over a signature array",
+      "_FUNC_(sig, band_rows) - sha60 band keys over a signature array",
       exprs => LshBandKeys(exprs(0), longConst(exprs(1), "band_rows").toInt)),
     ("decimal_dot",
-      "decimal_dot(a, b) - exact order-independent dot product of float arrays",
+      "_FUNC_(a, b) - exact order-independent dot product of float arrays",
       exprs => DecimalDot(exprs(0), exprs(1))))
 
   /** Same registrations applied to an already-built session (for

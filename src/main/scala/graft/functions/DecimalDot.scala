@@ -1,10 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Fused exact dot product of two `array<float>` columns — the kernel
   * form of VectorOps' declarative `zip_with` + decimal-`aggregate`
@@ -32,8 +33,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * pads the short side with nulls, which nulls the fold).
   */
 case class DecimalDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // array<float> only — an implicit double→float downcast would change
+  // values silently, and Catalyst correctly refuses to insert one
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractType
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Single-pass signature kernels for the hash-family dedup operators.
@@ -22,9 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * hashes; output: array<long> of [[MinHashSig.NumHashes]] minima
   * (Long.MaxValue sentinels if the input array is empty). */
 case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(a.length == b.length)
+
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -79,8 +82,10 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
 /** 60-bit SimHash in one pass: bit j of the result is set iff more than
   * half of the input hashes have bit j set (ties → unset, matching the
   * `2·cnt > n` formulation of the declarative twin). */
-case class SimHash60(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -135,8 +140,9 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   * the DuckDB twin in Dedup.sqlSignatureCtes, but with one reused
   * digest instead of 16 sha expression trees in the generated code. */
 case class LshBandKeys(child: Expression, bandRows: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
@@ -156,14 +162,11 @@ case class LshBandKeys(child: Expression, bandRows: Int)
 }
 
 object LshBandKeys {
-  private val digests =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("SHA-256"))
-
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code; the digest fold is
+    * Sha60's — one definition, so band keys can never drift from the
+    * sha60 the oracle replays. */
   def keys(sig: ArrayData, bandRows: Int): Array[Long] = {
     val nBands = sig.numElements() / bandRows
-    val md = digests.get()
     val out = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {
@@ -174,14 +177,8 @@ object LshBandKeys {
         sb.append('_').append(sig.getLong(b * bandRows + r))
         r += 1
       }
-      md.reset()
-      val d = md.digest(
+      out(b) = Sha60.hashBytes(
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
-      var v = 0L
-      var i = 0
-      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-      out(b) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
       b += 1
     }
     out

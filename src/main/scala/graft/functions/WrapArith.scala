@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractType
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** `a·h + b` over Z/2^64 (two's-complement wrap-around) as a native
@@ -20,8 +21,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * expression — ~4× faster than 64 seeded xxhash64 re-hashes at sf0.1.
   */
 case class WrapAffine(child: Expression, a: Long, b: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbstractType] = Seq(LongType)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(h: Any): Any =

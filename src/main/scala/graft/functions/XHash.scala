@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractType
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,8 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * round trip of the declarative `conv(substr(sha2(s,256),1,15),16,10)`
   * (same value — the first 15 hex chars ARE the top 60 bits; XHashSpec
   * pins the equivalence). */
-case class Sha60(child: Expression) extends UnaryExpression {
+case class Sha60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any =
@@ -60,10 +63,15 @@ object Sha60 {
       java.security.MessageDigest.getInstance("SHA-256"))
 
   /** Shared by interpreted eval and generated code. */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** SHA-256 of `bytes`, folded to the top 60 bits (= the first 15 hex
+    * chars). The single definition of the digest→long fold — shared
+    * with LshBandKeys so the band keys can never drift from sha60. */
+  def hashBytes(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

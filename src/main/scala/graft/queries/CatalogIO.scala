@@ -78,7 +78,7 @@ object CatalogIO {
       s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "lineitem_csv")
-      Catalog.once(s, path) {
+      Catalog.once(s, d, path) {
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_returnflag", "l_quantity")
           .write.mode("overwrite").option("sep", "|").csv(path)
@@ -99,7 +99,7 @@ object CatalogIO {
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "documents_json")
-      Catalog.once(s, path) {
+      Catalog.once(s, d, path) {
         Tables.documents(s, d)
           .select("doc_id", "lang", "n_chars")
           .write.mode("overwrite").json(path)
@@ -123,7 +123,7 @@ object CatalogIO {
          |  ${sqlSum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_orc")
-      Catalog.once(s, path) {
+      Catalog.once(s, d, path) {
         Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").orc(path)
@@ -157,7 +157,7 @@ object CatalogIO {
       """SELECT DISTINCT year(o_orderdate) AS o_year FROM orders
         |ORDER BY o_year""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
-      Catalog.once(s, path) {
+      Catalog.once(s, d, path) {
         Tables.orders(s, d)
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -171,7 +171,7 @@ object CatalogIO {
       s"""SELECT COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
          |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
-      Catalog.once(s, path) {
+      Catalog.once(s, d, path) {
         Tables.orders(s, d)
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -186,7 +186,7 @@ object CatalogIO {
       s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")} AS revenue
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "sink_revenue")
-      Catalog.once(s, path) {
+      Catalog.once(s, d, path) {
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(dsum(col("l_extendedprice")).as("revenue"))

@@ -42,6 +42,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
     // the functions must NOT leak into the base session's registry
     assertThrows[org.apache.spark.sql.AnalysisException](
       spark.newSession().sql("SELECT sha60('x')").collect())
+
+    // input type contracts (ANSI: no implicit coercion into these):
+    // a mismatched argument type is an ANALYSIS-time error — never a
+    // silent byte-level misread of differently-sized array elements
+    assert(s2.sql("SELECT simhash60(array(1L, 2L, 3L)) AS s")
+      .collect()(0).getLong(0) >= 0L)
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      s2.sql("SELECT sha60(123)").collect())
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      s2.sql("SELECT simhash60(array(1, 2, 3))").collect())
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      s2.sql("SELECT decimal_dot(array(1.0D), array(2.0D))").collect())
   }
 
   test("install() registers the same functions on an existing session") {

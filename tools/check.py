@@ -37,8 +37,13 @@ def main():
             continue
         sql = oracle[name]
         try:
-            exp = con.execute(sql).fetchall()
-            expcols = [d[0] for d in con.description]
+            # single execution: the arrow table provides both the schema
+            # (for the decimal check below) and the row values
+            duck_arrow = con.execute(sql).arrow()
+            expcols = duck_arrow.schema.names
+            cols = [duck_arrow.column(i).to_pylist()
+                    for i in range(duck_arrow.num_columns)]
+            exp = list(zip(*cols)) if cols else []
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -63,7 +68,6 @@ def main():
         # (round-1 lesson: 8 queries failed ONLY in the driver for this).
         # Any decimal in the oracle's arrow schema is therefore an error:
         # CAST the oracle column (usually to BIGINT).
-        duck_arrow = con.execute(sql).arrow()
         decs = [f"{n}:{t}" for n, t in zip(duck_arrow.schema.names,
                                            duck_arrow.schema.types)
                 if "decimal" in str(t)]
