@@ -120,6 +120,87 @@ object Dedup {
        |  END AS bhash FROM sigs, UNNEST(range(0, $NumBands)) AS u(band))""".stripMargin
   }
 
+  /** [[sqlSignatureCtes]] extended with candidate-pair and Jaccard
+    * CTEs — the full near-dup detection pipeline as DuckDB CTE text,
+    * shared by the dedup_near and dedup_near_keep oracles. */
+  private def sqlNearDupCtes: String =
+    s"""$sqlSignatureCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bhash = b.bhash
+       |    AND a.doc_id < b.doc_id),
+       |jac AS (SELECT d1, d2,
+       |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(s1.sh, s2.sh))) AS jaccard
+       |  FROM cand JOIN sh s1 ON s1.doc_id = d1
+       |            JOIN sh s2 ON s2.doc_id = d2)""".stripMargin
+
+  /** Candidate near-dup pairs with exact Jaccard: (d1 < d2, jaccard).
+    * Bucket-grouping instead of a band self-join — one shuffle on
+    * (band, bhash), the signature pipeline computed exactly once (a
+    * self-join re-evaluates it per side; no ReusedExchange for
+    * differently-aliased subplans), in-bucket pair expansion bounded by
+    * LSH bucket size; least/greatest orders each pair deterministically
+    * whatever order collect_list saw the rows in. */
+  private[graft] def nearDupPairs(docs: DataFrame): DataFrame = {
+    val cand = bands(sigArray(docs))
+      .groupBy("band", "bhash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(expr(
+        """transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('d1', least(x, y), 'd2', greatest(x, y))))"""
+          .stripMargin))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val sh = withShingles(docs).select("doc_id", "sh")
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2"))))
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** Connected components over the verified near-dup graph:
+    * (doc_id, label) with label = min doc_id of the component.
+    * Iterative min-label propagation to CONVERGENCE (each round one
+    * equi-join shuffle; localCheckpoint truncates lineage; rounds
+    * bounded by component diameter). DedupSpec pins transitivity on an
+    * injected chain; the dedup_near_keep oracle checks the full
+    * closure against a recursive CTE. */
+  private[graft] def nearDupComponents(
+      docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val edges = nearDupPairs(docs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"))
+    val bidir = edges.unionByName(
+        edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = labels
+        .join(bidir, labels("doc_id") === bidir("d1"), "left")
+        .join(labels.select(col("doc_id").as("nid"), col("label").as("nlabel")),
+          col("d2") === col("nid"), "left")
+        .groupBy(labels("doc_id"))
+        .agg(least(min(col("label")), coalesce(min(col("nlabel")),
+          min(col("label")))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.select(col("doc_id").as("pid"),
+          col("label").as("plabel")), col("doc_id") === col("pid"))
+        .filter(col("label") =!= col("plabel")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   def decls: Seq[Decl] = Seq(
 
     // C1: exact dedup via content hash (sha-256), counted per language.
@@ -154,51 +235,52 @@ object Dedup {
     // check. DedupSpec additionally proves exact-dup pairs collide in
     // all bands and that the pipeline is partitioning-invariant.
     Decl("dedup_near",
-      s"""WITH $sqlSignatureCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bhash = b.bhash
-         |    AND a.doc_id < b.doc_id),
-         |jac AS (SELECT d1, d2,
-         |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(s1.sh, s2.sh))) AS jaccard
-         |  FROM cand JOIN sh s1 ON s1.doc_id = d1
-         |            JOIN sh s2 ON s2.doc_id = d2)
+      s"""WITH $sqlNearDupCtes
          |SELECT COUNT(*) AS n_candidates,
          |  COALESCE(CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END)
          |    AS BIGINT), 0) AS n_near_dups,
          |  COALESCE(MAX(jaccard), 0.0) AS max_jaccard
          |FROM jac""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // bucket-grouping instead of a band self-join: one shuffle on
-      // (band, bhash), the signature pipeline computed exactly once
-      // (a self-join re-evaluates it per side — no ReusedExchange for
-      // differently-aliased subplans), and in-bucket pair expansion is
-      // bounded by LSH bucket size. least/greatest orders each pair
-      // deterministically whatever order collect_list saw the rows in.
-      val cand = bands(sigArray(docs))
-        .groupBy("band", "bhash")
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(flatten(expr(
-          """transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids)),
-            |    y -> named_struct('d1', least(x, y), 'd2', greatest(x, y))))"""
-            .stripMargin))).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .distinct()
-      val sh = withShingles(docs).select("doc_id", "sh")
-      val verified = cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-            size(array_union(col("sh1"), col("sh2"))))
-      verified.agg(
+      nearDupPairs(Tables.documents(s, d)).agg(
         count(lit(1)).as("n_candidates"),
         coalesce(sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)), lit(0L))
           .as("n_near_dups"),
         coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
+    },
+
+    // C2-action: near-dup REMOVAL — connect the verified pairs into
+    // clusters and keep one representative per cluster. Components via
+    // iterative min-label propagation: labels start as own doc_id; each
+    // round every vertex takes the min label over itself and its
+    // neighbors, to convergence (bounded by component diameter — the
+    // textbook distributed-CC shape: one equi-join shuffle per round,
+    // localCheckpoint truncates lineage). The oracle computes the true
+    // transitive closure with a recursive CTE, so convergence — not an
+    // iteration-count guess — is what's checked.
+    Decl("dedup_near_keep",
+      s"""WITH RECURSIVE $sqlNearDupCtes,
+         |edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.3),
+         |bidir AS (SELECT d1, d2 FROM edges
+         |          UNION SELECT d2, d1 FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT r.src, b.d2 FROM reach r JOIN bidir b ON r.dst = b.d1),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS label
+         |         FROM reach GROUP BY src),
+         |sizes AS (SELECT label, COUNT(*) AS cs FROM comp GROUP BY label)
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_kept,
+         |  COUNT(*) - COUNT(DISTINCT label) AS n_removed,
+         |  (SELECT MAX(cs) FROM sizes) AS max_cluster
+         |FROM comp""".stripMargin) { (s, d) =>
+      val labels = nearDupComponents(Tables.documents(s, d))
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cs"))
+      labels.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_kept"),
+        (count(lit(1)) - countDistinct(col("label"))).as("n_removed"))
+        .crossJoin(broadcast(sizes.agg(max(col("cs")).as("max_cluster"))))
     },
 
     // SimHash near-dup: 60-bit signature = sign of per-bit token-hash

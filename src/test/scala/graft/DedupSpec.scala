@@ -47,6 +47,19 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"near-dup should collide in ≥1 of 16 bands; got $cand")
   }
 
+  test("near-dup components are TRANSITIVE (A~B~C chains into one cluster)") {
+    import spark.implicits._
+    // 0≡1 exactly, 3 is a one-token mutation of them, 2 is unrelated —
+    // 0~1 and (0|1)~3 are direct near-dup edges, so {0,1,3} must close
+    // into ONE component under min-label propagation even though the
+    // pair set never lists all three together
+    val labels = Dedup.nearDupComponents(docsWithDup)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(3L) == 0L,
+      s"chain must collapse to min id: $labels")
+    assert(labels(2L) == 2L, s"unrelated doc must stay its own: $labels")
+  }
+
   test("signatures are invariant under repartitioning") {
     def sigOf(np: Int) =
       Dedup.signatures(docsWithDup.repartition(np)).collect()
