@@ -184,18 +184,20 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val next = labels
+      // old label rides along in the same aggregation (it is constant
+      // per group), so the convergence check is a filter over the
+      // materialized checkpoint — no extra join per round
+      val step = labels
         .join(bidir, labels("doc_id") === bidir("d1"), "left")
         .join(labels.select(col("doc_id").as("nid"), col("label").as("nlabel")),
           col("d2") === col("nid"), "left")
         .groupBy(labels("doc_id"))
-        .agg(least(min(col("label")), coalesce(min(col("nlabel")),
-          min(col("label")))).as("label"))
+        .agg(min(col("label")).as("old_label"),
+          least(min(col("label")), coalesce(min(col("nlabel")),
+            min(col("label")))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.select(col("doc_id").as("pid"),
-          col("label").as("plabel")), col("doc_id") === col("pid"))
-        .filter(col("label") =!= col("plabel")).isEmpty
-      labels = next
+      converged = step.filter(col("label") =!= col("old_label")).isEmpty
+      labels = step.select("doc_id", "label")
       rounds += 1
     }
     labels
