@@ -164,13 +164,34 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** One min-label-propagation round, message-passing style: every
+    * vertex sends its label along its edges, then takes the min over
+    * {own label} ∪ {received labels} — one equi-join plus one
+    * aggregation per round. `old_label` rides along (the `own` row is
+    * unique per vertex) so convergence is a filter, not a join.
+    * Factored out so PlanShapeSpec can audit the per-round plan — the
+    * checkpointing in [[nearDupComponents]] truncates lineage, which
+    * would hide this shape from the whole-query plan audit. */
+  private[graft] def propagateStep(
+      labels: DataFrame, bidir: DataFrame): DataFrame = {
+    val own = labels.select(col("doc_id"), col("label"), lit(1).as("own"))
+    val msgs = bidir.join(labels, bidir("d1") === labels("doc_id"))
+      .select(col("d2").as("doc_id"), col("label"), lit(0).as("own"))
+    own.unionByName(msgs)
+      .groupBy("doc_id")
+      .agg(min(col("label")).as("label"),
+        max(when(col("own") === 1, col("label"))).as("old_label"))
+  }
+
   /** Connected components over the verified near-dup graph:
     * (doc_id, label) with label = min doc_id of the component.
-    * Iterative min-label propagation to CONVERGENCE (each round one
-    * equi-join shuffle; localCheckpoint truncates lineage; rounds
-    * bounded by component diameter). DedupSpec pins transitivity on an
-    * injected chain; the dedup_near_keep oracle checks the full
-    * closure against a recursive CTE. */
+    * Iterative min-label propagation run to CONVERGENCE (rounds
+    * bounded by component diameter; localCheckpoint truncates lineage
+    * between rounds). Hitting the round cap without converging THROWS —
+    * silently returning under-merged labels would under-deduplicate
+    * the corpus. DedupSpec pins transitivity on an injected chain; the
+    * dedup_near_keep oracle checks the full closure against a
+    * recursive CTE. */
   private[graft] def nearDupComponents(
       docs: DataFrame, threshold: Double = 0.3): DataFrame = {
     val edges = nearDupPairs(docs)
@@ -183,23 +204,16 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
-      // old label rides along in the same aggregation (it is constant
-      // per group), so the convergence check is a filter over the
-      // materialized checkpoint — no extra join per round
-      val step = labels
-        .join(bidir, labels("doc_id") === bidir("d1"), "left")
-        .join(labels.select(col("doc_id").as("nid"), col("label").as("nlabel")),
-          col("d2") === col("nid"), "left")
-        .groupBy(labels("doc_id"))
-        .agg(min(col("label")).as("old_label"),
-          least(min(col("label")), coalesce(min(col("nlabel")),
-            min(col("label")))).as("label"))
-        .localCheckpoint()
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
+      val step = propagateStep(labels, bidir).localCheckpoint()
       converged = step.filter(col("label") =!= col("old_label")).isEmpty
       labels = step.select("doc_id", "label")
       rounds += 1
     }
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds — " +
+        "component diameter exceeds the cap; raise maxRounds")
     labels
   }
 
@@ -252,12 +266,10 @@ object Dedup {
 
     // C2-action: near-dup REMOVAL — connect the verified pairs into
     // clusters and keep one representative per cluster. Components via
-    // iterative min-label propagation: labels start as own doc_id; each
-    // round every vertex takes the min label over itself and its
-    // neighbors, to convergence (bounded by component diameter — the
-    // textbook distributed-CC shape: one equi-join shuffle per round,
-    // localCheckpoint truncates lineage). The oracle computes the true
-    // transitive closure with a recursive CTE, so convergence — not an
+    // iterative min-label propagation (see nearDupComponents: one join
+    // + one aggregation per round, run to convergence, throwing if the
+    // round cap is hit). The oracle computes the true transitive
+    // closure with a recursive CTE, so convergence — not an
     // iteration-count guess — is what's checked.
     Decl("dedup_near_keep",
       s"""WITH RECURSIVE $sqlNearDupCtes,

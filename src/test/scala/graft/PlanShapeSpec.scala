@@ -99,6 +99,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
         plan.take(1200))
   }
 
+  test("label-propagation round: one join + one aggregation, no cartesian") {
+    // nearDupComponents checkpoints between rounds, which truncates
+    // lineage and hides the per-round shape from the whole-query plan
+    // audit — so the step is audited on its own
+    import org.apache.spark.sql.functions.lit
+    val labels = spark.range(6).select(col("id").as("doc_id"),
+      col("id").as("label"))
+    val bidir = spark.range(5).select(col("id").as("d1"),
+      (col("id") + lit(1)).as("d2"))
+    val plan = queries.Dedup.propagateStep(labels, bidir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(plan).size
+    assert(shuffles <= 4,
+      s"propagation round plans $shuffles shuffles (> 4):\n${plan.take(800)}")
+  }
+
   test("dedup_simhash: per-row fused signature, no token-table shuffle join") {
     val plan = SparkEntry.queries("dedup_simhash")(spark, sf)
       .queryExecution.executedPlan.toString
