@@ -54,7 +54,12 @@ object Catalog {
   /** Scratch dir for materialized formats (csv/json/partitioned parquet),
     * keyed by scale-factor name so sfs don't clobber each other. */
   def scratch(dir: String, kind: String): String = {
+    // basename for readability PLUS a full-dir fingerprint: two data
+    // roots with the same basename must get distinct on-disk paths,
+    // or the once() memo could serve one root's materialization for
+    // the other's queries
     val sf = dir.replaceAll(".*/", "")
-    s"/root/repo/target/graft_io/$sf/$kind"
+    val fp = f"${dir.hashCode & 0xffffff}%06x"
+    s"/root/repo/target/graft_io/$sf-$fp/$kind"
   }
 }

@@ -19,9 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 
 /** All 64 MinHash values in one pass: `min over bases of a_i·h + b_i`
-  * (Z/2^64 wrap) for each i. Input: array<long> of non-null base
-  * hashes; output: array<long> of [[MinHashSig.NumHashes]] minima
-  * (Long.MaxValue sentinels if the input array is empty). */
+  * (Z/2^64 wrap) for each i. Null elements are SKIPPED — exactly the
+  * declarative twin's semantics, where `transform` maps null→null and
+  * `array_min` ignores nulls (Long.MaxValue sentinels remain if the
+  * input is empty or all-null). */
 case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -36,12 +37,14 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
     val mins = Array.fill(a.length)(Long.MaxValue)
     var k = 0
     while (k < arr.numElements()) {
-      val h = arr.getLong(k)
-      var i = 0
-      while (i < a.length) {
-        val v = a(i) * h + b(i)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!arr.isNullAt(k)) {
+        val h = arr.getLong(k)
+        var i = 0
+        while (i < a.length) {
+          val v = a(i) * h + b(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       k += 1
     }
@@ -61,6 +64,7 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
          |long[] $mins = new long[${a.length}];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $k = 0; $k < $c.numElements(); $k++) {
+         |  if ($c.isNullAt($k)) continue;
          |  long $h = $c.getLong($k);
          |  for (int $i = 0; $i < ${a.length}; $i++) {
          |    long $v = $aRef[$i] * $h + $bRef[$i];
@@ -164,8 +168,14 @@ case class LshBandKeys(child: Expression, bandRows: Int)
 object LshBandKeys {
   /** Shared by interpreted eval and generated code; the digest fold is
     * Sha60's — one definition, so band keys can never drift from the
-    * sha60 the oracle replays. */
+    * sha60 the oracle replays. Null elements are skipped in the joined
+    * rendering (concat_ws semantics, = the declarative twin); a length
+    * not divisible by bandRows is a loud error, because silently
+    * dropping tail hashes would degrade LSH recall invisibly. */
   def keys(sig: ArrayData, bandRows: Int): Array[Long] = {
+    require(sig.numElements() % bandRows == 0,
+      s"signature length ${sig.numElements()} is not a multiple of " +
+        s"bandRows=$bandRows")
     val nBands = sig.numElements() / bandRows
     val out = new Array[Long](nBands)
     var b = 0
@@ -174,7 +184,8 @@ object LshBandKeys {
       sb.append(b)
       var r = 0
       while (r < bandRows) {
-        sb.append('_').append(sig.getLong(b * bandRows + r))
+        val idx = b * bandRows + r
+        if (!sig.isNullAt(idx)) sb.append('_').append(sig.getLong(idx))
         r += 1
       }
       out(b) = Sha60.hashBytes(

@@ -15,8 +15,9 @@ import org.apache.spark.sql.types._
   *  - MinHash: doc → 64-hash signature (per-row map, no shuffle) →
   *             16 LSH bands → equi-join on (band, hash) → Jaccard verify
   *             on the candidate pairs only (Broder's scheme);
-  *  - SimHash: 64-bit sign-of-weighted-bit-sums → 4×16-bit band join →
-  *             Hamming ≤ 8 verify via bit_count(xor);
+  *  - SimHash: 60-bit sign-of-bit-sums (per-row fused kernel) →
+  *             4×15-bit band buckets → Hamming ≤ 8 verify via
+  *             bit_count(xor);
   *  - n-gram:  char-trigram set Jaccard on blocked probe pairs;
   *  - cosine near-dup lives in Similarity.sim_join (label-blocked).
   *
@@ -58,7 +59,7 @@ object Dedup {
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows // 16
 
-  /** (doc_id, h0..h63 min-hashes), computed entirely per-row: one
+  /** (doc_id, sig array<long>[64]), computed entirely per-row: one
     * sha60 base per distinct shingle *string*, then all 64 affine
     * variants (a_i·h + b_i over Z/2^64 — built-in arithmetic can't wrap
     * under ANSI mode) reduced to their minima in a single fused loop by
@@ -68,8 +69,6 @@ object Dedup {
     * (doc_id, bands) rows ever hit the wire. (Alternatives measured at
     * sf0.1: 64 min-aggregates over an exploded shingle table = 9.2s; 64
     * transform+array_min passes = 6.2s; fused = see BENCH.) */
-  /** (doc_id, sig array<long>[64]) — the fused-kernel signature form
-    * the pipeline consumes. */
   private[graft] def sigArray(docs: DataFrame): DataFrame =
     docs.withColumn("tks", toks)
       .select(col("doc_id"),
@@ -104,7 +103,8 @@ object Dedup {
       val hs = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(", ")
       s"    WHEN $b THEN ${sqlSha60(s"concat_ws('_', $b, $hs)")}"
     }.mkString("\n")
-    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS tks
+       |  FROM documents WHERE text IS NOT NULL),
        |sh AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
        |    i -> concat_ws(' ', tks[i], tks[least(i + 1, len(tks))],
@@ -142,7 +142,12 @@ object Dedup {
     * differently-aliased subplans), in-bucket pair expansion bounded by
     * LSH bucket size; least/greatest orders each pair deterministically
     * whatever order collect_list saw the rows in. */
-  private[graft] def nearDupPairs(docs: DataFrame): DataFrame = {
+  private[graft] def nearDupPairs(docsIn: DataFrame): DataFrame = {
+    // explicit NULL-text exclusion, mirrored in the oracle's docs CTE:
+    // a null text nulls the whole signature chain anyway (dropped at
+    // posexplode), but concat_ws in the DuckDB twin would instead give
+    // every NULL-text doc IDENTICAL band keys — so both engines filter
+    val docs = docsIn.filter(col("text").isNotNull)
     val cand = bands(sigArray(docs))
       .groupBy("band", "bhash")
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -191,9 +196,13 @@ object Dedup {
     * silently returning under-merged labels would under-deduplicate
     * the corpus. DedupSpec pins transitivity on an injected chain; the
     * dedup_near_keep oracle checks the full closure against a
-    * recursive CTE. */
+    * recursive CTE. Superseded per-round checkpoint blocks are
+    * released by Spark's ContextCleaner once this method drops its
+    * references (only the final round's checkpoint stays reachable
+    * through the returned frame). */
   private[graft] def nearDupComponents(
-      docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+      docsIn: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull)
     val edges = nearDupPairs(docs)
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"))
