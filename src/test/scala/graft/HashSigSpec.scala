@@ -69,6 +69,27 @@ class HashSigSpec extends AnyFunSuite with SparkSuite {
     fused.foreach { case (k, v) => assert(v == decl(k), s"row $k diverges") }
   }
 
+  test("MinHashSig skips null elements exactly like the declarative twin") {
+    import spark.implicits._
+    val df = Seq((0L, Seq[java.lang.Long](5L, null, 9L)))
+      .toDF("id", "bases")
+    val fused = df.select(HashSig.minhashSig(col("bases"), a, b))
+      .collect()(0).getSeq[Long](0)
+    val decl = df.select((0 until 64).map(i =>
+      array_min(transform(col("bases"),
+        h => WrapArith.wrapAffine(h, a(i), b(i)))).as(s"h$i")): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    assert(fused == decl, "null element must be skipped, not hashed as 0")
+  }
+
+  test("LshBandKeys refuses a signature length not divisible by bandRows") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(1L, 2L, 3L))).toDF("id", "sig")
+    val e = intercept[Exception](
+      df.select(HashSig.lshBandKeys(col("sig"), 2)).collect())
+    assert(e.getMessage != null)
+  }
+
   test("kernels agree between codegen and interpreted eval") {
     val df = hashesDf
     def run(): Seq[(Seq[Long], Long)] =
