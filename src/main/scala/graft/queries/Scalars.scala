@@ -211,6 +211,46 @@ object Scalars {
         .filter(sha60(col("doc_id").cast(StringType)) % 100 < 50)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // B32b: STRATIFIED sampling — per-language keep rates, the
+    // data-mixing primitive of a training pipeline (downsample the
+    // dominant language, keep the tails whole). Same hash gate as
+    // `sample`, so it is partition-invariant, exactly reproducible,
+    // and the realized rate per stratum is independently checkable.
+    Decl("sample_stratified",
+      """SELECT lang, COUNT(*) AS n_kept FROM documents
+        |WHERE (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) % 1000) <
+        |  CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500 ELSE 1000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import graft.functions.XHash.sha60
+      val rate = when(col("lang") === "en", 250)
+        .when(col("lang") === "de", 500).otherwise(1000)
+      Tables.documents(s, d)
+        .filter(sha60(col("doc_id").cast(StringType)) % 1000 < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // Corpus length histogram — doc-length distribution in fixed-width
+    // buckets (the standard pre-training length diagnostic). Integer
+    // bucket math only, so the oracle is exact.
+    Decl("text_length_hist",
+      """SELECT (n_chars // 100) * 100 AS bucket_lo,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin) { (s, d) =>
+      // integer division on BOTH engines: `/` is true division in each,
+      // and casting the double back truncates in Spark but rounds
+      // half-even in DuckDB (350/100 → 3 vs 4)
+      Tables.documents(s, d)
+        .withColumn("bucket_lo", expr("(n_chars DIV 100) * 100"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("bucket_lo")
     }
   )
 }
