@@ -24,10 +24,25 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    // Full per-query detail first (humans / full-log consumers) ...
+    println(s"""{"metric":"per_query_full","unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+    // ... then a COMPACT headline line LAST. The driver harness keeps only
+    // the final ~2000 chars of output and scans them for a parseable JSON
+    // line; the full map above exceeds that window (it did in rounds 1-2:
+    // BENCH_r0{1,2}.json have parsed=null), so the last line must be short.
+    // "queries" here is BASELINE.md's 14-query comparison subset.
+    val baseline14 = Seq("agg_hash", "join_multi", "join_5way", "window_rank",
+      "window_frame", "rollup_cube", "agg_distinct", "topk", "set_ops",
+      "scalar_json", "time_tumbling", "text_stats", "dedup_exact",
+      "sim_topk_cosine")
+    val subset = results.filter(r => baseline14.contains(r._1))
+    val subTotal = subset.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"baseline14_total":${f"$subTotal%.3f"},"baseline14_ref_sec":14.78}""")
     spark.stop()
   }
 }
