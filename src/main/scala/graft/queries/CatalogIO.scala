@@ -40,7 +40,12 @@ object CatalogIO {
         |  AS t(name, tableType, isTemporary)
         |ORDER BY name""".stripMargin) { (s, d) =>
       Catalog.registerAll(s, d)
+      // restrict to the contract set: a harness-session temp view from
+      // some other code path (e.g. a streaming memory sink) must not
+      // break the catalog check — absence of a contract table still
+      // fails against the VALUES oracle above.
       s.catalog.listTables()
+        .filter(col("name").isin(Tables.names: _*))
         .select(col("name"), col("tableType"), col("isTemporary"))
         .orderBy("name")
     },

@@ -135,20 +135,48 @@ object Dedup {
        |  FROM cand JOIN sh s1 ON s1.doc_id = d1
        |            JOIN sh s2 ON s2.doc_id = d2)""".stripMargin
 
+  /** Oversized-bucket cap for in-bucket pair expansion. A degenerate
+    * LSH bucket (the common case in a real corpus: thousands of exact
+    * duplicates share every band key) would concentrate an O(bucket²)
+    * expansion in a single collect_list row/task and defeat AQE skew
+    * handling. Buckets above the cap are routed through a plain
+    * self-join on the bucket key instead — same pairs, but shuffle-
+    * parallel and AQE-skew-splittable. */
+  private[graft] val BucketCap = 256
+
+  /** Split banded rows into (small-bucket rows, oversized-bucket rows)
+    * by bucket cardinality over `keys`. The input is localCheckpoint'd
+    * first so the signature pipeline is computed once, not once per
+    * branch (and not twice more for the self-join's two sides); the
+    * oversized key set is tiny by construction (only degenerate
+    * buckets) and broadcasts. */
+  private[graft] def splitBuckets(
+      banded: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = {
+    val ck = banded.localCheckpoint()
+    val kcols = keys.map(col)
+    val big = ck.groupBy(kcols: _*).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > BucketCap)
+      .select(kcols: _*)
+    (ck.join(broadcast(big), keys, "left_anti"),
+      ck.join(broadcast(big), keys, "left_semi"))
+  }
+
   /** Candidate near-dup pairs with exact Jaccard: (d1 < d2, jaccard).
     * Bucket-grouping instead of a band self-join — one shuffle on
     * (band, bhash), the signature pipeline computed exactly once (a
     * self-join re-evaluates it per side; no ReusedExchange for
     * differently-aliased subplans), in-bucket pair expansion bounded by
-    * LSH bucket size; least/greatest orders each pair deterministically
-    * whatever order collect_list saw the rows in. */
+    * [[BucketCap]] (oversized buckets take the self-join path — see
+    * [[splitBuckets]]); least/greatest orders each pair
+    * deterministically whatever order collect_list saw the rows in. */
   private[graft] def nearDupPairs(docsIn: DataFrame): DataFrame = {
     // explicit NULL-text exclusion, mirrored in the oracle's docs CTE:
     // a null text nulls the whole signature chain anyway (dropped at
     // posexplode), but concat_ws in the DuckDB twin would instead give
     // every NULL-text doc IDENTICAL band keys — so both engines filter
     val docs = docsIn.filter(col("text").isNotNull)
-    val cand = bands(sigArray(docs))
+    val (small, big) = splitBuckets(bands(sigArray(docs)), Seq("band", "bhash"))
+    val smallPairs = small
       .groupBy("band", "bhash")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -158,7 +186,12 @@ object Dedup {
           |    y -> named_struct('d1', least(x, y), 'd2', greatest(x, y))))"""
           .stripMargin))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .distinct()
+    val bigPairs = big.select(col("band"), col("bhash"), col("doc_id").as("da"))
+      .join(big.select(col("band"), col("bhash"), col("doc_id").as("db")),
+        Seq("band", "bhash"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"))
+    val cand = smallPairs.unionByName(bigPairs).distinct()
     val sh = withShingles(docs).select("doc_id", "sh")
     cand
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
@@ -316,7 +349,7 @@ object Dedup {
       """WITH t AS (SELECT doc_id,
         |    list_transform(list_distinct(string_split(text, ' ')),
         |      s -> CAST(('0x' || substr(sha256(s), 1, 15)) AS BIGINT)) AS ths
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |sig AS (SELECT doc_id,
         |    CAST(list_sum(list_transform(range(0, 60), j ->
         |      CASE WHEN 2 * len(list_filter(ths, h -> ((h >> j) & 1) = 1))
@@ -336,7 +369,11 @@ object Dedup {
         |    AS BIGINT), 0) AS n_near_dups,
         |  COALESCE(MIN(hamming), -1) AS min_hamming
         |FROM cand""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // NULL-text exclusion on BOTH engines: Spark's groupBy would put
+      // all null-signature docs in one bucket and emit pairs among
+      // them, while the oracle's equi-join drops NULL keys — mirror
+      // dedup_near's explicit filter (see its docs CTE).
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       val sig = docs
         .withColumn("ths",
           transform(array_distinct(split(col("text"), " ")), t => sha60(t)))
@@ -348,8 +385,10 @@ object Dedup {
             expr(s"(simhash >> ${15 * b}) & 32767").as("bval"))): _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
           col("bb.band").as("band"), col("bb.bval").as("bval"))
-      // bucket-grouping, as in dedup_near: one shuffle, no self-join
-      val cand = banded
+      // bucket-grouping, as in dedup_near: one shuffle, no self-join;
+      // oversized buckets take the self-join path (splitBuckets).
+      val (smallB, bigB) = splitBuckets(banded, Seq("band", "bval"))
+      val smallPairs = smallB
         .groupBy("band", "bval")
         .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
         .filter(size(col("xs")) > 1)
@@ -362,7 +401,16 @@ object Dedup {
             |      'hamming', bit_count(x.simhash ^ y.simhash))))"""
             .stripMargin))).as("p"))
         .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming"))
-        .distinct()
+      val bigPairs = bigB
+        .select(col("band"), col("bval"),
+          col("doc_id").as("da"), col("simhash").as("sa"))
+        .join(bigB.select(col("band"), col("bval"),
+          col("doc_id").as("db"), col("simhash").as("sb")),
+          Seq("band", "bval"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("d1"), col("db").as("d2"),
+          expr("bit_count(sa ^ sb)").as("hamming"))
+      val cand = smallPairs.unionByName(bigPairs).distinct()
       cand.agg(count(lit(1)).as("n_candidates"),
         coalesce(sum(when(col("hamming") <= 8, 1L).otherwise(0L)), lit(0L))
           .as("n_near_dups"),

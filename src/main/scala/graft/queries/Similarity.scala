@@ -47,11 +47,15 @@ object Similarity {
 
   /** List-indexed twin of VectorOps.dot for two DuckDB list expressions
     * (same DECIMAL(26,12) per-term contract as sqlDot, but usable
-    * per-row instead of via unnest + GROUP BY). */
-  private def sqlDotList(a: String, b: String, dims: Int = 64): String =
-    s"CAST(list_sum(list_transform(range(1, ${dims + 1}), k -> " +
+    * per-row instead of via unnest + GROUP BY). The range is derived
+    * from len() with an equality guard so a dimension mismatch nulls
+    * the whole result — exactly what the Spark DecimalDot kernel does —
+    * instead of list_sum silently skipping the NULL out-of-range terms. */
+  private def sqlDotList(a: String, b: String): String =
+    s"CAST(CASE WHEN len($a) = len($b) THEN " +
+      s"list_sum(list_transform(range(1, len($a) + 1), k -> " +
       s"CAST(CAST(($a)[k] AS DOUBLE) * CAST(($b)[k] AS DOUBLE) " +
-      s"AS DECIMAL(26,12)))) AS DOUBLE)"
+      s"AS DECIMAL(26,12)))) END AS DOUBLE)"
 
   /** Fixed seeded IVF centroids, shared by the ANN probe query and the
     * one-Lloyd-iteration fit query. */

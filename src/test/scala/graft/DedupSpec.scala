@@ -81,6 +81,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("oversized LSH buckets route to the self-join path, same pairs") {
+    import spark.implicits._
+    // BucketCap+10 exact copies: every band bucket of the dup set is
+    // oversized, so the grouped-expansion path must see none of them —
+    // and the self-join path must still emit the exact clique.
+    val n = Dedup.BucketCap + 10
+    val docs = ((0L until n.toLong).map(i =>
+        (i, "dup dup dup common text payload here")) :+
+        (900L, "another unrelated doc entirely different words"))
+      .toDF("doc_id", "text")
+    val (small, big) =
+      Dedup.splitBuckets(Dedup.bands(Dedup.sigArray(docs)), Seq("band", "bhash"))
+    assert(big.count() == n.toLong * 16,
+      "every dup-bucket row must route to the oversized side")
+    assert(small.count() == 16L,
+      "only the unrelated doc's 16 band rows stay on the grouped side")
+    val pairs = Dedup.nearDupPairs(docs).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clique = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+    } yield (a, b)).toSet
+    assert(pairs == clique, s"expected full clique of ${clique.size} pairs")
+  }
+
   test("jaccard of injected dup pair is 1.0 through the verify stage") {
     val sh = Dedup.withShingles(docsWithDup).select("doc_id", "sh")
     val j = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
