@@ -49,6 +49,20 @@ object Det {
   def sqlSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
   def sqlAvg(x: String): String = s"(${sqlSum(x)} / COUNT(*))"
 
+  /** Exact sum of a product of two money-precision (≤2-decimal) doubles.
+    * Each FACTOR is cast to DECIMAL(18,2) — exact, the value is ≥0.005
+    * from any rounding tie — then multiplied exactly in DECIMAL(37,4)
+    * and summed exactly. Casting the double *product* instead breaks at
+    * large magnitude: ~1e10 values have a double ulp (~2e-6) wider than
+    * the scale-6 grid, so Spark's shortest-repr HALF_UP and DuckDB's
+    * binary rounding land on different cells (hit by agg_corr's Σy²).
+    * SQL twin [[sqlSumProd2]]. */
+  def dsumProd2(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 2)) * b.cast(DecimalType(18, 2)))
+      .cast(DoubleType)
+  def sqlSumProd2(a: String, b: String): String =
+    s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+
   /** Timestamps never leave a query raw (nanos/µs + naive-vs-UTC hazards):
     * emit epoch-µs longs. DuckDB twin: `epoch_us(ts)`. */
   def epochUs(c: Column): Column = unix_micros(c)

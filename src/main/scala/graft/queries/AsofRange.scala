@@ -118,6 +118,70 @@ object AsofRange {
         .orderBy("event_id")
     },
 
+    // B11-nearest: pandas merge_asof(direction='nearest') — each click
+    // matched to the same user's closest purchase in either time
+    // direction, ties to the earlier one. Both direction passes run over
+    // ONE union-tagged shuffle on user_id (two sorts, no second
+    // exchange); the oracle composes DuckDB's backward-only ASOF twice
+    // (forward = backward on negated epoch-µs) and picks the nearer.
+    Decl("join_asof_nearest",
+      """WITH pur AS (SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) AS us, event_id,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |clk AS (SELECT event_id, user_id, epoch_us(ts) AS eus
+        |        FROM events WHERE event_type = 'click'),
+        |b AS (SELECT c.event_id, p.event_id AS bk, p.us AS bus
+        |      FROM clk c ASOF LEFT JOIN pur p
+        |        ON c.user_id = p.user_id AND c.eus >= p.us),
+        |f AS (SELECT c.event_id, p.event_id AS fk, p.us AS fus
+        |      FROM clk c ASOF LEFT JOIN pur p
+        |        ON c.user_id = p.user_id AND -c.eus >= -p.us)
+        |SELECT c.event_id, c.user_id,
+        |  CASE WHEN f.fk IS NULL
+        |         OR (b.bk IS NOT NULL AND c.eus - b.bus <= f.fus - c.eus)
+        |       THEN coalesce(b.bk, -1) ELSE f.fk END AS nearest_purchase,
+        |  CASE WHEN f.fk IS NULL
+        |         OR (b.bk IS NOT NULL AND c.eus - b.bus <= f.fus - c.eus)
+        |       THEN coalesce(c.eus - b.bus, -1) ELSE f.fus - c.eus
+        |       END AS dist_us
+        |FROM clk c JOIN b ON b.event_id = c.event_id
+        |           JOIN f ON f.event_id = c.event_id
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val wDedup = Window.partitionBy("user_id", "us").orderBy("event_id")
+      val pur = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+        .select(col("user_id").as("k"), col("us"), lit(0).as("tag"),
+          col("event_id").as("pur_id"), lit(null).cast("long").as("event_id"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("us"), lit(1).as("tag"),
+          lit(null).cast("long").as("pur_id"), col("event_id"))
+      // tag 0 < tag 1 at equal ts in BOTH sort directions ⇒ an exactly
+      // coincident purchase is visible to both passes (inclusive <=/>=)
+      val wB = Window.partitionBy("k").orderBy(col("us"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("k").orderBy(col("us").desc, col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pickB = col("fk").isNull ||
+        (col("bk").isNotNull && col("us") - col("bus") <= col("fus") - col("us"))
+      pur.unionByName(clk)
+        .withColumn("bk", last(col("pur_id"), ignoreNulls = true).over(wB))
+        .withColumn("bus", last(when(col("tag") === 0, col("us")),
+          ignoreNulls = true).over(wB))
+        .withColumn("fk", last(col("pur_id"), ignoreNulls = true).over(wF))
+        .withColumn("fus", last(when(col("tag") === 0, col("us")),
+          ignoreNulls = true).over(wF))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          when(pickB, coalesce(col("bk"), lit(-1L))).otherwise(col("fk"))
+            .as("nearest_purchase"),
+          when(pickB, coalesce(col("us") - col("bus"), lit(-1L)))
+            .otherwise(col("fus") - col("us")).as("dist_us"))
+        .orderBy("event_id")
+    },
+
     // B12: for each error event, clicks by the same user in the
     // preceding 10 minutes (events self range join, bucketed).
     Decl("join_range",

@@ -202,6 +202,25 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** (doc_id, simhash, band, bval): 60-bit SimHash signature computed
+    * per-row by the fused SimHash60 kernel, expanded to its 4 15-bit
+    * band buckets. Factored out so PlanShapeSpec can audit the
+    * signature stage (the checkpoint inside the candidate stage
+    * truncates lineage and hides it from the whole-query plan). */
+  private[graft] def simhashBanded(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .withColumn("ths",
+        transform(array_distinct(split(col("text"), " ")), t => sha60(t)))
+      .select(col("doc_id"),
+        graft.functions.HashSig.simhash60(col("ths")).as("simhash"))
+    sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${15 * b}) & 32767").as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+  }
+
   /** One min-label-propagation round, message-passing style: every
     * vertex sends its label along its edges, then takes the min over
     * {own label} ∪ {received labels} — one equi-join plus one
@@ -374,17 +393,7 @@ object Dedup {
       // them, while the oracle's equi-join drops NULL keys — mirror
       // dedup_near's explicit filter (see its docs CTE).
       val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      val sig = docs
-        .withColumn("ths",
-          transform(array_distinct(split(col("text"), " ")), t => sha60(t)))
-        .select(col("doc_id"),
-          graft.functions.HashSig.simhash60(col("ths")).as("simhash"))
-      val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            expr(s"(simhash >> ${15 * b}) & 32767").as("bval"))): _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"),
-          col("bb.band").as("band"), col("bb.bval").as("bval"))
+      val banded = simhashBanded(docs)
       // bucket-grouping, as in dedup_near: one shuffle, no self-join;
       // oversized buckets take the self-join path (splitBuckets).
       val (smallB, bigB) = splitBuckets(banded, Seq("band", "bval"))

@@ -372,6 +372,114 @@ object Relational {
         sum(when(st <=> "O", 1L).otherwise(0L)).as("eq_o"))
     },
 
+    // B: melt/unpivot (dask `dd.melt`) — wide measure columns to long
+    // (measure, val) rows. Narrow before widening: only the id + measure
+    // columns are scanned (pruned ReadSchema), and the 3× row expansion
+    // happens after the filter.
+    Decl("unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey < 200)
+        |UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin) { (s, d) =>
+      // val joins the sort key: (l_orderkey, l_linenumber) is NOT unique
+      // in this data, so the measure rows of the duplicates interleave
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")
+    },
+
+    // B: ordered string aggregation (dask `groupby().agg(list)` /
+    // pandas str join idiom). collect_set is shuffle-order-nondeterministic,
+    // so the set is sorted before joining — both engines emit the same
+    // canonical string.
+    Decl("agg_string_concat",
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // B: Pearson correlation + sample covariance (dask `df.corr`/`df.cov`)
+    // from exact decimal power sums. Built-in corr() reduces doubles in
+    // partition order (engine-dependent bits); the five sums here are
+    // order-independent decimals, and the final double formula is the
+    // identical expression tree on both engines, so the result is
+    // bit-exact without rounding.
+    Decl("agg_corr", {
+      val formula = "(cnt * sxy - sx * sy)"
+      s"""WITH s AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS cnt,
+         |    ${sqlSum("l_quantity")} AS sx,
+         |    ${sqlSum("l_extendedprice")} AS sy,
+         |    ${sqlSumProd2("l_quantity", "l_extendedprice")} AS sxy,
+         |    ${sqlSumProd2("l_quantity", "l_quantity")} AS sxx,
+         |    ${sqlSumProd2("l_extendedprice", "l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  $formula / (sqrt(cnt * sxx - sx * sx) * sqrt(cnt * syy - sy * sy))
+         |    AS corr_qty_price,
+         |  $formula / (cnt * (cnt - 1.0)) AS covar_samp,
+         |  CAST(cnt AS BIGINT) AS n
+         |FROM s ORDER BY l_returnflag""".stripMargin
+    }) { (s, d) =>
+      val cnt = col("cnt").cast(DoubleType)
+      val num = cnt * col("sxy") - col("sx") * col("sy")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsumProd2(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+          dsumProd2(col("l_quantity"), col("l_quantity")).as("sxx"),
+          dsumProd2(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
+        .select(col("l_returnflag"),
+          (num / (sqrt(cnt * col("sxx") - col("sx") * col("sx")) *
+            sqrt(cnt * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          (num / (cnt * (cnt - lit(1.0)))).as("covar_samp"),
+          col("cnt").as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // B-scale: explicit salted join — the skew mitigation for a fact⋈fact
+    // join with a hot key: the probe side gets a deterministic salt, the
+    // build side is replicated once per salt value, and the join key
+    // becomes (key, salt) so one hot key spreads over R partitions. The
+    // oracle is the plain join — salting must not change the result.
+    Decl("join_skew_salted",
+      s"""SELECT o_orderpriority, ${sqlSum(revenueExpr)} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val R = 8
+      val li = Tables.lineitem(s, d)
+        .withColumn("lsalt", pmod(col("l_linenumber"), lit(R)))
+      val ord = Tables.orders(s, d)
+        .withColumn("osalt", explode(array((0 until R).map(lit): _*)))
+      li.join(ord,
+          col("l_orderkey") === col("o_orderkey") && col("lsalt") === col("osalt"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // B30: CASE WHEN / coalesce / nullif null handling.
     Decl("conditional",
       """SELECT o_orderkey,

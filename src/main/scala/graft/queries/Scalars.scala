@@ -251,6 +251,50 @@ object Scalars {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("bucket_lo")
+    },
+
+    // B26b: bitwise scalar ops (numpy `&|^<<>>` ufunc surface). Shifts
+    // are masked first so ANSI mode can't overflow; DuckDB's `^` is
+    // POWER, so its xor is the xor() function.
+    Decl("scalar_bitwise",
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 4096 AS b_or,
+        |  xor(event_id, 255) AS b_xor,
+        |  (event_id & 255) << 3 AS b_shl,
+        |  event_id >> 4 AS b_shr,
+        |  bit_count(event_id) AS b_cnt
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+          expr("event_id & 255").as("b_and"),
+          expr("event_id | 4096").as("b_or"),
+          expr("event_id ^ 255").as("b_xor"),
+          shiftleft(expr("event_id & 255"), 3).as("b_shl"),
+          shiftright(col("event_id"), 4).as("b_shr"),
+          bit_count(col("event_id")).as("b_cnt"))
+        .orderBy("event_id")
+    },
+
+    // B: struct (record) columns — construction, field access, arrays of
+    // structs (the reference's pandas-object nested rows, first-class
+    // here; SURVEY §1.1). All outputs unwrap to primitives so the driver
+    // hash sees no nested types.
+    Decl("scalar_struct",
+      """SELECT o_orderkey,
+        |  (struct_pack(st := o_orderstatus, price := o_totalprice)).st
+        |    AS s_status,
+        |  (struct_pack(st := o_orderstatus, price := o_totalprice)).price
+        |    * 2.0 AS s_price2,
+        |  ([struct_pack(p := o_totalprice)])[1].p AS arr_struct_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val rec = struct(col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+      Tables.orders(s, d).select(col("o_orderkey"),
+          rec.getField("st").as("s_status"),
+          (rec.getField("price") * 2.0).as("s_price2"),
+          element_at(array(struct(col("o_totalprice").as("p"))), 1)
+            .getField("p").as("arr_struct_price"))
+        .orderBy("o_orderkey")
     }
   )
 }

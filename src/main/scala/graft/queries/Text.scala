@@ -248,6 +248,26 @@ object Text {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("lang", "source")
+    },
+
+    // C: edit distance between adjacent part names — levenshtein is the
+    // same DP algorithm in both engines, so the distances are exact.
+    // Pairing by p_partkey + 1 keeps candidates linear (the blocking
+    // discipline every text-similarity op here follows).
+    Decl("text_edit_distance",
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  levenshtein(a.p_name, b.p_name) AS lev,
+        |  length(a.p_name) AS len1, length(b.p_name) AS len2
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY k1""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d)
+      p.select(col("p_partkey").as("k1"), col("p_name").as("n1"))
+        .join(p.select(col("p_partkey").as("k2"), col("p_name").as("n2")),
+          col("k2") === col("k1") + 1)
+        .select(col("k1"), col("k2"),
+          levenshtein(col("n1"), col("n2")).as("lev"),
+          length(col("n1")).as("len1"), length(col("n2")).as("len2"))
+        .orderBy("k1")
     }
   )
 }

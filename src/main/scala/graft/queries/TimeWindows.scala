@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over the `events` stream table (SURVEY.md §2
@@ -82,6 +83,60 @@ object TimeWindows {
         .select(col("user_id"), epochUs(col("smin")).as("session_start"),
           epochUs(col("smax")).as("session_end"), col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // B-resample: pandas/dask `resample('1h').sum().ffill()` — a dense
+    // hourly grid per event_type over a fixed 2-day span, left-joined
+    // with the hourly aggregate, empty buckets forward-filled from the
+    // last observed hour via last(_, ignoreNulls) (leading gaps → -1).
+    // Scale: grid = distinct keys × 48 rows (tiny, broadcast side of the
+    // join); the fact side is one partial+final aggregate.
+    Decl("time_resample_ffill", {
+      val startUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
+        .toEpochMilli * 1000L
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_us(ts) AS us, value FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+         |    AND ts < TIMESTAMP '2024-01-07 00:00:00'),
+         |agg AS (
+         |  SELECT event_type, (us // $HourUs) * $HourUs AS bucket_us,
+         |    ${sqlSum("value")} AS v, COUNT(*) AS n_ev
+         |  FROM ev GROUP BY event_type, bucket_us),
+         |grid AS (
+         |  SELECT t.event_type, $startUs + k.k * $HourUs AS bucket_us
+         |  FROM (SELECT DISTINCT event_type FROM ev) t,
+         |       UNNEST(range(0, 48)) AS k(k))
+         |SELECT g.event_type, g.bucket_us,
+         |  coalesce(a.n_ev, 0) AS n_ev,
+         |  coalesce(last_value(a.v IGNORE NULLS) OVER (
+         |    PARTITION BY g.event_type ORDER BY g.bucket_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+         |    AS ffilled_sum
+         |FROM grid g LEFT JOIN agg a
+         |  ON a.event_type = g.event_type AND a.bucket_us = g.bucket_us
+         |ORDER BY g.event_type, g.bucket_us""".stripMargin
+    }) { (s, d) =>
+      val startUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
+        .toEpochMilli * 1000L
+      val ev = Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+        .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      val hourAgg = ev
+        .groupBy(col("event_type"),
+          expr(s"(us DIV $HourUs) * $HourUs").as("bucket_us"))
+        .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_ev"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(s.range(48)
+          .select((lit(startUs) + col("id") * HourUs).as("bucket_us")))
+      val w = Window.partitionBy("event_type").orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourAgg, Seq("event_type", "bucket_us"), "left")
+        .select(col("event_type"), col("bucket_us"),
+          coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+          coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1.0))
+            .as("ffilled_sum"))
+        .orderBy("event_type", "bucket_us")
     }
   )
 }

@@ -175,6 +175,81 @@ object Windows {
         .filter(col("vec_id") < 5)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
         .orderBy("vec_id", "pos")
+    },
+
+    // B14b: distribution ranking — ntile / percent_rank / cume_dist
+    // (pandas `qcut`/`rank(pct=True)` surface). The ratios are integer
+    // counts divided per the SQL-standard formulas, so the doubles are
+    // bit-identical across engines without rounding.
+    Decl("window_ntile",
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // B: mode / argmax-per-group (pandas `value_counts().idxmax()`) —
+    // deterministic tie-break: highest count first, then smallest value.
+    Decl("agg_mode",
+      """SELECT l_returnflag, l_linestatus AS mode_status, n FROM (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY COUNT(*) DESC, l_linestatus) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_linestatus"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus").as("mode_status"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // B31b: EXACT median per group (pandas `median`). Built-in median /
+    // percentile interpolate with engine-specific formulas ((a+b)/2 vs
+    // a+0.5*(b-a) differ in the last bit), so the middle one or two rows
+    // are picked by row_number and averaged through the decimal-exact
+    // sum/count path — the same davg/sqlAvg contract as everywhere else.
+    Decl("agg_median",
+      s"""WITH r AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders)
+         |SELECT o_orderpriority,
+         |  ${sqlSum("o_totalprice")} / COUNT(*) AS median_price,
+         |  CAST(MAX(n) AS BIGINT) AS n_rows
+         |FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      val wAll = Window.partitionBy("o_orderpriority")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"))
+        .groupBy("o_orderpriority")
+        .agg(davg(col("o_totalprice")).as("median_price"),
+          max(col("n")).as("n_rows"))
+        .orderBy("o_orderpriority")
     }
   )
 }

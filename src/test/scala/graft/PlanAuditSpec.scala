@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "cross_join", "sim_topk_cosine", "sim_ann_lsh", "sim_ann_ivf",
     "multimodal_join", "knn_classify", "watermark_late", "streaming_dedup",
     "text_tfidf", "null_handling",
-    "dedup_near_keep") // broadcast single-row max-cluster agg
+    "dedup_near_keep", // broadcast single-row max-cluster agg
+    "time_resample_ffill") // distinct-keys × 48-bucket grid cross (tiny)
 
   private val maxShuffles = 6
 

@@ -89,13 +89,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(big == Long.MaxValue * 3L + 7L)
   }
 
-  test("dedup_near: fused kernel once, bucket-group instead of self-join") {
+  test("dedup_near: fused kernel once, shuffle-free signature stage") {
+    // the banded frame is checkpointed inside nearDupPairs (so the
+    // pipeline runs once across the size-split branches), which
+    // truncates lineage — audit the signature stage on its own plan
+    val sigPlan = queries.Dedup.bands(queries.Dedup.sigArray(
+        Tables.documents(spark, sf)))
+      .queryExecution.executedPlan.toString
+    assert(sigPlan.contains("minhash_sig"),
+      "signature stage must use the fused MinHashSig kernel")
+    assert(!sigPlan.contains("Exchange hash"),
+      s"signature stage must be a pure map — no shuffle:\n${sigPlan.take(1200)}")
+    // small buckets expand in-bucket (collect_list), never via a
+    // key-only self-join of the full band table
     val plan = SparkEntry.queries("dedup_near")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("minhash_sig"),
-      "signature stage must use the fused MinHashSig kernel")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      s"candidate generation must group buckets, not shuffle-join bands:\n" +
+    assert(plan.contains("collect_list"),
+      s"small-bucket candidates must come from grouped expansion:\n" +
         plan.take(1200))
   }
 
@@ -118,12 +128,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("dedup_simhash: per-row fused signature, no token-table shuffle join") {
+    val sigPlan = queries.Dedup.simhashBanded(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(sigPlan.contains("simhash60"),
+      "signature stage must use the fused SimHash60 kernel")
+    assert(!sigPlan.contains("Exchange hash"),
+      s"signature stage must be a pure map — no shuffle:\n${sigPlan.take(1200)}")
     val plan = SparkEntry.queries("dedup_simhash")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("simhash60"),
-      "signature stage must use the fused SimHash60 kernel")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      s"candidate generation must group buckets, not shuffle-join bands:\n" +
+    assert(plan.contains("collect_list"),
+      s"small-bucket candidates must come from grouped expansion:\n" +
         plan.take(1200))
   }
 
