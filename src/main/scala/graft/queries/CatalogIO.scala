@@ -163,8 +163,12 @@ object CatalogIO {
         |ORDER BY o_year""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
       Catalog.once(s, d, path) {
+        // repartition on the partition column first: without it every
+        // task writes a sliver into every year directory (tasks × years
+        // small files — the classic partitioned-write mistake at scale)
         Tables.orders(s, d)
           .withColumn("o_year", year(col("o_orderdate")))
+          .repartition(col("o_year"))
           .write.mode("overwrite").partitionBy("o_year").parquet(path)
       }
       s.read.parquet(path).select("o_year").distinct().orderBy("o_year")
@@ -177,8 +181,12 @@ object CatalogIO {
          |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
       Catalog.once(s, d, path) {
+        // repartition on the partition column first: without it every
+        // task writes a sliver into every year directory (tasks × years
+        // small files — the classic partitioned-write mistake at scale)
         Tables.orders(s, d)
           .withColumn("o_year", year(col("o_orderdate")))
+          .repartition(col("o_year"))
           .write.mode("overwrite").partitionBy("o_year").parquet(path)
       }
       s.read.parquet(path)

@@ -468,9 +468,11 @@ object Relational {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       val R = 8
       val li = Tables.lineitem(s, d)
-        .withColumn("lsalt", pmod(col("l_linenumber"), lit(R)))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          pmod(col("l_linenumber"), lit(R)).as("lsalt"))
       val ord = Tables.orders(s, d)
-        .withColumn("osalt", explode(array((0 until R).map(lit): _*)))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(array((0 until R).map(lit): _*)).as("osalt"))
       li.join(ord,
           col("l_orderkey") === col("o_orderkey") && col("lsalt") === col("osalt"))
         .groupBy("o_orderpriority")

@@ -242,6 +242,7 @@ object Windows {
         .orderBy("o_totalprice", "o_orderkey")
       val wAll = Window.partitionBy("o_orderpriority")
       Tables.orders(s, d)
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("n", count(lit(1)).over(wAll))
         .filter(col("rn") === expr("(n + 1) div 2")
