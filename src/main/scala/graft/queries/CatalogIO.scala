@@ -99,6 +99,28 @@ object CatalogIO {
         .orderBy("l_returnflag")
     },
 
+    // A5b: plain-text line scan (spark.read.text) — round-trip of the
+    // document bodies as one line per doc; the newline guard keeps the
+    // line count identical on both engines.
+    Decl("scan_text",
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+        |  MIN(len(text)) AS min_len, MAX(len(text)) AS max_len
+        |FROM documents
+        |WHERE text IS NOT NULL AND NOT contains(text, chr(10))""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "documents_text")
+      Catalog.once(s, d, path) {
+        Tables.documents(s, d)
+          .filter(col("text").isNotNull && !col("text").contains("\n"))
+          .select("text").write.mode("overwrite").text(path)
+      }
+      s.read.text(path)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("total_chars"),
+          min(length(col("value"))).as("min_len"),
+          max(length(col("value"))).as("max_len"))
+    },
+
     // A6: JSON-lines scan.
     Decl("scan_jsonl",
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars

@@ -32,7 +32,58 @@ object Udx {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** One (score, key) candidate for [[TopK]]. Field order = udaf call
+    * argument order. */
+  case class Scored(score: Double, key: Long)
+
+  /** Bounded per-group top-k as a true AGGREGATE. The window
+    * `row_number() <= k` formulation fully sorts every partition of
+    * every group before discarding all but k rows; this buffer keeps at
+    * most k entries, reduces in O(k) per row, and — being an aggregate —
+    * gets map-side partial combine for free, so only ≤ k rows per group
+    * per partition ever reach the shuffle. That is the top-k-per-key
+    * plan that survives 100 TB. Total order (score DESC, key ASC) makes
+    * the result deterministic; the oracle is the window formulation. */
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.key < b.key)
+    // buffer invariant: sorted by `better`, size ≤ k
+    private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {
+      val i = buf.indexWhere(e => better(x, e))
+      if (i < 0) { if (buf.size < k) buf :+ x else buf }
+      else ((buf.take(i) :+ x) ++ buf.drop(i)).take(k)
+    }
+    def zero: Seq[Scored] = Vector.empty
+    def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] = insert(buf, x)
+    def merge(l: Seq[Scored], r: Seq[Scored]): Seq[Scored] =
+      r.foldLeft(l)(insert)
+    def finish(b: Seq[Scored]): Seq[Scored] = b
+    def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   def decls: Seq[Decl] = Seq(
+
+    // B34b + B18-at-scale: top-3 orders per customer via the bounded
+    // TopK aggregate instead of a window sort (see [[TopK]]).
+    Decl("window_topk_agg",
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val tk = udaf(new TopK(3), Encoders.product[Scored])
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), (col("pos") + 1).as("rn"),
+          col("t.key").as("o_orderkey"), col("t.score").as("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
 
     // B33: scalar UDF — whitespace token count per document.
     Decl("udf_token_count",

@@ -32,6 +32,32 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     orders.unpersist()
   }
 
+  test("TopK aggregate == window row_number formulation, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    samples(Gen.choose(1, 7), 4).foreach { k =>
+      val viaWindow = orders
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("o_custkey", "rn", "o_orderkey")
+        .collect().map(_.toSeq).toSet
+      Seq(1, 13).foreach { np =>
+        val tk = udaf(new queries.Udx.TopK(k),
+          org.apache.spark.sql.Encoders.product[queries.Udx.Scored])
+        val viaAgg = orders.repartition(np)
+          .groupBy("o_custkey")
+          .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("o_custkey"), (col("pos") + 1).as("rn"),
+            col("t.key").as("o_orderkey"))
+          .collect().map(_.toSeq).toSet
+        assert(viaAgg == viaWindow, s"k=$k np=$np")
+      }
+    }
+  }
+
   test("dedup is idempotent and bounded for arbitrary column subsets") {
     val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
     val li = Tables.lineitem(spark, sf).select(cols.map(col): _*).cache()
