@@ -108,6 +108,43 @@ object Udx {
         .orderBy("lang")
     },
 
+    // B: groupby().apply — dask/pandas' arbitrary-function-per-group,
+    // as a typed mapGroups over KeyValueGroupedDataset: each customer's
+    // orders arrive as one iterator, the closure computes the largest
+    // gap between consecutive orders. Same contract as the reference:
+    // ONE GROUP must fit in memory (the group, not the partition) —
+    // fine for per-key cardinalities, never used for global state.
+    // The oracle proves the closure result is reproducible relationally.
+    Decl("group_apply",
+      """WITH g AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS us,
+        |    lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  COALESCE(MAX(us - prev), -1) AS max_gap_us
+        |FROM g GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // o_orderdate is TIMESTAMP_NTZ; the NTZ→TIMESTAMP cast reads the
+      // session timezone, so pin UTC to make naive-as-UTC epoch µs ==
+      // DuckDB's epoch_us of the naive value (same shim as Tables.events)
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+          col("o_orderkey"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val sorted = it.toArray.sortBy(t => (t._2, t._3))
+          val gaps = sorted.iterator.sliding(2).withPartial(false)
+            .map(w => w(1)._2 - w(0)._2).toSeq
+          (k, sorted.length.toLong, if (gaps.isEmpty) -1L else gaps.max)
+        }
+        .toDF("o_custkey", "n_orders", "max_gap_us")
+        .orderBy("o_custkey")
+    },
+
     // B35: UDTF — one-to-many row expansion via typed flatMap (tokens per
     // doc), then a distributed count by language.
     Decl("udtf_tokens",

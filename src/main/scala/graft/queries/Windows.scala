@@ -177,6 +177,31 @@ object Windows {
         .orderBy("vec_id", "pos")
     },
 
+    // B16b: positional window values — first/last/nth over the full
+    // partition frame (pandas `groupby().first()/last()/nth()` surface).
+    Decl("window_nth",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ord,
+        |  last_value(o_orderkey) OVER w AS last_ord,
+        |  coalesce(nth_value(o_orderkey, 2) OVER w, -1) AS second_ord
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ord"),
+          last(col("o_orderkey")).over(w).as("last_ord"),
+          coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L))
+            .as("second_ord"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // B14b: distribution ranking — ntile / percent_rank / cume_dist
     // (pandas `qcut`/`rank(pct=True)` surface). The ratios are integer
     // counts divided per the SQL-standard formulas, so the doubles are
