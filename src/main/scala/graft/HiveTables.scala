@@ -23,19 +23,28 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object HiveTables {
 
+  // backtick-quote identifiers: the reference passes raw strings to the
+  // metastore client, so a dotted or spaced name must not be re-parsed
+  // as a multi-part reference here (dask_hivemetastore core.py)
+  private def q(id: String) = "`" + id.replace("`", "``") + "`"
+
   /** Load a catalog table as a lazy DataFrame, with optional filters
     * (partition-key predicates prune at the metastore/file-index level;
     * other predicates push down to the scan). */
   def table(spark: SparkSession, database: String, name: String,
-      filters: Seq[Column] = Nil): DataFrame = {
-    // backtick-quote both identifiers: the reference passes raw strings
-    // to the metastore client, so a dotted or spaced name must not be
-    // re-parsed as a multi-part reference here (dask_hivemetastore
-    // core.py table_to_dask)
-    def q(id: String) = "`" + id.replace("`", "``") + "`"
+      filters: Seq[Column] = Nil): DataFrame =
     filters.foldLeft(spark.table(s"${q(database)}.${q(name)}"))(
       (df, f) => df.filter(f))
-  }
+
+  /** Register an external table over existing files from a FieldSchema-
+    * shaped (column name, Hive type string) list — the write direction
+    * of the reference's metastore model (its StorageDescriptor carries
+    * exactly these strings; graft.HiveTypes is the §1.2 type map). */
+  def createExternal(spark: SparkSession, database: String, name: String,
+      cols: Seq[(String, String)], location: String,
+      format: String = "parquet"): DataFrame =
+    spark.catalog.createTable(s"${q(database)}.${q(name)}", source = format,
+      schema = HiveTypes.schemaOf(cols), options = Map("path" -> location))
 
   /** List a database's tables (the reference's `get_all_tables`). */
   def tables(spark: SparkSession, database: String): Seq[String] =
