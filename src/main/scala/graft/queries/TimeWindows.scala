@@ -91,21 +91,8 @@ object TimeWindows {
     // last observed hour via last(_, ignoreNulls) (leading gaps → -1).
     // Scale: grid = distinct keys × 48 rows (tiny, broadcast side of the
     // join); the fact side is one partial+final aggregate.
-    Decl("time_resample_ffill", {
-      val startUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
-        .toEpochMilli * 1000L
-      s"""WITH ev AS (
-         |  SELECT event_type, epoch_us(ts) AS us, value FROM events
-         |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
-         |    AND ts < TIMESTAMP '2024-01-07 00:00:00'),
-         |agg AS (
-         |  SELECT event_type, (us // $HourUs) * $HourUs AS bucket_us,
-         |    ${sqlSum("value")} AS v, COUNT(*) AS n_ev
-         |  FROM ev GROUP BY event_type, bucket_us),
-         |grid AS (
-         |  SELECT t.event_type, $startUs + k.k * $HourUs AS bucket_us
-         |  FROM (SELECT DISTINCT event_type FROM ev) t,
-         |       UNNEST(range(0, 48)) AS k(k))
+    Decl("time_resample_ffill",
+      s"""WITH $sqlGridCtes
          |SELECT g.event_type, g.bucket_us,
          |  coalesce(a.n_ev, 0) AS n_ev,
          |  coalesce(last_value(a.v IGNORE NULLS) OVER (
@@ -114,29 +101,103 @@ object TimeWindows {
          |    AS ffilled_sum
          |FROM grid g LEFT JOIN agg a
          |  ON a.event_type = g.event_type AND a.bucket_us = g.bucket_us
-         |ORDER BY g.event_type, g.bucket_us""".stripMargin
-    }) { (s, d) =>
-      val startUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
-        .toEpochMilli * 1000L
-      val ev = Tables.events(s, d)
-        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp")
-          && col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
-        .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
-      val hourAgg = ev
-        .groupBy(col("event_type"),
-          expr(s"(us DIV $HourUs) * $HourUs").as("bucket_us"))
-        .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_ev"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(s.range(48)
-          .select((lit(startUs) + col("id") * HourUs).as("bucket_us")))
+         |ORDER BY g.event_type, g.bucket_us""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("event_type").orderBy("bucket_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourAgg, Seq("event_type", "bucket_us"), "left")
+      hourlyGrid(s, d)
         .select(col("event_type"), col("bucket_us"),
           coalesce(col("n_ev"), lit(0L)).as("n_ev"),
           coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1.0))
             .as("ffilled_sum"))
         .orderBy("event_type", "bucket_us")
+    },
+
+    // B-resample-interp: pandas `resample().interpolate()` — missing
+    // buckets get the linear interpolation between the nearest observed
+    // hours on either side; edges with no neighbor stay -1. The
+    // interpolation arithmetic is the IDENTICAL double expression tree
+    // on both engines (anchor values are decimal-exact sums, the
+    // weight is a ratio of exact integers), so no rounding is needed.
+    Decl("time_resample_interp",
+      s"""WITH $sqlGridCtes,
+         |win AS (
+         |  SELECT g.event_type, g.bucket_us, a.v,
+         |    last_value(a.v IGNORE NULLS) OVER wp AS pv,
+         |    last_value(CASE WHEN a.v IS NOT NULL THEN g.bucket_us END
+         |               IGNORE NULLS) OVER wp AS pt,
+         |    first_value(a.v IGNORE NULLS) OVER wn AS nv,
+         |    first_value(CASE WHEN a.v IS NOT NULL THEN g.bucket_us END
+         |                IGNORE NULLS) OVER wn AS nt
+         |  FROM grid g LEFT JOIN agg a
+         |    ON a.event_type = g.event_type AND a.bucket_us = g.bucket_us
+         |  WINDOW
+         |    wp AS (PARTITION BY g.event_type ORDER BY g.bucket_us
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY g.event_type ORDER BY g.bucket_us
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, bucket_us,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pv IS NULL OR nv IS NULL THEN -1.0
+         |       ELSE pv + (nv - pv) *
+         |         (CAST(bucket_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         |  END AS interp_sum
+         |FROM win ORDER BY event_type, bucket_us""".stripMargin) { (s, d) =>
+      val wp = Window.partitionBy("event_type").orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("event_type").orderBy("bucket_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsT = when(col("v").isNotNull, col("bucket_us"))
+      hourlyGrid(s, d)
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pt", last(obsT, ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("nt", first(obsT, ignoreNulls = true).over(wn))
+        .select(col("event_type"), col("bucket_us"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull || col("nv").isNull, lit(-1.0))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("bucket_us") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+            .as("interp_sum"))
+        .orderBy("event_type", "bucket_us")
     }
   )
+
+  private val GridStartUs = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    .toEpochMilli * 1000L
+  private val GridHours = 48
+
+  /** Shared resample scaffold: (event_type, bucket_us, v, n_ev) — the
+    * dense hourly grid left-joined with the hourly decimal-exact
+    * aggregate; v/n_ev are NULL on empty buckets. DuckDB twin CTEs in
+    * [[sqlGridCtes]]. */
+  private def hourlyGrid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+    val hourAgg = ev
+      .groupBy(col("event_type"),
+        expr(s"(us DIV $HourUs) * $HourUs").as("bucket_us"))
+      .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_ev"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(s.range(GridHours)
+        .select((lit(GridStartUs) + col("id") * HourUs).as("bucket_us")))
+    grid.join(hourAgg, Seq("event_type", "bucket_us"), "left")
+  }
+
+  private def sqlGridCtes: String =
+    s"""ev AS (
+       |  SELECT event_type, epoch_us(ts) AS us, value FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+       |    AND ts < TIMESTAMP '2024-01-07 00:00:00'),
+       |agg AS (
+       |  SELECT event_type, (us // $HourUs) * $HourUs AS bucket_us,
+       |    ${sqlSum("value")} AS v, COUNT(*) AS n_ev
+       |  FROM ev GROUP BY event_type, bucket_us),
+       |grid AS (
+       |  SELECT t.event_type, $GridStartUs + k.k * $HourUs AS bucket_us
+       |  FROM (SELECT DISTINCT event_type FROM ev) t,
+       |       UNNEST(range(0, $GridHours)) AS k(k))""".stripMargin
 }
