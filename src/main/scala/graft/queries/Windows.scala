@@ -202,6 +202,30 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // B23b: null-preserving unnest — rows with empty arrays survive as
+    // (pos, val) = NULL, pandas `explode`'s actual semantics (plain
+    // explode drops them). Array lengths 0/1/2 are minted from vec_id
+    // so the empty case is genuinely exercised; NULLS FIRST is explicit
+    // because the engines' default null order differs.
+    Decl("explode_outer",
+      """WITH src AS (
+        |  SELECT vec_id, embedding[1:CAST(vec_id % 3 AS INTEGER)] AS arr
+        |  FROM embeddings WHERE vec_id < 30)
+        |SELECT vec_id, generate_subscripts(arr, 1) - 1 AS pos,
+        |  unnest(arr) AS val
+        |FROM src WHERE len(arr) > 0
+        |UNION ALL
+        |SELECT vec_id, NULL, NULL FROM src WHERE len(arr) = 0
+        |ORDER BY vec_id, pos NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 30)
+        .select(col("vec_id"),
+          expr("slice(embedding, 1, CAST(vec_id % 3 AS INT))").as("arr"))
+        .select(col("vec_id"),
+          posexplode_outer(col("arr")).as(Seq("pos", "val")))
+        .orderBy(col("vec_id"), col("pos").asc_nulls_first)
+    },
+
     // B14b: distribution ranking — ntile / percent_rank / cume_dist
     // (pandas `qcut`/`rank(pct=True)` surface). The ratios are integer
     // counts divided per the SQL-standard formulas, so the doubles are
