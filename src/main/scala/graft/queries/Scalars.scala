@@ -234,6 +234,34 @@ object Scalars {
         .orderBy("lang")
     },
 
+    // B32c: deterministic train/valid/test split — THE dataset-prep
+    // primitive: assignment is a pure function of the row key (salted so
+    // it is independent of the `sample` gate), so it is reproducible
+    // across runs, engines, partitionings, and re-shards; per-language
+    // counts audit stratification drift.
+    Decl("split_train_test",
+      """WITH tagged AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN (CAST(('0x' || substr(sha256('split' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 80
+        |         THEN 'train'
+        |         WHEN (CAST(('0x' || substr(sha256('split' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 90
+        |         THEN 'valid' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM tagged GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, d) =>
+      import graft.functions.XHash.sha60
+      val gate = sha60(concat(lit("split"), col("doc_id").cast(StringType))) % 100
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(gate < 80, "train").when(gate < 90, "valid").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "split")
+    },
+
     // Corpus length histogram — doc-length distribution in fixed-width
     // buckets (the standard pre-training length diagnostic). Integer
     // bucket math only, so the oracle is exact.

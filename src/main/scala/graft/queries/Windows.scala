@@ -226,6 +226,52 @@ object Windows {
         .orderBy(col("vec_id"), col("pos").asc_nulls_first)
     },
 
+    // B31c: EXACT type-7 quartiles per group (pandas `quantile`'s
+    // default). Built-in percentile interpolates with engine-specific
+    // double formulas, so the anchors are picked by row_number and the
+    // interpolation `v_lo + (v_hi - v_lo) * frac` is the identical
+    // expression tree on both engines; frac ∈ {0,.25,.5,.75} is exact
+    // binary, so the quartiles are bit-exact without rounding.
+    Decl("agg_percentiles", {
+      def q(k: Int, alias: String) =
+        s"""max(CASE WHEN i = ((n - 1) * $k) // 4 THEN v END) +
+           |  (max(CASE WHEN i = least(((n - 1) * $k) // 4 + 1, n - 1)
+           |       THEN v END) -
+           |   max(CASE WHEN i = ((n - 1) * $k) // 4 THEN v END)) *
+           |  max(CAST(((n - 1) * $k) % 4 AS DOUBLE) / 4.0) AS $alias""".stripMargin
+      s"""WITH r AS (
+         |  SELECT o_orderpriority, o_totalprice AS v,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice, o_orderkey) - 1 AS i,
+         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders)
+         |SELECT o_orderpriority,
+         |  ${q(1, "p25")},
+         |  ${q(2, "p50")},
+         |  ${q(3, "p75")},
+         |  CAST(MAX(n) AS BIGINT) AS n_rows
+         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    }) { (s, d) =>
+      val wOrd = Window.partitionBy("o_orderpriority")
+        .orderBy("v", "o_orderkey")
+      val wAll = Window.partitionBy("o_orderpriority")
+      def q(k: Int) = expr(
+        s"""max(CASE WHEN i = ((n - 1) * $k) div 4 THEN v END) +
+           |  (max(CASE WHEN i = least(((n - 1) * $k) div 4 + 1, n - 1)
+           |       THEN v END) -
+           |   max(CASE WHEN i = ((n - 1) * $k) div 4 THEN v END)) *
+           |  max(CAST(((n - 1) * $k) % 4 AS DOUBLE) / 4.0)""".stripMargin)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice").as("v"),
+          col("o_orderkey"))
+        .withColumn("i", row_number().over(wOrd) - 1)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("o_orderpriority")
+        .agg(q(1).as("p25"), q(2).as("p50"), q(3).as("p75"),
+          max(col("n")).as("n_rows"))
+        .orderBy("o_orderpriority")
+    },
+
     // B14b: distribution ranking — ntile / percent_rank / cume_dist
     // (pandas `qcut`/`rank(pct=True)` surface). The ratios are integer
     // counts divided per the SQL-standard formulas, so the doubles are
