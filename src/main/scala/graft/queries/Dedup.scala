@@ -191,8 +191,18 @@ object Dedup {
         Seq("band", "bhash"))
       .filter(col("da") < col("db"))
       .select(col("da").as("d1"), col("db").as("d2"))
-    val cand = smallPairs.unionByName(bigPairs).distinct()
+    // pairs checkpointed: candIds and the verify join both read them
+    val cand = smallPairs.unionByName(bigPairs).distinct().localCheckpoint()
+    // the verify stage only needs shingles for docs that appear in a
+    // candidate pair — semi-join the corpus down FIRST (candidates ≪
+    // corpus on a real dataset), materialize just that slice, and feed
+    // both join sides from it. Without this, each differently-aliased
+    // join side re-tokenizes and re-shingles the whole corpus.
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     val sh = withShingles(docs).select("doc_id", "sh")
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     cand
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
