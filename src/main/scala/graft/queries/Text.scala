@@ -250,6 +250,28 @@ object Text {
         .orderBy("lang", "source")
     },
 
+    // C: text normalization — the standard cleaning step before hashing
+    // or tokenizing: lowercase, strip non-alphanumerics, collapse runs
+    // of spaces, trim. The regex class is deliberately dialect-neutral
+    // (both engines agree on [^a-z0-9 ] and ' +'); DuckDB needs the 'g'
+    // flag where Spark replaces globally by default.
+    Decl("text_normalize",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+        |  len(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), norm.as("norm"),
+          length(norm).as("n_chars_norm"))
+        .orderBy("doc_id")
+    },
+
     // C: edit distance between adjacent part names — levenshtein is the
     // same DP algorithm in both engines, so the distances are exact.
     // Pairing by p_partkey + 1 keeps candidates linear (the blocking
