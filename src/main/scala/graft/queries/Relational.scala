@@ -456,6 +456,28 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // B: argmax/argmin per group (pandas `idxmax`, SQL max_by) — via
+    // lexicographic MAX over a (score, key) struct, which both engines
+    // order identically; built-in max_by leaves ties unspecified, the
+    // struct makes the tie-break (higher key wins) part of the value.
+    Decl("agg_argmax",
+      """SELECT o_custkey,
+        |  (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k
+        |    AS best_order,
+        |  (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).p
+        |    AS best_price,
+        |  (MIN(struct_pack(p := o_totalprice, k := o_orderkey))).k
+        |    AS worst_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val rec = struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(rec).getField("k").as("best_order"),
+          max(rec).getField("p").as("best_price"),
+          min(rec).getField("k").as("worst_order"))
+        .orderBy("o_custkey")
+    },
+
     // B-scale: explicit salted join — the skew mitigation for a fact⋈fact
     // join with a hot key: the probe side gets a deterministic salt, the
     // build side is replicated once per salt value, and the join key

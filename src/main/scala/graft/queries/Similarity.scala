@@ -105,6 +105,21 @@ object Similarity {
         .limit(10)
     },
 
+    // C3b: RANGE similarity search — every vector above a cosine
+    // threshold, the complement of top-k (result size data-dependent,
+    // so no TakeOrdered; a scan + filter that stays a pure map over the
+    // corpus plus one ordering of the small survivor set).
+    Decl("sim_range_search",
+      s"""${simsCte()}
+         |SELECT vec_id, sim FROM cos WHERE sim >= 0.35
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      withN2(Tables.embeddings(s, d))
+        .crossJoin(queryVec(s, d, 0))
+        .select(col("vec_id"), simCol.as("sim"))
+        .filter(col("sim") >= 0.35)
+        .orderBy("vec_id")
+    },
+
     // C4: blocked all-pairs similarity join — probe subset × same-label
     // block, threshold filter. Blocking bounds candidates to O(block²).
     Decl("sim_join",

@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   // queries whose semantics legitimately need a nested-loop over a
   // broadcast side (single-row query vector / tiny cross)
   private val bnljAllowed = Set(
-    "cross_join", "sim_topk_cosine", "sim_ann_lsh", "sim_ann_ivf",
+    "cross_join", "sim_topk_cosine", "sim_range_search",
+    "sim_ann_lsh", "sim_ann_ivf",
     "multimodal_join", "knn_classify", "watermark_late", "streaming_dedup",
     "text_tfidf", "null_handling",
     "dedup_near_keep", // broadcast single-row max-cluster agg
