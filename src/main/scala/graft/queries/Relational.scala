@@ -504,6 +504,32 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // B-scale: Bloom-filter pre-join — the explicit form of runtime
+    // row-level filtering: a compact sketch of the (selective) build
+    // side's keys is broadcast and applied to the probe side BEFORE its
+    // shuffle, so non-matching fact rows never hit the wire; the exact
+    // join afterwards eliminates the sketch's false positives, so the
+    // result (and the plain-join oracle) is exact regardless of fpp.
+    Decl("join_bloom_prefilter",
+      s"""SELECT o_orderpriority, ${sqlSum(revenueExpr)} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 300000
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      val bf = ord.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bfBc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfBc.value.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // B30: CASE WHEN / coalesce / nullif null handling.
     Decl("conditional",
       """SELECT o_orderkey,

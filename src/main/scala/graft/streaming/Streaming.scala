@@ -53,6 +53,15 @@ object Streaming {
         col("e.event_id").as("error_id"))
   }
 
+  /** Stream ⋈ static enrichment — the dimension-lookup shape: the
+    * static side is re-planned per micro-batch (broadcast here, since
+    * dimensions are small), and no join state accumulates — unlike
+    * stream-stream joins this needs no watermark at all. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+
   final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -96,6 +96,28 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static dimension join enriches without join state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val evs = Seq(Ev(1, ts(1), "click", 1, 1.0), Ev(2, ts(2), "click", 2, 1.0),
+      Ev(3, ts(3), "click", 3, 1.0))
+    val in = MemoryStream[Ev]
+    val q = Streaming.enrichWithDim(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich").collect().map(_.toSeq).toSet
+      val batch = Streaming.enrichWithDim(evs.toDF(), dim)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(Seq(1L, 1L, "gold"), Seq(2L, 2L, "silver"),
+        Seq(3L, 3L, "unknown")))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark is exactly-once per event id (B40)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
