@@ -234,6 +234,32 @@ object Scalars {
         .orderBy("lang")
     },
 
+    // B25b: string↔typed parsing round-trips (pandas `to_datetime` /
+    // `astype`): dates and numbers are rendered to strings and parsed
+    // back. Only the REPARSED values are emitted — double→string
+    // formatting has engine corners, but string→double parsing is an
+    // exact round-trip in both, so the values are bit-identical.
+    Decl("scalar_parse",
+      """WITH s AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        |    CAST(o_totalprice AS VARCHAR) AS ps
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  strftime(strptime(ds, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed_date,
+        |  year(strptime(ds, '%Y-%m-%d')) AS y,
+        |  CAST(ps AS DOUBLE) AS reparsed_price
+        |FROM s ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val parsed = to_timestamp(
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(parsed, "yyyy-MM-dd").as("reparsed_date"),
+          year(parsed).as("y"),
+          col("o_totalprice").cast(StringType).cast(DoubleType)
+            .as("reparsed_price"))
+        .orderBy("o_orderkey")
+    },
+
     // B32c: deterministic train/valid/test split — THE dataset-prep
     // primitive: assignment is a pure function of the row key (salted so
     // it is independent of the `sample` gate), so it is reproducible
