@@ -60,8 +60,15 @@ object Det {
   def dsumProd2(a: Column, b: Column): Column =
     sum(a.cast(DecimalType(18, 2)) * b.cast(DecimalType(18, 2)))
       .cast(DoubleType)
+  /** The VARCHAR hop in the twin matters: a product sum's scaled
+    * integer exceeds 2^53 (Σ price² ≈ 7e12 at scale 4 → 7e16), where
+    * DuckDB's direct decimal→double conversion double-rounds while
+    * Spark's BigDecimal.doubleValue is correctly rounded. decimal→
+    * VARCHAR prints exact digits and VARCHAR→DOUBLE (strtod) is
+    * correctly rounded, making DuckDB match Spark bit-for-bit. */
   def sqlSumProd2(a: String, b: String): String =
-    s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2)))" +
+      " AS VARCHAR) AS DOUBLE)"
 
   /** Timestamps never leave a query raw (nanos/µs + naive-vs-UTC hazards):
     * emit epoch-µs longs. DuckDB twin: `epoch_us(ts)`. */
