@@ -46,8 +46,22 @@ object Det {
   /** Order-independent average = exact decimal sum / count. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  def sqlSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
+  // the VARCHAR hop makes DuckDB's decimal→double conversion correctly
+  // rounded (exact digits + strtod) == Spark's BigDecimal.doubleValue;
+  // the direct cast double-rounds via the scaled integer once the sum
+  // exceeds 2^53/10^scale (≈9e9 at scale 6 — ungrouped money sums hit
+  // this) — see the round-3 note below on dsumProd2
+  def sqlSum(x: String): String =
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
   def sqlAvg(x: String): String = s"(${sqlSum(x)} / COUNT(*))"
+
+  /** Spark-parser twins for queries whose SPARK body goes through
+    * spark.sql: no VARCHAR hop — Spark rejects bare VARCHAR, and its
+    * decimal→double cast is already correctly rounded, so the hop is a
+    * DuckDB-side repair only. */
+  def sparkSqlSum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
+  def sparkSqlAvg(x: String): String = s"(${sparkSqlSum(x)} / COUNT(*))"
 
   /** Exact sum of a product of two money-precision (≤2-decimal) doubles.
     * Each FACTOR is cast to DECIMAL(18,2) — exact, the value is ≥0.005

@@ -172,7 +172,7 @@ object CatalogIO {
       Catalog.registerAll(s, d)
       s.sql(
         s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
-           |  ${sqlSum("o_totalprice")} AS revenue
+           |  ${sparkSqlSum("o_totalprice")} AS revenue
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     },

@@ -319,7 +319,8 @@ object Relational {
         |  CAST(SUM(CASE WHEN coalesce(st, 'FILLED') = 'FILLED'
         |                THEN 1 ELSE 0 END) AS BIGINT) AS st_filled,
         |  COUNT(price) AS n_after_drop,
-        |  CAST(SUM(CAST(coalesce(price, 0.0) AS DECIMAL(30,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(coalesce(price, 0.0) AS DECIMAL(30,6)))
+        |       AS VARCHAR) AS DOUBLE)
         |    AS sum_filled_price
         |FROM n""".stripMargin) { (s, d) =>
       val withNulls = Tables.orders(s, d).select(
@@ -351,7 +352,7 @@ object Relational {
       s.sql(
         s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
            |WHERE o_totalprice > 1.5 * (
-           |  SELECT ${sqlAvg("i.o_totalprice")} FROM orders i
+           |  SELECT ${sparkSqlAvg("i.o_totalprice")} FROM orders i
            |  WHERE i.o_custkey = o.o_custkey)
            |ORDER BY o_orderkey""".stripMargin)
     },

@@ -298,7 +298,8 @@ object Similarity {
          |        CAST(embedding[k] AS DOUBLE) AS x
          |      FROM a, UNNEST(range(1, 65)) AS u(k))
          |SELECT cell, dim - 1 AS dim, COUNT(*) AS n,
-         |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,12))) AS DOUBLE)
+         |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,12)))
+         |       AS VARCHAR) AS DOUBLE)
          |    / COUNT(*) AS mean
          |FROM d GROUP BY cell, dim ORDER BY cell, dim""".stripMargin) { (s, d) =>
       // scale-12 decimal mean (the VectorOps quantum, NOT Det's scale 6:

@@ -140,7 +140,7 @@ object Windows {
       s.sql(
         s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
            |  coalesce(l_linestatus, '(all)') AS linestatus,
-           |  COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS sum_price
+           |  COUNT(*) AS n, ${sparkSqlSum("l_extendedprice")} AS sum_price
            |FROM lineitem
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
            |ORDER BY returnflag, linestatus""".stripMargin)
