@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Decl, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -366,6 +367,33 @@ object Dedup {
         countDistinct(col("label")).as("n_kept"),
         (count(lit(1)) - countDistinct(col("label"))).as("n_removed"))
         .crossJoin(broadcast(sizes.agg(max(col("cs")).as("max_cluster"))))
+    },
+
+    // Recency dedup — keep the NEWEST event per (user, hour): the
+    // snapshot-compaction primitive (CDC upserts, profile updates,
+    // "latest state wins" feeds). One shuffle on the composite key;
+    // at scale this is the window flavor of dedup_exact_keep.
+    Decl("dedup_latest",
+      """SELECT user_id, bucket_us, event_id FROM (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+        |    event_id,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, bucket_us""".stripMargin) { (s, d) =>
+      val HourUs = 3600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr(s"(unix_micros(ts) DIV $HourUs)").as("bucket"))
+      val w = Window.partitionBy("user_id", "bucket")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), (col("bucket") * HourUs).as("bucket_us"),
+          col("event_id"))
+        .orderBy("user_id", "bucket_us")
     },
 
     // SimHash near-dup: 60-bit signature = sign of per-bit token-hash
