@@ -479,6 +479,24 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // B: weighted mean (pandas `average(weights=)`) — both sums are
+    // decimal-exact, the division is one double op on identical inputs,
+    // so the ratio is bit-exact without rounding.
+    Decl("agg_weighted_avg",
+      s"""SELECT l_returnflag,
+         |  ${sqlSumProd2("l_quantity", "l_extendedprice")} /
+         |    ${sqlSum("l_quantity")} AS wavg_price,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg((dsumProd2(col("l_quantity"), col("l_extendedprice")) /
+          dsum(col("l_quantity"))).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // B-scale: explicit salted join — the skew mitigation for a fact⋈fact
     // join with a hot key: the probe side gets a deterministic salt, the
     // build side is replicated once per salt value, and the join key

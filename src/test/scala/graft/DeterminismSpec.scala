@@ -23,7 +23,19 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "sim_ann_ivf",        // cell argmax ties
     "sim_ivf_fit",        // assignment + mean aggregation order
     "pipeline_clean",     // keep-min per content hash
-    "knn_classify")       // vote ties
+    "knn_classify",       // vote ties
+    "agg_string_concat",  // collect_set shuffle order (sorted before join)
+    "agg_mode",           // count ties
+    "agg_median",         // middle-row picks under window ties
+    "agg_percentiles",    // anchor-row picks
+    "agg_argmax",         // struct MAX ties
+    "window_topk_agg",    // bounded-buffer merge order
+    "join_asof_nearest",  // both-direction tie (backward wins)
+    "join_bloom_prefilter", // sketch must be seed-stable
+    "dedup_latest",       // recency ties (event_id tiebreak)
+    "split_train_test",   // hash-gate assignment
+    "time_resample_ffill", // grid join + window fill
+    "time_resample_interp") // anchor picks + interpolation
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {
