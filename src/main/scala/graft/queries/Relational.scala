@@ -357,6 +357,27 @@ object Relational {
            |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // B7c: LATERAL correlated subquery — per-row dependent subquery in
+    // FROM (top-2 orders per customer), the SQL form of groupwise-top-k;
+    // Catalyst decorrelates it into a window/join plan rather than
+    // re-executing per row.
+    Decl("join_lateral",
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      graft.Catalog.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
     // B30b: null-safe equality (<=> / IS NOT DISTINCT FROM).
     Decl("null_safe_eq",
       """SELECT
