@@ -48,7 +48,18 @@ object Bench {
       "sim_topk_cosine")
     val subset = results.filter(r => baseline14.contains(r._1))
     val subTotal = subset.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"baseline14_total":${f"$subTotal%.3f"},"baseline14_ref_sec":14.78}""")
+    val headline = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"baseline14_total":${f"$subTotal%.3f"},"baseline14_ref_sec":14.78}"""
+    println(headline)
+    // Belt and braces: sbt prefixes every stdout line with "[info] ", so
+    // a strict per-line JSON parse of the captured tail can still fail —
+    // persist the same payloads as files next to the build.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SELF.json"), headline + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SELF_FULL.json"),
+        s"""{"metric":"per_query_full","unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
