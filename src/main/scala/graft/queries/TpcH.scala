@@ -1,0 +1,511 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped query suite over the driver's TPC-H-ish star schema.
+  *
+  * The reference's tables expose the full dask.dataframe surface, and the
+  * canonical workload for "a user could run every query they run today"
+  * over this exact schema is TPC-H. These are the 16 of the 22 queries
+  * expressible without `partsupp` (absent from the test data — Q2, Q11,
+  * Q16 and Q20 price/availability queries need it), adapted to the
+  * columns that exist (no l_commitdate/l_receiptdate → lateness is
+  * proxied as "shipped > 60 days after order date"; no o_shippriority →
+  * o_orderpriority; no c_phone → country code from the customer-name
+  * suffix; no p_container → p_size bands). What each query *exercises* is
+  * unchanged — the famous optimizer shapes:
+  *
+  *  - Q4/Q21/Q22: correlated EXISTS / NOT EXISTS → decorrelated
+  *    left-semi / left-anti joins (RewritePredicateSubquery);
+  *  - Q17/Q22: correlated scalar aggregate subqueries → aggregate+join
+  *    (expressed pre-decorrelated in the DataFrame bodies — the exact
+  *    plan Catalyst rewrites the SQL form into);
+  *  - Q18: IN over a grouped-HAVING subquery → left-semi;
+  *  - Q19: disjunction of conjunctions as a join predicate (pushed into
+  *    a broadcast hash join's post-condition, not a cartesian filter);
+  *  - Q5/Q7/Q8: multi-way star joins with cross-dimension correlation
+  *    (c_nationkey = s_nationkey), directional nation pairs, and
+  *    conditional market-share aggregation;
+  *  - Q1/Q6/Q14: wide scan aggregates with exact-decimal money sums;
+  *  - Q3/Q10: join → agg → TakeOrderedAndProject top-k;
+  *  - Q13: outer join with an ON-clause filter + two-level aggregation;
+  *  - Q15: aggregate view joined against its own global max.
+  *
+  * Scale notes (100 TB): every dimension side (customer, part, supplier,
+  * nation, region, the q15 max, the q22 avg) is broadcast — the lineitem
+  * fact table shuffles only for its own aggregations; semi/anti joins
+  * ship only keys; top-k is TakeOrderedAndProject (per-partition heaps,
+  * never a global sort). Money sums follow graft.Det's order-independent
+  * decimal scheme, so results are partitioning-invariant — a correctness
+  * property AND the thing that makes plans freely re-shufflable by AQE.
+  */
+object TpcH {
+
+  import Det._
+
+  private val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val sqlRev = "l_extendedprice * (1.0 - l_discount)"
+
+  /** Exact sum of price·(1−disc)·(1+tax): the true product has 6
+    * decimals (2+2+2), so the double product (≤1-ulp ≈ 2e-11 off at 1e5
+    * magnitude) rounds exactly back onto the scale-6 grid — same
+    * argument as Det.dsum's 4-decimal case, one factor deeper. */
+  private val charge =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax"))
+  private val sqlCharge =
+    "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+
+  def decls: Seq[Decl] = Seq(
+
+    // Q1: pricing summary report — the full form of agg_hash (adds the
+    // tax-compounded charge and the three averages).
+    Decl("tpch_q1",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum(sqlRev)} AS sum_disc_price,
+         |  ${sqlSum(sqlCharge)} AS sum_charge,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlAvg("l_extendedprice")} AS avg_price,
+         |  ${sqlAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(rev).as("sum_disc_price"),
+          dsum(charge).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Q3: shipping priority — segment-filtered join → agg → top-10 by
+    // revenue (TakeOrderedAndProject; revenue doubles are identical in
+    // both engines, l_orderkey breaks any tie).
+    Decl("tpch_q3",
+      s"""SELECT l_orderkey, ${sqlSum(sqlRev)} AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY l_orderkey, odate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), dateStr(col("o_orderdate")).as("odate"),
+          col("o_orderpriority"))
+        .agg(dsum(rev).as("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
+    },
+
+    // Q4: order priority checking — correlated EXISTS with a non-equi
+    // lateness condition, decorrelated to a left-semi join (lateness
+    // proxy: any line shipped >60 days after the order date).
+    Decl("tpch_q4",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      o.join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q5: local supplier volume — the star join with the cross-dimension
+    // correlation c_nationkey = s_nationkey (customer and supplier from
+    // the same nation). Adapted: no order-date window (the sf0.001
+    // contract needs rows; the date filter is orthogonal to the shape).
+    Decl("tpch_q5",
+      s"""SELECT n_name, ${sqlSum(sqlRev)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // Q6: forecasting revenue change — pure scan aggregate; the filter
+    // triple reaches the parquet scan (PushedFilters), and the money sum
+    // is the exact two-factor decimal product.
+    Decl("tpch_q6",
+      s"""SELECT ${sqlSumProd2("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(dsumProd2(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    },
+
+    // Q7: volume shipping — directional nation pairs (both directions of
+    // NATION_3 ↔ NATION_8) by ship year.
+    Decl("tpch_q7",
+      s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+         |  year(l_shipdate) AS l_year, ${sqlSum(sqlRev)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY cust_nation, supp_nation, l_year
+         |ORDER BY cust_nation, supp_nation, l_year""".stripMargin) { (s, d) =>
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("c_nationkey") === col("c_nk"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .filter((col("cust_nation") === "NATION_3" && col("supp_nation") === "NATION_8")
+          || (col("cust_nation") === "NATION_8" && col("supp_nation") === "NATION_3"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    },
+
+    // Q8: national market share — conditional numerator over the total,
+    // per order year (share of NATION_3 suppliers in EUROPE-customer
+    // ECONOMY-part revenue). The ratio divides two identical doubles.
+    Decl("tpch_q8",
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  ${sqlSum(s"CASE WHEN n2.n_name = 'NATION_3' THEN $sqlRev ELSE 0.0 END")} /
+         |    ${sqlSum(sqlRev)} AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+         |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("c_nationkey") === col("c_nk"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("c_rk") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(0.0)) /
+          dsum(rev)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q10: returned item reporting — revenue lost to returns per
+    // customer over a quarter-window, top-20 (TakeOrderedAndProject).
+    Decl("tpch_q10",
+      s"""SELECT c_custkey, c_name, ${sqlSum(sqlRev)} AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(desc("revenue"), col("c_custkey")).limit(20)
+    },
+
+    // Q13: customer order-count distribution — outer join with the
+    // filter in the ON clause (kept rows still count as 0), then a
+    // second aggregation over the first's result.
+    Decl("tpch_q13",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) dist
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // Q14: promotion effect — conditional-over-total revenue percentage
+    // for PROMO-type parts in one ship month.
+    Decl("tpch_q14",
+      s"""SELECT 100.0 * ${sqlSum(s"CASE WHEN p_type = 'PROMO' THEN $sqlRev ELSE 0.0 END")} /
+         |    ${sqlSum(sqlRev)} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+          dsum(rev)).as("promo_revenue"))
+    },
+
+    // Q15: top supplier — quarterly revenue per supplier, kept where it
+    // equals the global max (broadcast single-row max, exact-double
+    // equality on identically-computed sums).
+    Decl("tpch_q15",
+      s"""WITH rev AS (SELECT l_suppkey AS supplier_no,
+         |    ${sqlSum(sqlRev)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rv = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum(rev).as("total_revenue"))
+      rv.join(broadcast(rv.agg(max(col("total_revenue")).as("mx"))))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // Q17: small-quantity-order revenue — the correlated per-part
+    // average-quantity scalar subquery, written pre-decorrelated
+    // (aggregate + join: exactly the plan Catalyst rewrites the
+    // correlated SQL into). Adapted threshold 0.5·avg (0.2 matches no
+    // rows at sf0.001).
+    Decl("tpch_q17",
+      s"""SELECT ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#13'
+         |  AND l_quantity < (SELECT 0.5 * ${sqlAvg("l2.l_quantity")}
+         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val avgQ = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg((lit(0.5) * davg(col("l_quantity"))).as("qty_lim"))
+      li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#13")),
+          col("p_partkey") === col("l_partkey"))
+        .join(avgQ, col("ap_key") === col("l_partkey"))
+        .filter(col("l_quantity") < col("qty_lim"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+
+    // Q18: large-volume customers — IN over a grouped-HAVING subquery
+    // (left-semi after decorrelation); quantity sums are integer-valued
+    // doubles, exact in both engines.
+    Decl("tpch_q18",
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, odate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 250)
+        .select(col("l_orderkey").as("big_key"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("big_key"), "left_semi")
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          dateStr(col("o_orderdate")).as("odate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(100)
+    },
+
+    // Q19: discounted revenue — a disjunction of brand/size/quantity
+    // conjunctions as the join predicate; Catalyst keeps the equi-key
+    // (partkey) for a broadcast hash join and evaluates the OR as the
+    // join's residual condition (p_size bands proxy p_container).
+    Decl("tpch_q19",
+      s"""SELECT ${sqlSum(sqlRev)} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 21)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 30)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("p_partkey") === col("l_partkey")
+            && ((col("p_brand") === "Brand#12"
+              && col("p_size").between(1, 15)
+              && col("l_quantity").between(1, 21))
+            || (col("p_brand") === "Brand#23"
+              && col("p_size").between(1, 25)
+              && col("l_quantity").between(10, 30))
+            || (col("p_brand") === "Brand#34"
+              && col("p_size").between(1, 35)
+              && col("l_quantity").between(20, 40))))
+        .agg(dsum(rev).as("revenue"))
+    },
+
+    // Q21: suppliers who kept orders waiting — the EXISTS + NOT EXISTS
+    // pair over the same fact table (left-semi then left-anti), with the
+    // lateness proxy. A supplier is "waiting-guilty" on an F-order line
+    // it shipped late, where the order has other suppliers' lines but
+    // none of THEM shipped late.
+    Decl("tpch_q21",
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("sd3"))
+      li.join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .join(l2, col("k2") === col("l_orderkey")
+          && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("k3") === col("l_orderkey")
+          && col("s3") =!= col("l_suppkey")
+          && col("sd3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+    },
+
+    // Q22: global sales opportunity — above-average account balance
+    // (broadcast scalar aggregate) with no recent orders (left-anti);
+    // country code proxied by the customer-name suffix (no c_phone).
+    Decl("tpch_q22",
+      s"""SELECT right(c_name, 2) AS cntrycode, COUNT(*) AS numcust,
+         |  ${sqlSum("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${sqlAvg("c_acctbal")} FROM customer
+         |  WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(expr("right(c_name, 2)").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    }
+  )
+}
