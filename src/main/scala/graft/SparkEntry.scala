@@ -12,6 +12,7 @@ object SparkEntry {
   def allDecls: Seq[Decl] =
     _root_.graft.queries.Relational.decls ++
       _root_.graft.queries.TpcH.decls ++
+      _root_.graft.queries.Stats.decls ++
       _root_.graft.queries.Windows.decls ++
       _root_.graft.queries.TimeWindows.decls ++
       _root_.graft.queries.Scalars.decls ++

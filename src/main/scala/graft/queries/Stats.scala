@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical aggregates beyond mean/stddev — the `describe`-adjacent
+  * moments (variance, skewness, kurtosis), least-squares regression, and
+  * the boolean/bitwise aggregate family of the dask/pandas surface
+  * (`skew()`, `kurt()`, `Series.all/any`, numpy bitwise reductions).
+  *
+  * Determinism design: Spark's `skewness`/`kurtosis`/`corr` and DuckDB's
+  * equivalents stream central moments in engine-specific orders — their
+  * doubles never hash-match. Instead every statistic here is derived
+  * from RAW POWER SUMS computed exactly: the measure column is cast to
+  * an integer-valued DECIMAL (quantities are integers ≤ 50, so
+  * DECIMAL(3,0) powers up to x⁴ stay exact and far below 2^53), summed
+  * exactly (decimal addition is associative → partitioning-invariant),
+  * and the moment/regression formulas are evaluated over those identical
+  * doubles with the SAME left-associative expression tree in both
+  * engines — IEEE +,−,×,÷,sqrt are correctly rounded, so identical
+  * operands + identical tree ⇒ bit-identical results, no rounding
+  * fudge. (Money-valued sums ride graft.Det's scale-6 scheme as usual.)
+  *
+  * Scale notes (100 TB): power sums are one partial+final hash
+  * aggregate over the group key — the same shuffle profile as a plain
+  * SUM; nothing here adds a pass or a driver-side reduction.
+  */
+object Stats {
+
+  import Det._
+
+  /** Exact Σxᵏ for integer-valued x ≤ 999: decimal powers, associative
+    * sum, exact double cast (all magnitudes ≪ 2^53). */
+  private def ipow(c: Column, k: Int): Column = {
+    val d = c.cast(DecimalType(3, 0))
+    sum(Seq.fill(k)(d).reduce(_ * _)).cast(DoubleType)
+  }
+  private def sqlIpow(x: String, k: Int): String =
+    "CAST(SUM(" + Seq.fill(k)(s"CAST($x AS DECIMAL(3,0))").mkString(" * ") +
+      ") AS DOUBLE)"
+
+  def decls: Seq[Decl] = Seq(
+
+    // Moments of l_quantity per return flag: sample variance/stddev,
+    // skewness, excess kurtosis — all from exact power sums s1..s4 with
+    // mirrored expression trees (see object scaladoc).
+    Decl("agg_moments",
+      s"""WITH s AS (SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sqlIpow("l_quantity", 1)} AS s1,
+         |    ${sqlIpow("l_quantity", 2)} AS s2,
+         |    ${sqlIpow("l_quantity", 3)} AS s3,
+         |    ${sqlIpow("l_quantity", 4)} AS s4
+         |  FROM lineitem GROUP BY l_returnflag),
+         |m AS (SELECT l_returnflag, n, s1 / n AS m, s1, s2, s3, s4 FROM s),
+         |c AS (SELECT l_returnflag, n, m,
+         |    s2 / n - m * m AS m2,
+         |    s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS m3,
+         |    s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n)
+         |      - 3.0 * m * m * m * m AS m4,
+         |    (n * s2 - s1 * s1) / (n * (n - 1.0)) AS var_samp
+         |  FROM m)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, m AS mean,
+         |  var_samp, sqrt(var_samp) AS stddev_samp,
+         |  m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+         |  m4 / (m2 * m2) - 3.0 AS kurtosis
+         |FROM c ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val q = col("l_quantity")
+      val agg = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          ipow(q, 1).as("s1"), ipow(q, 2).as("s2"),
+          ipow(q, 3).as("s3"), ipow(q, 4).as("s4"))
+      val withM = agg.withColumn("m", col("s1") / col("n"))
+      val m = col("m"); val n = col("n")
+      val s1 = col("s1"); val s2 = col("s2")
+      val s3 = col("s3"); val s4 = col("s4")
+      val cen = withM
+        .withColumn("m2", s2 / n - m * m)
+        .withColumn("m3", s3 / n - lit(3.0) * m * (s2 / n)
+          + lit(2.0) * m * m * m)
+        .withColumn("m4", s4 / n - lit(4.0) * m * (s3 / n)
+          + lit(6.0) * m * m * (s2 / n) - lit(3.0) * m * m * m * m)
+        .withColumn("var_samp", (n * s2 - s1 * s1) / (n * (n - lit(1.0))))
+      cen.select(col("l_returnflag"), n.cast(LongType).as("n"),
+          m.as("mean"), col("var_samp"),
+          sqrt(col("var_samp")).as("stddev_samp"),
+          (col("m3") / (sqrt(col("m2")) * sqrt(col("m2")) * sqrt(col("m2"))))
+            .as("skewness"),
+          (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+
+    // Least-squares regression of extended price on quantity per return
+    // flag: slope, intercept, r² from exact sums (the regr_slope /
+    // regr_intercept / regr_r2 family, cross-engine-exact).
+    Decl("agg_regr",
+      s"""WITH s AS (SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sqlIpow("l_quantity", 1)} AS sx,
+         |    ${sqlIpow("l_quantity", 2)} AS sxx,
+         |    ${sqlSum("l_extendedprice")} AS sy,
+         |    ${sqlSumProd2("l_extendedprice", "l_extendedprice")} AS syy,
+         |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(3,0)) *
+         |      CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+         |      AS DOUBLE) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         |    AS intercept,
+         |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val agg = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          ipow(col("l_quantity"), 1).as("sx"),
+          ipow(col("l_quantity"), 2).as("sxx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsumProd2(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+          sum(col("l_quantity").cast(DecimalType(3, 0)) *
+            col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sxy"))
+      val n = col("n"); val sx = col("sx"); val sy = col("sy")
+      val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      agg.select(col("l_returnflag"), n.cast(LongType).as("n"),
+          slope.as("slope"),
+          ((sy - slope * sx) / n).as("intercept"),
+          (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+            ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
+    // Boolean + bitwise aggregate family per order status (Series.all /
+    // Series.any; numpy bitwise and/or/xor reductions) — integer-exact,
+    // no determinism plumbing needed.
+    Decl("agg_bool_bit",
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 10000.0) AS all_over_10k,
+        |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        |  bit_and(o_orderkey) AS key_and,
+        |  bit_or(o_orderkey) AS key_or,
+        |  bit_xor(o_orderkey) AS key_xor,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(bool_and(col("o_totalprice") > 10000.0).as("all_over_10k"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+          bit_and(col("o_orderkey")).as("key_and"),
+          bit_or(col("o_orderkey")).as("key_or"),
+          bit_xor(col("o_orderkey")).as("key_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Fixed-width histogram of order totals (width_bucket semantics via
+    // exact floor division; one hash aggregate — the 100 TB histogram).
+    Decl("agg_histogram",
+      s"""SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 25000.0).cast(LongType)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket")
+    }
+  )
+}
