@@ -13,6 +13,7 @@ object SparkEntry {
     _root_.graft.queries.Relational.decls ++
       _root_.graft.queries.TpcH.decls ++
       _root_.graft.queries.Stats.decls ++
+      _root_.graft.queries.MlPrep.decls ++
       _root_.graft.queries.Windows.decls ++
       _root_.graft.queries.TimeWindows.decls ++
       _root_.graft.queries.Scalars.decls ++

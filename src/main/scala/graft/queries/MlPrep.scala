@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data preparation operators — the steps between "cleaned
+  * corpus" and "batches on the trainer": context-window chunking,
+  * sequence packing, and feature scaling. (Dedup, similarity,
+  * language-ID and quality scoring live in their own modules; these are
+  * the remaining mandated pipeline stages.)
+  *
+  * Scale notes (100 TB):
+  *  - chunking is a pure per-row flatMap (posexplode over a computed
+  *    range) — no shuffle, streams through whatever partitioning the
+  *    scan produced;
+  *  - packing needs a running token count, which is ONLY scalable when
+  *    the window is partitioned — we pack within language shards
+  *    (PARTITION BY lang), the standard sharded-packing compromise: a
+  *    global greedy pack is inherently sequential, a per-shard pack is
+  *    embarrassingly parallel and loses at most one batch per shard
+  *    boundary;
+  *  - feature scaling broadcasts one 6-double stats row; the data pass
+  *    is map-only.
+  */
+object MlPrep {
+
+  import Det._
+
+  private val ChunkTok = 50 // tokens per chunk
+  private val Stride = 40   // chunk start stride (10-token overlap)
+  private val PackCap = 2048 // target tokens per packed batch
+
+  def decls: Seq[Decl] = Seq(
+
+    // Overlapping fixed-token-window chunking (pretraining / RAG prep):
+    // doc → ceil(ntok/stride) chunks of ≤50 tokens starting every 40.
+    Decl("text_chunk",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, i AS chunk_idx,
+         |  len(list_slice(tks, i * $Stride + 1, i * $Stride + $ChunkTok))
+         |    AS chunk_ntok,
+         |  array_to_string(list_slice(tks, i * $Stride + 1,
+         |    i * $Stride + $ChunkTok), ' ') AS chunk_text
+         |FROM toks, UNNEST(range(0, CAST(ceil(n / $Stride.0) AS BIGINT)))
+         |  AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .withColumn("n", size(col("tks")))
+      tk.select(col("doc_id"), col("tks"),
+          explode(sequence(lit(0L),
+            ceil(col("n") / lit(Stride.toDouble)).cast(LongType) - 1))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("tks"),
+            (col("chunk_idx") * Stride + 1).cast(IntegerType),
+            lit(ChunkTok)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("chunk_ntok"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing: assign docs to ~2048-token training batches by
+    // running token count within each language shard (offset-bucket
+    // packing — deterministic, shuffle-parallel across shards; docs may
+    // straddle a boundary, the standard approximation at scale).
+    Decl("pack_sequences",
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    len(string_split(text, ' ')) AS ntok
+         |  FROM documents WHERE text IS NOT NULL),
+         |cum AS (SELECT lang, doc_id, ntok,
+         |    SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks)
+         |SELECT lang,
+         |  CAST(FLOOR((cum - ntok) / $PackCap.0) AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM cum GROUP BY lang, pack_id
+         |ORDER BY lang, pack_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .groupBy(col("lang"),
+          floor((col("cum") - col("ntok")) / lit(PackCap.toDouble))
+            .cast(LongType).as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "pack_id")
+    },
+
+    // Feature scaling: min-max to [0,1] and z-score of order totals from
+    // one broadcast stats row (min/max exact; mean/std via exact decimal
+    // sums — mirrored IEEE trees, see Stats).
+    Decl("feature_minmax",
+      s"""WITH st AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sqlSum("o_totalprice")} AS s1,
+         |    ${sqlSumProd2("o_totalprice", "o_totalprice")} AS s2
+         |  FROM orders)
+         |SELECT o_orderkey,
+         |  (o_totalprice - mn) / (mx - mn) AS minmax,
+         |  (o_totalprice - s1 / n) /
+         |    sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) AS zscore
+         |FROM orders, st ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val st = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"),
+        count(lit(1)).cast(DoubleType).as("n"),
+        dsum(col("o_totalprice")).as("s1"),
+        dsumProd2(col("o_totalprice"), col("o_totalprice")).as("s2"))
+      val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+      o.join(broadcast(st))
+        .select(col("o_orderkey"),
+          ((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")))
+            .as("minmax"),
+          ((col("o_totalprice") - s1 / n) /
+            sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0))))).as("zscore"))
+        .orderBy("o_orderkey")
+    }
+  )
+}

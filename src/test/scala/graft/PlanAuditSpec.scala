@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "text_tfidf", "null_handling",
     "dedup_near_keep", // broadcast single-row max-cluster agg
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
+    "feature_minmax", // broadcast single-row global-stats join (no condition)
     "time_resample_ffill", // distinct-keys × 48-bucket grid cross (tiny)
     "time_resample_interp") // same grid scaffold
 
