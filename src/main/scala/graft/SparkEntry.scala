@@ -11,6 +11,7 @@ object SparkEntry {
 
   def allDecls: Seq[Decl] =
     _root_.graft.queries.Relational.decls ++
+      _root_.graft.queries.Warehouse.decls ++
       _root_.graft.queries.TpcH.decls ++
       _root_.graft.queries.Stats.decls ++
       _root_.graft.queries.MlPrep.decls ++

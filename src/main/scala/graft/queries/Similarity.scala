@@ -5,7 +5,7 @@ import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Similarity search over embeddings (SURVEY.md §2 tier C rows C3-C5,
   * C10) + the ANN scale path. Patterns follow the top-k similarity-search
@@ -321,6 +321,55 @@ object Similarity {
           (sum(col("x").cast(DoubleType).cast(DecimalType(30, 12)))
             .cast(DoubleType) / count(lit(1))).as("mean"))
         .orderBy("cell", "dim")
+    },
+
+    // L2 normalization: per-vector norm from the exact decimal dot
+    // (identical doubles both engines), then elementwise divide — the
+    // preprocessing step that turns cosine into plain dot product so
+    // downstream ANN can index normalized vectors. Map-only; the norm
+    // is computed once per row. Output pins the norm and the first
+    // normalized element (norm, e1, e1/norm share the IEEE tree).
+    Decl("embed_normalize",
+      s"""SELECT vec_id, label,
+         |  sqrt(${sqlDotList("embedding", "embedding")}) AS norm,
+         |  CAST(embedding[1] AS DOUBLE) /
+         |    sqrt(${sqlDotList("embedding", "embedding")}) AS e1n
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val nrm = sqrt(norm2(col("embedding")))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), nrm.as("norm"),
+          (element_at(col("embedding"), 1).cast(DoubleType) / nrm).as("e1n"))
+        .orderBy("vec_id")
+    },
+
+    // Symmetric int8 quantization: scale = 127 / max|x| per vector,
+    // q = ⌊x·scale + 0.5⌋ (round-half-up via floor — identical IEEE
+    // ops in both engines, no engine-specific round()). The 16× size
+    // reduction is THE storage lever for 100 TB embedding corpora;
+    // integer outputs make the op exactly oracle-able.
+    Decl("embed_quantize",
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(FLOOR(CAST(x AS DOUBLE) *
+        |        (127.0 / list_max(list_transform(embedding, y ->
+        |          abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val mx = array_max(transform(col("embedding"),
+        y => abs(y.cast(DoubleType))))
+      val qv = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * (lit(127.0) / mx) + 0.5)
+          .cast(LongType))
+      Tables.embeddings(s, d)
+        .withColumn("qv", qv)
+        .select(col("vec_id"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"))
+        .orderBy("vec_id")
     }
   )
 }

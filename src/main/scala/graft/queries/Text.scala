@@ -290,6 +290,99 @@ object Text {
           levenshtein(col("n1"), col("n2")).as("lev"),
           length(col("n1")).as("len1"), length(col("n2")).as("len2"))
         .orderBy("k1")
+    },
+
+    // C: PII redaction — scrub email addresses and phone-shaped digit
+    // runs with dialect-neutral regexes (shared RE2/Java subset: no
+    // lookaround, no backrefs). The corpus text carries no PII, so a
+    // contact header is synthesized deterministically from doc columns
+    // — identically in both engines — and the redaction provably fires
+    // on every row (n_hits is part of the contract). Map-only at scale.
+    Decl("pii_redact",
+      """WITH withc AS (SELECT doc_id,
+        |    'user' || CAST(doc_id AS VARCHAR) || '@mail-' || lang ||
+        |      '.com ph 555-0' || CAST(doc_id % 1000 AS VARCHAR) || ' ' ||
+        |      text AS contact
+        |  FROM documents),
+        |red AS (SELECT doc_id, contact,
+        |    regexp_replace(regexp_replace(contact,
+        |      '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{2,5}', '<PHONE>', 'g') AS redacted
+        |  FROM withc)
+        |SELECT doc_id, length(contact) AS n_before,
+        |  length(redacted) AS n_after,
+        |  substr(redacted, 1, 40) AS head
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val contact = concat(lit("user"), col("doc_id").cast(StringType),
+        lit("@mail-"), col("lang"), lit(".com ph 555-0"),
+        (col("doc_id") % 1000).cast(StringType), lit(" "), col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), contact.as("contact"))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("contact"),
+            "[A-Za-z0-9._-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{3}-[0-9]{2,5}", "<PHONE>"))
+        .select(col("doc_id"), length(col("contact")).as("n_before"),
+          length(col("redacted")).as("n_after"),
+          substring(col("redacted"), 1, 40).as("head"))
+        .orderBy("doc_id")
+    },
+
+    // C: stopword filtering — lambda-filter the token array in place
+    // (list_filter / functions.filter are the same higher-order map;
+    // both codegen'd, no explode round-trip, no shuffle).
+    Decl("stopword_filter",
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS tks,
+        |    list_filter(string_split(text, ' '),
+        |      t -> NOT list_contains(['a', 'the', 'table', 'row', 'value'],
+        |        t)) AS kept
+        |  FROM documents)
+        |SELECT doc_id, len(tks) AS n_tokens, len(kept) AS n_kept,
+        |  array_to_string(list_slice(kept, 1, 8), ' ') AS head
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sw = Seq("a", "the", "table", "row", "value")
+      val kept = filter(toks, t => !t.isInCollection(sw))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(kept).as("n_kept"),
+          concat_ws(" ", slice(kept, 1, 8)).as("head"))
+        .orderBy("doc_id")
+    },
+
+    // C: vocabulary coverage — the smallest frequency-ranked vocab
+    // covering ≥90% of corpus tokens (tokenizer sizing). The windowed
+    // cumulative runs over the VOCABULARY (distinct tokens), which is
+    // sublinear in corpus size — the single-partition window is over
+    // thousands of rows at 100 TB, not billions; the corpus-sized work
+    // is all in the partial+final token count. The 90% gate compares
+    // 10·cum ≥ 9·total in exact integers.
+    Decl("vocab_coverage",
+      """WITH tf AS (SELECT t AS token, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY t),
+        |r AS (SELECT token, c,
+        |    row_number() OVER (ORDER BY c DESC, token) AS rk,
+        |    sum(c) OVER (ORDER BY c DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS total
+        |  FROM tf)
+        |SELECT CAST(min(rk) AS BIGINT) AS vocab90,
+        |  CAST(max(total) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_tail
+        |FROM r WHERE 10 * cum >= 9 * total""".stripMargin) { (s, d) =>
+      val byFreq = Window.orderBy(col("c").desc, col("token"))
+      val cum = byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      val tf = Tables.documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      tf.withColumn("rk", row_number().over(byFreq))
+        .withColumn("cum", sum(col("c")).over(cum))
+        .withColumn("total", sum(col("c")).over(all))
+        .filter(lit(10) * col("cum") >= lit(9) * col("total"))
+        .agg(min(col("rk")).cast(LongType).as("vocab90"),
+          max(col("total")).as("total_tokens"),
+          count(lit(1)).as("n_tail"))
     }
   )
 }

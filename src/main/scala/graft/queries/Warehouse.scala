@@ -1,0 +1,338 @@
+package graft.queries
+
+import graft.{Catalog, Decl, Det, Tables}
+import graft.functions.XHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse-maintenance and event-analytics operators — the mutation
+  * and product-analytics surface a user of the reference's tables runs
+  * on top of the relational core: MERGE-style upsert, SCD2 history
+  * reconstruction, funnel and cohort-retention analyses, data-layout
+  * clustering (Z-order), bucketed co-located joins, deterministic
+  * reservoir-style sampling, and iterative graph connected components.
+  *
+  * Scale notes (100 TB):
+  *  - upsert is ONE full-outer shuffle join on the key — the minimal
+  *    dataflow for merge semantics (Delta/Iceberg MERGE lowers to the
+  *    same plan shape plus file rewrite bookkeeping);
+  *  - SCD2/funnel/cohort all shuffle once on their entity key and stay
+  *    partial+final from there;
+  *  - Z-order is a map-side integer expression + one range-partitioned
+  *    sort — exactly how table-format OPTIMIZE ZORDER lays out files so
+  *    min/max pruning works on BOTH clustered columns;
+  *  - the bucketed join pre-shuffles both fact tables ONCE at write
+  *    time (bucketBy on the join key); every later join on that key
+  *    reads co-located buckets with NO exchange — the amortize-the-
+  *    shuffle pattern that matters most at 100 TB;
+  *  - connected components is O(diameter) rounds of join + min-agg —
+  *    label propagation, each round shuffle-parallel on the node key;
+  *    the driver sees only a one-scalar convergence check per round.
+  */
+object Warehouse {
+
+  import Det._
+
+  private val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val sqlRev = "l_extendedprice * (1.0 - l_discount)"
+
+  /** Morton (Z-order) interleave of two 8-bit ints — identical integer
+    * expression tree in Spark and DuckDB. */
+  private def morton(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { k =>
+      shiftright(x, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
+        shiftright(y, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1))
+    }.reduce(_ + _)
+
+  private def sqlMorton(x: String, y: String): String =
+    (0 until 8).map { k =>
+      s"((($x) >> $k) & 1) * ${1L << (2 * k)} + " +
+        s"((($y) >> $k) & 1) * ${1L << (2 * k + 1)}"
+    }.mkString("(", " + ", ")")
+
+  def decls: Seq[Decl] = Seq(
+
+    // MERGE-style upsert: apply a change set (updates keyed to existing
+    // rows + inserts with fresh keys) to the orders snapshot in one
+    // full-outer join — WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    // THEN INSERT, with unmatched snapshot rows carried through.
+    Decl("merge_upsert",
+      """WITH chg AS (
+        |  SELECT o_orderkey AS k, o_totalprice + 500.0 AS p, 'U' AS st
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS k, o_totalprice AS p, 'I' AS st
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT COALESCE(k, o_orderkey) AS o_orderkey,
+        |  COALESCE(st, o_orderstatus) AS status,
+        |  COALESCE(p, o_totalprice) AS totalprice
+        |FROM orders FULL JOIN chg ON o_orderkey = k
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val chg = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 500.0).as("p"), lit("U").as("st"))
+        .unionAll(o.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 10000000L).as("k"),
+            col("o_totalprice").as("p"), lit("I").as("st")))
+      o.join(chg, col("o_orderkey") === col("k"), "full_outer")
+        .select(coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
+          coalesce(col("st"), col("o_orderstatus")).as("status"),
+          coalesce(col("p"), col("o_totalprice")).as("totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // SCD2 history: collapse each user's event stream to type-CHANGE
+    // versions with [valid_from, valid_to) intervals and a current flag
+    // — two window passes over one (user) shuffle.
+    Decl("scd2_history",
+      """WITH ordered AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, event_type, ts FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL) AS is_current
+        |FROM chg ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chg = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+        .filter(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type"))
+      chg.select(col("user_id"), col("event_id"), col("event_type"),
+          epochUs(col("ts")).as("valid_from"),
+          epochUs(lead(col("ts"), 1).over(wOrd)).as("valid_to"),
+          lead(col("ts"), 1).over(wOrd).isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // Funnel analysis: signup → view → click → purchase, each stage's
+    // timestamp strictly after the previous stage's (per user). ONE
+    // shuffle on user_id + a per-user linear walk (mapGroups), then a
+    // global sum of stage flags — the scalable funnel shape (a join
+    // per stage would re-shuffle the event log once per stage). The
+    // oracle states the same semantics as chained min-aggregations:
+    // min(ts WHERE type=s AND ts > prev) IS the first qualifying event
+    // in (ts, event_id) order.
+    Decl("event_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE event_type = 'click' AND ts > t2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e
+        |    JOIN s3 ON e.user_id = s3.user_id
+        |    WHERE event_type = 'purchase' AND ts > t3 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_view,
+        |  (SELECT count(*) FROM s3) AS n_click,
+        |  (SELECT count(*) FROM s4) AS n_purchase""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val stages = Seq("signup", "view", "click", "purchase")
+      Tables.events(s, d)
+        .filter(col("event_type").isin(stages: _*))
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          // sorted walk: per-user event counts are human-bounded, so
+          // the in-memory sort is O(user activity), never corpus-sized
+          val evs = it.toArray.sortBy(e => (e._2, e._3))
+          var depth = 0
+          var lastT = Long.MinValue
+          evs.foreach { case (_, t, _, tpe) =>
+            if (depth < 4 && tpe == stages(depth)
+                && (depth == 0 || t > lastT)) { depth += 1; lastT = t }
+          }
+          (if (depth >= 1) 1L else 0L, if (depth >= 2) 1L else 0L,
+            if (depth >= 3) 1L else 0L, if (depth >= 4) 1L else 0L)
+        }
+        .toDF("r1", "r2", "r3", "r4")
+        .agg(sum("r1").as("n_signup"), sum("r2").as("n_view"),
+          sum("r3").as("n_click"), sum("r4").as("n_purchase"))
+    },
+
+    // Cohort retention: users bucketed by first-seen day; matrix of
+    // (cohort_day, day offset) → distinct active users. One shuffle to
+    // find cohorts, one distinct-agg on the matrix key.
+    Decl("retention_cohort",
+      """WITH first_seen AS (SELECT user_id,
+        |    CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |activity AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(date_diff('day', f.cohort,
+        |      CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS offset_day
+        |  FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  offset_day, count(*) AS n_users
+        |FROM activity GROUP BY cohort, offset_day
+        |ORDER BY cohort_day, offset_day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firsts = ev.groupBy("user_id")
+        .agg(date_trunc("day", min(col("ts"))).cast(DateType).as("cohort"))
+      ev.join(firsts.withColumnRenamed("user_id", "fu"),
+          col("user_id") === col("fu"))
+        .select(col("user_id"), col("cohort"),
+          datediff(date_trunc("day", col("ts")).cast(DateType),
+            col("cohort")).as("offset_day"))
+        .distinct()
+        .groupBy(dateStr(col("cohort")).as("cohort_day"), col("offset_day"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset_day")
+    },
+
+    // Z-order (Morton) clustering of part on (p_size, price bucket):
+    // interleaved-bit sort key, then a range-partitioned sort — the
+    // layout that makes file-level min/max pruning effective on both
+    // dimensions at once.
+    Decl("zorder_cluster",
+      s"""SELECT p_partkey, x, y,
+         |  CAST(${sqlMorton("x", "y")} AS BIGINT) AS zval FROM (
+         |  SELECT p_partkey, CAST(p_size % 256 AS BIGINT) AS x,
+         |    CAST(FLOOR(p_retailprice / 8.0) AS BIGINT) % 256 AS y
+         |  FROM part)
+         |ORDER BY zval, p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          (col("p_size") % 256).cast(LongType).as("x"),
+          (floor(col("p_retailprice") / 8.0).cast(LongType) % 256).as("y"))
+        .withColumn("zval", morton(col("x"), col("y")))
+        .orderBy("zval", "p_partkey")
+    },
+
+    // Bucketed co-located join: orders and lineitem written ONCE as
+    // bucketed tables (8 buckets on the join key, sorted within
+    // buckets); the join then reads co-located buckets with no shuffle
+    // exchange on either side (asserted in WarehouseSpec). Oracle
+    // recomputes from the raw tables — bucketing must not change
+    // results, only the plan.
+    Decl("bucketed_join",
+      s"""SELECT o_orderpriority, ${sqlSum(sqlRev)} AS revenue,
+         |  COUNT(*) AS n
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      bucketedOrdersLineitem(s, d) match { case (ot, lt) =>
+        s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(dsum(rev).as("revenue"), count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      }
+    },
+
+    // Deterministic reservoir-style k-sample: rank every row by a
+    // seeded cross-engine hash of its key and keep the k smallest —
+    // a uniform without-replacement sample that is reproducible across
+    // engines, partitionings and runs. TakeOrderedAndProject: each
+    // partition keeps a k-heap; no global sort.
+    Decl("sample_reservoir",
+      s"""SELECT o_orderkey, h FROM (
+         |  SELECT o_orderkey,
+         |    ${XHash.sqlSha60("'smp1:' || CAST(o_orderkey AS VARCHAR)")} AS h
+         |  FROM orders ORDER BY h, o_orderkey LIMIT 100)
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          XHash.sha60(concat(lit("smp1:"),
+            col("o_orderkey").cast(StringType))).as("h"))
+        .orderBy("h", "o_orderkey").limit(100)
+        .orderBy("o_orderkey")
+    },
+
+    // Connected components over the supplier co-order graph (suppliers
+    // linked when they serve the same order; edge set sparsified to a
+    // deterministic 2% of orders). Spark side: min-label propagation —
+    // O(diameter) rounds of join + min-agg, each round fully
+    // shuffle-parallel; the driver only sees a one-scalar convergence
+    // check per round. Oracle: recursive transitive closure.
+    Decl("graph_components",
+      """WITH RECURSIVE pe AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 50 = 0),
+        |ed AS (SELECT x, y FROM pe UNION SELECT y, x FROM pe),
+        |reach(n, m) AS (
+        |  SELECT x, y FROM ed
+        |  UNION
+        |  SELECT r.n, e.y FROM reach r JOIN ed e ON r.m = e.x),
+        |comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS comp
+        |  FROM reach GROUP BY n)
+        |SELECT node, comp, count(*) OVER (PARTITION BY comp)
+        |  AS comp_size
+        |FROM comp ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select("l_orderkey", "l_suppkey")
+      val pairs = li.select(col("l_orderkey"), col("l_suppkey").as("x"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey").as("y")),
+          "l_orderkey")
+        .filter(col("x") =!= col("y"))
+        .select("x", "y").distinct()
+      // pairs already contains both directions (the self-join emits
+      // (a,b) and (b,a)); pin it once — every round re-reads it
+      val edges = pairs.localCheckpoint(true)
+      var labels = edges.select(col("x").as("node")).distinct()
+        .select(col("node"), col("node").as("comp"))
+        .localCheckpoint(true)
+      var sumPrev = -1L
+      var sumCur = labels.agg(sum("comp")).head.getLong(0)
+      var rounds = 0
+      // min-label propagation: comp is componentwise nonincreasing and
+      // integral, so the label sum strictly decreases until fixpoint —
+      // equality IS convergence. Diameter-bounded round count (cap is a
+      // safety net, never the exit path on connected data).
+      while (sumCur != sumPrev && rounds < 20) {
+        val prop = labels.join(edges, col("node") === col("x"))
+          .select(col("y").as("node"), col("comp"))
+        labels = labels.unionAll(prop)
+          .groupBy("node").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
+        sumPrev = sumCur
+        sumCur = labels.agg(sum("comp")).head.getLong(0)
+        rounds += 1
+      }
+      val w = Window.partitionBy("comp")
+      labels.withColumn("comp_size", count(lit(1)).over(w))
+        .orderBy("node")
+    }
+  )
+
+  /** Write orders + lineitem as bucketed/sorted tables once per
+    * (session, sf dir); returns the two table names. Bucket count 8 on
+    * the join key both sides → co-located, exchange-free equi-joins. */
+  private def bucketedOrdersLineitem(
+      s: SparkSession, d: String): (String, String) = {
+    val base = Catalog.scratch(d, "bucketed")
+    // table names must be unique per data root within the shared
+    // session catalog — reuse the scratch dir's fingerprint suffix
+    val fp = base.replaceAll(".*/([^/]+)/[^/]+$", "$1").replaceAll("[^a-z0-9]", "_")
+    val ot = s"graft_bkt_orders_$fp"
+    val lt = s"graft_bkt_lineitem_$fp"
+    Catalog.once(s, d, "bucketed_tables") {
+      // repartition on the bucket key first: each task then writes ONE
+      // bucket file instead of every task writing a sliver of all 8
+      // (8 files per table, not tasks×8 — and the in-task sort is over
+      // one bucket's rows, not a mixed bag)
+      Tables.orders(s, d).repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ot)
+      Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(lt)
+    }
+    (ot, lt)
+  }
+}

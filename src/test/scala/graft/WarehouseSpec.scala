@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator checks for the warehouse/analytics module (merge,
+  * SCD2, funnel, cohorts, Z-order, bucketed join, reservoir sample,
+  * connected components) + the new text/embedding pipeline ops.
+  * Semantics at sf0.001; plan shapes where the operator's 100 TB story
+  * depends on them.
+  */
+class WarehouseSpec extends AnyFunSuite with SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("merge_upsert: update/insert/carry-through row accounting") {
+    val merged = q("merge_upsert").cache()
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    val nUpd = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val nIns = orders.filter(col("o_orderkey") % 7 === 0).count()
+    // every snapshot row survives exactly once; inserts add fresh keys
+    assert(merged.count() === n + nIns)
+    assert(merged.filter(col("status") === "U").count() === nUpd)
+    assert(merged.filter(col("status") === "I").count() === nIns)
+    // updated rows carry the +500 price of the change set
+    val k = merged.filter(col("status") === "U").limit(1)
+      .select("o_orderkey").head.getLong(0)
+    val before = orders.filter(col("o_orderkey") === k)
+      .head.getAs[Double]("o_totalprice")
+    val after = merged.filter(col("o_orderkey") === k)
+      .head.getAs[Double]("totalprice")
+    assert(after === before + 500.0)
+    merged.unpersist()
+  }
+
+  test("scd2_history: intervals chain and exactly one current row per user") {
+    val h = q("scd2_history").cache()
+    import spark.implicits._
+    val perUser = h.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+    assert(perUser.filter(col("cur") =!= 1).count() === 0)
+    // valid_from strictly increases along each user's versions and
+    // valid_to equals the next version's valid_from (no gaps/overlaps)
+    val rows = h.select("user_id", "valid_from", "valid_to")
+      .as[(Long, Long, Option[Long])].collect().groupBy(_._1)
+    rows.values.foreach { vs =>
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from2, _)) => assert(to === from2)
+        case _ => ()
+      }
+      assert(sorted.init.forall(_._3.isDefined))
+      assert(sorted.last._3.isEmpty)
+    }
+    h.unpersist()
+  }
+
+  test("event_funnel: stage counts monotonically decrease") {
+    val r = q("event_funnel").head
+    val (s1, s2, s3, s4) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(s1 >= s2 && s2 >= s3 && s3 >= s4)
+    assert(s1 > 0)
+  }
+
+  test("retention_cohort: offset 0 row exists per cohort; users add up") {
+    val r = q("retention_cohort").cache()
+    // every cohort is active on its own first day
+    val cohorts = r.select("cohort_day").distinct().count()
+    assert(r.filter(col("offset_day") === 0).count() === cohorts)
+    assert(r.filter(col("offset_day") < 0).count() === 0)
+    r.unpersist()
+  }
+
+  test("zorder_cluster: morton code matches bit-interleave reference") {
+    val rows = q("zorder_cluster")
+      .select("x", "y", "zval").collect()
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map { k =>
+        (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))
+      }.reduce(_ | _)
+    rows.foreach { r =>
+      assert(r.getLong(2) === ref(r.getLong(0), r.getLong(1)))
+    }
+    // clustered output is sorted by zval
+    val zs = rows.map(_.getLong(2))
+    assert(zs.sameElements(zs.sorted))
+  }
+
+  test("bucketed_join: co-located join has no exchange on either side") {
+    // build the bucketed tables via the declared query first
+    q("bucketed_join").collect()
+    val ot = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_bkt_orders")).get
+    val lt = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_bkt_lineitem")).get
+    // force the sort-merge path (at sf0.001 AQE would otherwise pick a
+    // broadcast join on both variants and hide the bucketing effect)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(ot)
+        .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should read co-located buckets, got:\n$plan")
+      // and the same join over raw parquet DOES shuffle — the bucket
+      // layout, not the data size, is what removed the exchange
+      val raw = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))
+      raw.collect()
+      assert(raw.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("sample_reservoir: deterministic k-subset of the keyspace") {
+    val a = q("sample_reservoir").collect()
+    val b = q("sample_reservoir").collect()
+    assert(a.length === 100)
+    assert(a.map(_.getLong(0)).sameElements(b.map(_.getLong(0))))
+    val keys = Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(a.forall(r => keys.contains(r.getLong(0))))
+  }
+
+  test("graph_components: labels are fixpoint of min-propagation") {
+    val comp = q("graph_components").cache()
+    val labels = comp.select("node", "comp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the edge set the query used
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select("l_orderkey", "l_suppkey")
+    val edges = li.select(col("l_orderkey"), col("l_suppkey").as("x"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("y")),
+        "l_orderkey")
+      .filter(col("x") =!= col("y"))
+      .select("x", "y").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // fixpoint: neighbors share a component; label is the component min
+    edges.foreach { case (x, y) => assert(labels(x) === labels(y)) }
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min === c)
+    }
+    comp.unpersist()
+  }
+
+  test("pii_redact: redaction fires on every row, tokens are scrubbed") {
+    val r = q("pii_redact").cache()
+    assert(r.filter(col("head").contains("<EMAIL>")).count() === r.count())
+    assert(r.filter(col("head").contains("@")).count() === 0)
+    r.unpersist()
+  }
+
+  test("stopword_filter: kept counts bounded and stopwords removed") {
+    val r = q("stopword_filter").cache()
+    assert(r.filter(col("n_kept") > col("n_tokens")).count() === 0)
+    assert(r.filter(col("head").rlike("(^| )(a|the)( |$)")).count() === 0)
+    r.unpersist()
+  }
+
+  test("vocab_coverage: 90% vocab is a prefix of the distinct vocab") {
+    val r = q("vocab_coverage").head
+    val (v90, total, tail) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v90 >= 1 && total > 0 && tail >= 1)
+    val distinct = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(v90 <= distinct)
+    assert(v90 + tail === distinct + 1) // tail starts AT the crossing rank
+  }
+
+  test("embed_quantize: int8 range and max-abs element hits ±127") {
+    val r = q("embed_quantize").cache()
+    assert(r.filter(col("q_max") > 127 || col("q_min") < -127).count() === 0)
+    // the max-|x| element quantizes to exactly ±127 in every vector
+    assert(r.filter(col("q_max") === 127 || col("q_min") === -127).count()
+      === r.count())
+    r.unpersist()
+  }
+
+  test("embed_normalize: norms positive, normalized element bounded") {
+    val r = q("embed_normalize").cache()
+    assert(r.filter(col("norm") <= 0.0).count() === 0)
+    assert(r.filter(abs(col("e1n")) > 1.0).count() === 0)
+    r.unpersist()
+  }
+}
