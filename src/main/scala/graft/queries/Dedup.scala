@@ -538,6 +538,49 @@ object Dedup {
             (size(col("g1")) + size(col("g2"))
               - size(array_intersect(col("g1"), col("g2"))))).as("jaccard"))
         .orderBy("d1", "d2")
+    },
+
+    // Containment similarity |A∩B| / |A| over word-bigram shingles —
+    // the ASYMMETRIC dedup score that catches sub-document duplication
+    // (doc A fully quoted inside a longer B scores 1.0 while Jaccard
+    // dilutes with |B|). Same probe blocking as dedup_ngram: candidate
+    // pairs stay linear, never O(n²).
+    Decl("dedup_containment",
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |sh AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(tks)),
+        |      i -> tks[i] || ' ' || tks[i + 1])) AS g
+        |  FROM toks),
+        |pairs AS (SELECT p.doc_id AS d1, e.doc_id AS d2,
+        |    p.g AS g1, e.g AS g2
+        |  FROM sh p JOIN sh e ON p.lang = e.lang AND e.doc_id > p.doc_id
+        |    AND e.doc_id - p.doc_id < 50
+        |  WHERE p.doc_id % 500 = 0)
+        |SELECT d1, d2,
+        |  CAST(len(list_intersect(g1, g2)) AS DOUBLE) / len(g1)
+        |    AS containment
+        |FROM pairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // bigram shingles: sequence(1, n-1) mirrors range(1, len) — both
+      // empty below 2 tokens, but the n >= 2 guard keeps sequence()
+      // from turning descending (same hazard dedup_ngram documents)
+      val grams = array_distinct(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', " +
+          "element_at(split(text, ' '), i + 1)))"))
+      val docs = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 2)
+      val probe = docs.filter(col("doc_id") % 500 === 0)
+        .select(col("doc_id").as("d1"), col("lang").as("l1"), grams.as("g1"))
+      val cands = docs
+        .select(col("doc_id").as("d2"), col("lang").as("l2"), grams.as("g2"))
+      probe.join(cands,
+          col("l1") === col("l2") && col("d2") > col("d1")
+            && col("d2") - col("d1") < 50)
+        .select(col("d1"), col("d2"),
+          (size(array_intersect(col("g1"), col("g2"))).cast(DoubleType) /
+            size(col("g1"))).as("containment"))
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -167,6 +167,74 @@ object Stats {
           .as("bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("bucket")
+    },
+
+    // Shannon entropy (nats) of each user-bucket's event-type mix — the
+    // label-balance / diversity metric of training-data QA. ln is the
+    // one function with NO exact cross-engine path: Spark's log is
+    // StrictMath.log (fdlibm) while DuckDB rides libm, and they differ
+    // by 1 ulp on some arguments (verified: ln(25/131) differs, ln of
+    // the four sibling ratios agrees). So each p·ln p term is
+    // quantized at scale 9 — quantum 1e-9, nine orders above the
+    // ~5e-17 cross-engine drift, leaving a ~4e-7 per-term tie
+    // probability — then summed exactly (order-independent) and cast
+    // back (scaled integer ≪ 2^53, so the plain decimal→double cast
+    // is correctly rounded in both engines). The oracle still casts
+    // the TERM via VARCHAR (shortest-repr HALF_UP = Spark's Cast).
+    // Two hash aggregates; no extra pass over the data.
+    Decl("agg_entropy",
+      """WITH c AS (SELECT user_id % 10 AS b, event_type,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY b, event_type),
+        |n AS (SELECT b, CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY b)
+        |SELECT c.b AS bucket, CAST(n AS BIGINT) AS n_events, n_types,
+        |  -CAST(SUM(CAST(CAST((c / n) * ln(c / n) AS VARCHAR)
+        |    AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+        |FROM c JOIN n ON c.b = n.b
+        |GROUP BY c.b, n, n_types ORDER BY bucket""".stripMargin) { (s, d) =>
+      val cnt = Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("b"), col("event_type"))
+        .agg(count(lit(1)).cast(DoubleType).as("c"))
+      val tot = cnt.groupBy(col("b").as("nb"))
+        .agg(sum(col("c").cast(LongType)).cast(DoubleType).as("n"),
+          count(lit(1)).as("n_types"))
+      val p = col("c") / col("n")
+      cnt.join(tot, col("b") === col("nb"))
+        .groupBy(col("b").as("bucket"), col("n"), col("n_types"))
+        .agg((-sum((p * log(p)).cast(DecimalType(20, 9)))
+          .cast(DoubleType)).as("entropy"))
+        .select(col("bucket"), col("n").cast(LongType).as("n_events"),
+          col("n_types"), col("entropy"))
+        .orderBy("bucket")
+    },
+
+    // Chi-square goodness-of-fit of the event-type mix against uniform:
+    // observed counts are exact ints, expected = n/k in one double op,
+    // each (o−e)²/e term is the identical IEEE tree, and the across-
+    // term sum rides a decimal cast — order-independent, engine-exact.
+    Decl("agg_chi2",
+      """WITH c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(count(DISTINCT event_type) AS DOUBLE) AS k FROM events)
+        |SELECT CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS df1,
+        |  CAST(CAST(SUM(CAST(CAST((o - n / k) * (o - n / k) / (n / k)
+        |    AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS chi2
+        |FROM c, t GROUP BY n, k""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val c = ev.groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("o"))
+      val t = ev.agg(count(lit(1)).cast(DoubleType).as("n"),
+        countDistinct(col("event_type")).cast(DoubleType).as("k"))
+      val e = col("n") / col("k")
+      c.crossJoin(broadcast(t))
+        .groupBy(col("n"), col("k"))
+        .agg(sum(((col("o") - e) * (col("o") - e) / e)
+          .cast(DecimalType(30, 12))).cast(DoubleType).as("chi2"))
+        .select(col("n").cast(LongType).as("n_events"),
+          col("k").cast(LongType).as("df1"), col("chi2"))
     }
   )
 }

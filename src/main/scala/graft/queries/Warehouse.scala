@@ -231,6 +231,29 @@ object Warehouse {
       }
     },
 
+    // Incremental view maintenance: the materialized aggregate state
+    // (events before the split) is merged with a delta batch (events
+    // after) WITHOUT rescanning the base — partial sums stay decimal
+    // until after the merge, so merge-then-cast is bit-identical to
+    // the full recompute the oracle runs. This commutative-merge shape
+    // is Spark's own partial+final aggregation, materialized across
+    // batches — the batch twin of streaming state stores.
+    Decl("incremental_agg",
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlSum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val split = lit("2024-01-15").cast(TimestampType)
+      def part(f: org.apache.spark.sql.Column) =
+        Tables.events(s, d).filter(f)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(30, 6))).as("s"))
+      part(col("ts") < split).unionAll(part(col("ts") >= split))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"),
+          sum(col("s")).cast(DoubleType).as("total"))
+        .orderBy("event_type")
+    },
+
     // Deterministic reservoir-style k-sample: rank every row by a
     // seeded cross-engine hash of its key and keep the k smallest —
     // a uniform without-replacement sample that is reproducible across

@@ -346,6 +346,35 @@ object Windows {
         .agg(davg(col("o_totalprice")).as("median_price"),
           max(col("n")).as("n_rows"))
         .orderBy("o_orderpriority")
+    },
+
+    // Running DISTINCT count per user over time — COUNT(DISTINCT) OVER
+    // isn't directly supported by Spark windows, so it's built from
+    // first-occurrence flags (row_number = 1 per (user, type)) summed
+    // cumulatively — two windows over the SAME user-key shuffle, pure
+    // integer arithmetic. The standard incremental-cardinality window
+    // recipe, and the exact-count sibling of a streaming HLL.
+    Decl("window_running_distinct",
+      """WITH m AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct
+        |FROM m ORDER BY user_id, tus, event_id""".stripMargin) { (s, d) =>
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1).otherwise(0))
+        .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("tus"),
+          sum(col("first_seen")).over(wCum).as("n_distinct"))
+        .orderBy("user_id", "tus", "event_id")
     }
   )
 }

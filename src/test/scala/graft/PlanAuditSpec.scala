@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
     "feature_minmax", // broadcast single-row global-stats join (no condition)
     "event_funnel", // cross of four single-row stage-count frames
+    "agg_chi2", // broadcast single-row (n, k) totals cross
     "time_resample_ffill", // distinct-keys × 48-bucket grid cross (tiny)
     "time_resample_interp") // same grid scaffold
 

@@ -190,4 +190,62 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     assert(r.filter(abs(col("e1n")) > 1.0).count() === 0)
     r.unpersist()
   }
+
+  test("agg_entropy: bounded by ln(k), zero only for single-type buckets") {
+    val r = q("agg_entropy").cache()
+    import spark.implicits._
+    r.select("n_types", "entropy").as[(Long, Double)].collect().foreach {
+      case (k, h) =>
+        assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-9,
+          s"entropy $h outside [0, ln($k)]")
+    }
+    r.unpersist()
+  }
+
+  test("agg_chi2: matches direct computation from counts") {
+    val r = q("agg_chi2").head
+    val counts = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(_.getLong(1).toDouble)
+    val n = counts.sum; val e = n / counts.length
+    val chi2 = counts.map(o => (o - e) * (o - e) / e).sum
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-6)
+  }
+
+  test("window_running_distinct: non-decreasing, ends at the true count") {
+    val r = q("window_running_distinct").cache()
+    import spark.implicits._
+    val byUser = r.select("user_id", "n_distinct")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val truth = Tables.events(spark, sf)
+      .groupBy("user_id").agg(countDistinct("event_type").as("d"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    byUser.foreach { case (u, vs) =>
+      val seq = vs.map(_._2) // already in (ts, event_id) output order
+      assert(seq.zip(seq.tail).forall { case (a, b) => a <= b })
+      assert(seq.last === truth(u))
+    }
+    r.unpersist()
+  }
+
+  test("incremental_agg: merged partials equal a direct full aggregate") {
+    val inc = q("incremental_agg").collect()
+    val full = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+      .orderBy("event_type").collect()
+    assert(inc.length === full.length)
+    inc.zip(full).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getLong(1) === b.getLong(1))
+      assert(a.getDouble(2) === b.getDouble(2)) // bit-exact: decimal merge
+    }
+  }
+
+  test("dedup_containment: containment >= jaccard on the same pairs") {
+    val c = q("dedup_containment")
+      .select(col("d1"), col("d2"), col("containment")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.nonEmpty)
+    assert(c.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
 }
