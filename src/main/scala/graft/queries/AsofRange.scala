@@ -1,8 +1,9 @@
 package graft.queries
 
-import graft.{Decl, Tables}
+import graft.{Decl, Det, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Temporal joins Spark lacks as single primitives (SURVEY.md §2 rows
   * B11-B13): as-of (nearest-past) join and interval/range join, plus the
@@ -210,6 +211,57 @@ object AsofRange {
           "left")
         .groupBy("event_id")
         .agg(count(col("clk_id")).as("n_clicks"))
+        .orderBy("event_id")
+    },
+
+    // Last-touch attribution: every purchase attributed to the user's
+    // most recent prior (or same-instant) view's campaign key — the
+    // as-of backward join applied to product analytics, carrying a
+    // JSON-extracted payload from the matched side. Spark: the union +
+    // last(ignoreNulls) window trick (one user-key shuffle, no join);
+    // oracle: DuckDB ASOF LEFT JOIN. Views deduped to one per (user,
+    // ts) instant (max event_id) so the match is well-defined.
+    Decl("attribution_last_touch",
+      """WITH views AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) AS src,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |purch AS (SELECT user_id, ts, event_id FROM events
+        |          WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tus,
+        |  coalesce(v.src, -1) AS attributed_src,
+        |  coalesce(epoch_us(v.ts), -1) AS view_tus
+        |FROM purch p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      import Det.epochUs
+      val ev = Tables.events(s, d)
+      val wDedup = Window.partitionBy("user_id", "ts").orderBy(desc("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+        .select(col("user_id"), epochUs(col("ts")).as("tus"),
+          lit(null).cast(LongType).as("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("src"),
+          lit(0).as("tag"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), epochUs(col("ts")).as("tus"),
+          col("event_id"), lit(null).cast(LongType).as("src"),
+          lit(1).as("tag"))
+      // views sort before purchases at the same instant (tag 0 < 1), so
+      // `last(src) ignoreNulls` at a purchase row IS the as-of match
+      val w = Window.partitionBy("user_id").orderBy("tus", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionAll(purch)
+        .withColumn("attributed_src", last(col("src"), ignoreNulls = true).over(w))
+        .withColumn("view_tus",
+          last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("tus"),
+          coalesce(col("attributed_src"), lit(-1L)).as("attributed_src"),
+          coalesce(col("view_tus"), lit(-1L)).as("view_tus"))
         .orderBy("event_id")
     },
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Decl, Det, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -235,6 +236,43 @@ object Stats {
           .cast(DecimalType(30, 12))).cast(DoubleType).as("chi2"))
         .select(col("n").cast(LongType).as("n_events"),
           col("k").cast(LongType).as("df1"), col("chi2"))
+    },
+
+    // Gini coefficient of order value per priority class — the
+    // inequality/concentration measure of corpus and revenue QA, via
+    // the sorted-rank formula G = Σ(2i−n−1)·xᵢ / (n·Σxᵢ). FULLY exact
+    // cross-engine: ranks and n are ints, money is 2-decimal, so both
+    // numerator and denominator are exact decimals; the single final
+    // division runs on two correctly-rounded doubles (numerator's
+    // scaled integer passes 2^53 at bench scale → the oracle takes the
+    // VARCHAR hop, same as every big money sum).
+    Decl("agg_gini",
+      """WITH r AS (SELECT o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS i,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(CAST(SUM((2 * i - n - 1) * x) AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(MAX(n) * SUM(x) AS VARCHAR) AS DOUBLE) AS gini
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val wRank = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      val wAll = Window.partitionBy("o_orderpriority")
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("x"),
+          row_number().over(wRank).as("i"),
+          count(lit(1)).over(wAll).as("n"))
+        .groupBy("o_orderpriority")
+        .agg(max(col("n")).as("n"),
+          (sum((lit(2) * col("i") - col("n") - 1) * col("x"))
+            .cast(DoubleType) /
+            (max(col("n")) * sum(col("x"))).cast(DoubleType)).as("gini"))
+        .select(col("o_orderpriority"), col("n"), col("gini"))
+        .orderBy("o_orderpriority")
     }
   )
 }

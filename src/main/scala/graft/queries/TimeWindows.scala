@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Decl, Det, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Event-time windowing over the `events` stream table (SURVEY.md §2
   * rows B36-B38) — batch-first, with Structured-Streaming-identical
@@ -160,6 +161,49 @@ object TimeWindows {
                 (col("nt") - col("pt")).cast("double")))
             .as("interp_sum"))
         .orderBy("event_type", "bucket_us")
+    },
+
+    // OHLC downsample: open/high/low/close of `value` per (type, hour)
+    // — the financial-candle resample of the time-series surface.
+    // Open/close are picked by row_number over (ts, event_id) — an
+    // argmin/argmax with a TOTAL tiebreak (engine-native min_by/arg_min
+    // tie arbitrarily) — then folded in the same hash aggregate as
+    // high/low/volume. One window + one partial+final agg, both on the
+    // same (type, hour) key: a single shuffle.
+    Decl("time_ohlc",
+      s"""WITH b AS (SELECT event_type, value,
+         |    (epoch_us(ts) // $HourUs) * $HourUs AS h,
+         |    row_number() OVER (PARTITION BY event_type,
+         |        (epoch_us(ts) // $HourUs)
+         |      ORDER BY ts, event_id) AS rno,
+         |    row_number() OVER (PARTITION BY event_type,
+         |        (epoch_us(ts) // $HourUs)
+         |      ORDER BY ts DESC, event_id DESC) AS rnc
+         |  FROM events)
+         |SELECT event_type, h,
+         |  MAX(CASE WHEN rno = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rnc = 1 THEN value END) AS close,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS volume
+         |FROM b GROUP BY event_type, h
+         |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      val h = ((epochUs(col("ts")).cast(LongType) / HourUs)
+        .cast(LongType) * HourUs).as("h")
+      val hKey = (epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType)
+      val wOpen = Window.partitionBy(col("event_type"), hKey)
+        .orderBy(col("ts"), col("event_id"))
+      val wClose = Window.partitionBy(col("event_type"), hKey)
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), h,
+          row_number().over(wOpen).as("rno"),
+          row_number().over(wClose).as("rnc"))
+        .groupBy("event_type", "h")
+        .agg(max(when(col("rno") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rnc") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+        .orderBy("event_type", "h")
     }
   )
 

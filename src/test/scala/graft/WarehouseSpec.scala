@@ -241,6 +241,50 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("time_ohlc: candle invariants low <= open,close <= high") {
+    val r = q("time_ohlc").cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("low") > col("high")).count() === 0)
+    assert(r.filter(col("open") < col("low") || col("open") > col("high"))
+      .count() === 0)
+    assert(r.filter(col("close") < col("low") || col("close") > col("high"))
+      .count() === 0)
+    // single-event candles collapse to one price
+    assert(r.filter(col("n") === 1 && (col("open") =!= col("close")))
+      .count() === 0)
+    r.unpersist()
+  }
+
+  test("attribution_last_touch: matched view precedes the purchase") {
+    val r = q("attribution_last_touch").cache()
+    assert(r.count() > 0)
+    val matched = r.filter(col("attributed_src") =!= -1)
+    assert(matched.count() > 0)
+    assert(matched.filter(col("view_tus") > col("tus")).count() === 0)
+    // unmatched purchases have no prior view at all
+    val unmatchedUsers = r.filter(col("attributed_src") === -1)
+    assert(unmatchedUsers.filter(col("view_tus") =!= -1).count() === 0)
+    r.unpersist()
+  }
+
+  test("agg_gini: bounded in [0,1) and matches direct computation") {
+    val rows = q("agg_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val g = row.getDouble(2)
+      assert(g >= 0.0 && g < 1.0)
+    }
+    // direct recompute for one priority class
+    val p0 = rows.head.getString(0)
+    val xs = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === p0)
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val n = xs.length.toDouble
+    val gini = xs.zipWithIndex
+      .map { case (x, i) => (2 * (i + 1) - n - 1) * x }.sum / (n * xs.sum)
+    assert(math.abs(rows.head.getDouble(2) - gini) < 1e-9)
+  }
+
   test("dedup_containment: containment >= jaccard on the same pairs") {
     val c = q("dedup_containment")
       .select(col("d1"), col("d2"), col("containment")).collect()
