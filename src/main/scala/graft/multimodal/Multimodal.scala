@@ -45,6 +45,22 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.mime, n, n % 640, n % 480, n % 30 + 1)
   }
 
+  final case class MediaEmbedding(doc_id: Long, emb: Seq[Double])
+
+  /** STUB embedding model — stands in for a vision/audio encoder:
+    * 8 deterministic dims in [0,1) derived from the payload BYTES via
+    * sha60 (top 53 of the 60 hash bits over 2^53 — both steps exact in
+    * doubles, so the oracle reproduces every dim bit-for-bit from the
+    * same bytes). A real model would run batched inference here; the
+    * mapPartitions batching, array<double> schema and downstream
+    * retrieval plan are exactly what it would need. */
+  def embedStub(m: MediaRow): MediaEmbedding =
+    MediaEmbedding(m.doc_id, (0 until 8).map { i =>
+      (graft.functions.Sha60.hashBytes(
+        m.payload ++ s":$i".getBytes("UTF-8")) >>> 7).toDouble /
+        9007199254740992.0 // 2^53
+    })
+
   /** documents → media assets (payload = text bytes, mime routed by
     * language as a stand-in for a real mime column). */
   private def mediaOf(docs: org.apache.spark.sql.DataFrame): Dataset[MediaRow] = {
@@ -118,6 +134,44 @@ object Multimodal {
             .as("frame_idx"))
         .withColumn("frame_ts", col("frame_idx").cast("double") / 30.0)
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // The full multimodal retrieval bridge: binary payload → stub
+    // embedding model (mapPartitions, batched) → cosine top-k against
+    // a query asset — media in, similarity ranking out, with the
+    // payload column pruned away the moment the vector is extracted.
+    // The oracle recomputes every embedding dim from the same bytes
+    // (payload = UTF-8 text) and rides the VectorOps decimal-dot
+    // contract for the cosine.
+    Decl("multimodal_embed", {
+      def dim(i: Int) =
+        s"(CAST((${graft.functions.XHash.sqlSha60(s"text || ':$i'")} // 128)" +
+          " AS DOUBLE) / 9007199254740992.0)"
+      val vec = (0 until 8).map(dim).mkString("[", ", ", "]")
+      def dotL(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 9), k -> " +
+          s"CAST(($a)[k] * ($b)[k] AS DECIMAL(26,12)))) AS DOUBLE)"
+      s"""WITH e AS (SELECT doc_id, $vec AS emb FROM documents),
+         |q AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
+         |SELECT doc_id,
+         |  ${dotL("emb", "qe")} /
+         |    (sqrt(${dotL("emb", "emb")}) * sqrt(${dotL("qe", "qe")}))
+         |    AS sim
+         |FROM e, q ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      implicit val enc = Encoders.product[MediaEmbedding]
+      val emb = mediaOf(Tables.documents(s, d))
+        .mapPartitions(_.map(embedStub))
+        .toDF("doc_id", "emb")
+      val qv = broadcast(emb.filter(col("doc_id") === 0)
+        .select(col("emb").as("qe")))
+      import graft.functions.VectorOps.{dotDeclarative => dot}
+      emb.crossJoin(qv)
+        .select(col("doc_id"),
+          (dot(col("emb"), col("qe")) /
+            (sqrt(dot(col("emb"), col("emb"))) *
+              sqrt(dot(col("qe"), col("qe"))))).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(10)
     }
   )
 }

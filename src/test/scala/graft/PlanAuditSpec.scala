@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   private val bnljAllowed = Set(
     "cross_join", "sim_topk_cosine", "sim_range_search",
     "sim_ann_lsh", "sim_ann_ivf",
-    "multimodal_join", "knn_classify", "watermark_late", "streaming_dedup",
+    "multimodal_join", "multimodal_embed", "knn_classify", "watermark_late",
+    "streaming_dedup",
     "text_tfidf", "null_handling",
     "dedup_near_keep", // broadcast single-row max-cluster agg
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
