@@ -383,6 +383,116 @@ object Text {
         .agg(min(col("rk")).cast(LongType).as("vocab90"),
           max(col("total")).as("total_tokens"),
           count(lit(1)).as("n_tail"))
+    },
+
+    // BM25 ranking for a two-term query — the IR scorer a retrieval
+    // pipeline runs after candidate generation. tf/df/dl/N are exact
+    // ints; idf's ln rides the same 1-ulp StrictMath-vs-libm hazard as
+    // agg_entropy, so each per-(doc,term) score is quantized at scale 6
+    // (drift ~1e-15 vs a 1e-6 grid) before the exact across-term sum.
+    // Corpus stats travel as one broadcast row; everything else is the
+    // explode → partial+final shape of text_tf.
+    Decl("text_bm25", {
+      val score = "idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tks,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM d),
+         |t AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(tks) AS tok FROM d)
+         |  WHERE tok IN ('join', 'vector') GROUP BY doc_id, dl, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM t
+         |  GROUP BY tok),
+         |sc AS (SELECT doc_id,
+         |    CAST(CAST($score AS VARCHAR) AS DECIMAL(20,6)) AS s
+         |  FROM (SELECT t.doc_id, t.dl, t.tf,
+         |      ln((g.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) AS idf,
+         |      g.avgdl
+         |    FROM t JOIN dfq ON t.tok = dfq.tok CROSS JOIN g))
+         |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), toks.as("tks"),
+          size(toks).cast(DoubleType).as("dl"))
+      val g = docs.agg(count(lit(1)).cast(DoubleType).as("n"),
+        (sum(col("dl").cast(LongType)).cast(DoubleType) /
+          count(lit(1))).as("avgdl"))
+      val t = docs.select(col("doc_id"), col("dl"), explode(col("tks")).as("tok"))
+        .filter(col("tok").isin("join", "vector"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(count(lit(1)).cast(DoubleType).as("tf"))
+      val dfq = t.groupBy(col("tok").as("dtok"))
+        .agg(count(lit(1)).cast(DoubleType).as("df"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val score = col("idf") * col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      t.join(broadcast(dfq), col("tok") === col("dtok"))
+        .crossJoin(broadcast(g))
+        .withColumn("idf", idf)
+        .select(col("doc_id"), score.cast(DecimalType(20, 6)).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(col("s")).cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
+    // URL canonicalization — the web-pipeline cleanup step (lowercase
+    // host, strip tracking params) over deterministically synthesized
+    // URLs (the corpus has none), with dialect-neutral regexes. The
+    // synthesized column proves the regex plumbing fires on every row.
+    Decl("url_normalize",
+      """WITH u AS (SELECT doc_id,
+        |    'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.com/path/' || CAST(doc_id AS VARCHAR) ||
+        |    '?id=' || CAST(doc_id % 13 AS VARCHAR) ||
+        |    '&utm_source=feed&utm_campaign=c1' AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_replace(url, '&utm_[a-z]+=[^&]*', '', 'g') AS clean_url
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://WWW.Example"),
+        (col("doc_id") % 7).cast(StringType), lit(".com/path/"),
+        col("doc_id").cast(StringType), lit("?id="),
+        (col("doc_id") % 13).cast(StringType),
+        lit("&utm_source=feed&utm_campaign=c1"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          lower(regexp_extract(col("url"), "https://([^/]+)/", 1)).as("host"),
+          regexp_extract(col("url"), "https://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_replace(col("url"), "&utm_[a-z]+=[^&]*", "").as("clean_url"))
+        .orderBy("doc_id")
+    },
+
+    // Exact heavy hitters: tokens above a 2% corpus share — the
+    // integer-gate formulation (50·tf > total) of the frequent-items
+    // question a Count-Min sketch answers approximately; one explode +
+    // one partial+final count, the share division on identical ints.
+    Decl("heavy_hitters",
+      """WITH tf AS (SELECT t AS token, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY t),
+        |tot AS (SELECT CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS total
+        |  FROM tf)
+        |SELECT token, CAST(c AS BIGINT) AS c,
+        |  CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM tf, tot WHERE 50 * c > total
+        |ORDER BY c DESC, token""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("total"))
+      tf.crossJoin(broadcast(tot))
+        .filter(lit(50) * col("c") > col("total"))
+        .select(col("token"), col("c"),
+          (col("c").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("share"))
+        .orderBy(col("c").desc, col("token"))
     }
   )
 }

@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "multimodal_join", "multimodal_embed", "knn_classify", "watermark_late",
     "streaming_dedup",
     "text_tfidf", "null_handling",
+    "text_bm25", "heavy_hitters", // broadcast single-row corpus stats
     "dedup_near_keep", // broadcast single-row max-cluster agg
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
     "feature_minmax", // broadcast single-row global-stats join (no condition)

@@ -164,4 +164,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
         df.queryExecution.executedPlan.toString.take(800))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("tpch_q6 pushes all three filters into the parquet scan") {
+    val p = formattedPlan("tpch_q6")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // scan reads only the 4 referenced lineitem columns
+    val scanSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_orderkey"), scanSchema)
+  }
+
+  test("tpch_q3/q10/q18 top-k plan as TakeOrderedAndProject") {
+    Seq("tpch_q3", "tpch_q10", "tpch_q18").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"), q)
+    }
+  }
+
+  test("tpch_q5/q8 star joins broadcast every dimension") {
+    Seq("tpch_q5", "tpch_q8").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      val shuffleJoins = "SortMergeJoin".r.findAllIn(p).size +
+        "ShuffledHashJoin".r.findAllIn(p).size
+      assert(shuffleJoins <= 1, s"$q: $shuffleJoins shuffle joins\n$p")
+    }
+  }
+
+  test("tpch_q4/q21/q22 decorrelate EXISTS into semi/anti joins") {
+    val q4 = plan("tpch_q4")
+    assert(q4.contains("LeftSemi"), q4)
+    val q21 = plan("tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    val q22 = plan("tpch_q22")
+    assert(q22.contains("LeftAnti"), q22)
+  }
 }
