@@ -375,6 +375,71 @@ object Windows {
         .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("tus"),
           sum(col("first_seen")).over(wCum).as("n_distinct"))
         .orderBy("user_id", "tus", "event_id")
+    },
+
+    // Rolling correlation of quantity vs price over each supplier's
+    // trailing 20 line items — pandas `rolling(20).corr()`. Five
+    // windowed DECIMAL power sums over ONE (supplier, ship-order)
+    // window (exact, order-independent), then the corr formula on
+    // identical doubles; full frames only, zero-variance guarded to
+    // NULL symmetrically. Partitioned by supplier (entity-keyed, not
+    // the 3-value returnflag) so the window parallelizes at scale.
+    // Output carries rn and orders by (supplier, rn): the synthetic
+    // data REUSES (l_orderkey, l_linenumber) pairs, so the natural
+    // keys alone are not a total output order (found the hard way —
+    // the window itself totally orders on (shipdate, okey, line)).
+    Decl("window_rolling_corr",
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER w AS rn,
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(3,0))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(3,0)) *
+        |             CAST(l_quantity AS DECIMAL(3,0))) OVER w AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(3,0)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      l_quantity, l_extendedprice
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, CAST(rn AS INTEGER) AS rn, l_orderkey, l_linenumber,
+        |  CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+        |    THEN (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |  END AS roll_corr
+        |FROM r WHERE rn >= 20
+        |ORDER BY l_suppkey, rn""".stripMargin) { (s, d) =>
+      // ...and the value columns join the frame ordering because even
+      // (shipdate, okey, line) ties once per 6M rows; values differ on
+      // the colliding pair, making the five-key order provably total
+      val wRank = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice")
+      val w = wRank.rowsBetween(-19, Window.currentRow)
+      val xd = col("l_quantity").cast(DecimalType(3, 0))
+      val yd = col("l_extendedprice").cast(DecimalType(18, 2))
+      val n = col("n"); val sx = col("sx"); val sy = col("sy")
+      val varx = n * col("sxx") - sx * sx
+      val vary = n * col("syy") - sy * sy
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(wRank).as("rn"),
+          count(lit(1)).over(w).cast(DoubleType).as("n"),
+          sum(xd).over(w).cast(DoubleType).as("sx"),
+          sum(yd).over(w).cast(DoubleType).as("sy"),
+          sum(xd * xd).over(w).cast(DoubleType).as("sxx"),
+          sum(yd * yd).over(w).cast(DoubleType).as("syy"),
+          sum(xd * yd).over(w).cast(DoubleType).as("sxy"))
+        .filter(col("rn") >= 20)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"),
+          when(varx > 0.0 && vary > 0.0,
+            (n * col("sxy") - sx * sy) / (sqrt(varx) * sqrt(vary)))
+            .as("roll_corr"))
+        .orderBy("l_suppkey", "rn")
     }
   )
 }

@@ -35,6 +35,22 @@ object Streaming {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of the `time_ohlc` query: open/close via
+    * min_by/max_by on the total (ts, event_id) key — the batch query's
+    * row_number formulation is window-function-based (not allowed on
+    * streams), but min_by over a total order picks the SAME row, so
+    * batch ≡ streaming row-for-row (StreamingSpec asserts it). All
+    * five candle aggregates ride one windowed hash aggregation whose
+    * state the watermark evicts. */
+  def ohlcCandles(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+
   /** Stream-stream interval join: each click joined to the same user's
     * errors within the following `window`. Watermarks on BOTH sides plus
     * the two-sided time-range predicate are what let Spark evict join

@@ -43,6 +43,39 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("OHLC candles: streaming ≡ batch, opens/closes by total order") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      Ev(3, ts(10), "click", 1, 5.0), Ev(1, ts(10), "click", 1, 2.0),
+      Ev(2, ts(20), "click", 1, 9.0), Ev(4, ts(50), "click", 2, 1.0),
+      Ev(5, ts(30), "view", 2, 7.0))
+    val input = MemoryStream[Ev]
+    val q = Streaming.ohlcCandles(input.toDF())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc")
+        .select("window.start", "event_type", "open", "high", "low",
+          "close", "n")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.ohlcCandles(rows.toDF())
+        .select("window.start", "event_type", "open", "high", "low",
+          "close", "n")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // same-instant tie at 10:10 broken by event_id: open = id 1's 2.0
+      val click = spark.table("ohlc")
+        .filter(col("event_type") === "click").head
+      assert(click.getAs[Double]("open") === 2.0)
+      assert(click.getAs[Double]("close") === 1.0)
+      assert(click.getAs[Double]("high") === 9.0)
+      assert(click.getAs[Double]("low") === 1.0)
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than the delay (B39)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
