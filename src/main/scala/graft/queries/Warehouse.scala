@@ -346,12 +346,17 @@ object Warehouse {
       // repartition on the bucket key first: each task then writes ONE
       // bucket file instead of every task writing a sliver of all 8
       // (8 files per table, not tasks×8 — and the in-task sort is over
-      // one bucket's rows, not a mixed bag)
-      Tables.orders(s, d).repartition(8, col("o_orderkey"))
+      // one bucket's rows, not a mixed bag). Only the join/agg columns
+      // are materialized — bucketed side tables are projections, not
+      // table copies (half the write volume here; far more at width).
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").saveAsTable(ot)
-      Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(lt)
