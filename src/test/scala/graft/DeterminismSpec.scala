@@ -35,7 +35,20 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "dedup_latest",       // recency ties (event_id tiebreak)
     "split_train_test",   // hash-gate assignment
     "time_resample_ffill", // grid join + window fill
-    "time_resample_interp") // anchor picks + interpolation
+    "time_resample_interp", // anchor picks + interpolation
+    // round 4
+    "sample_reservoir",   // hash-gate k-subset + double ordering
+    "graph_components",   // iterative convergence across runs
+    "time_ohlc",          // open/close picks under (ts, event_id) ties
+    "attribution_last_touch", // view dedup + tag ordering
+    "window_running_distinct", // first-occurrence flags under ts ties
+    "window_rolling_corr", // frame membership under 5-key order
+    "scd2_history",       // change-row picks + interval chaining
+    "multimodal_embed",   // hash-derived dims + top-k ties
+    "text_bm25",          // score ties at the k boundary
+    "heavy_hitters",      // count ties at the share gate
+    "merge_upsert",       // full-outer result ordering
+    "event_funnel")       // mapGroups walk under sorted ties
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {

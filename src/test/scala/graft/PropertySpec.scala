@@ -118,4 +118,68 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       assert(sigs(1L) == sigs(2L), s"t='$t'")
     }
   }
+
+  test("morton code is a bijection on the 8-bit × 8-bit domain") {
+    // decode by de-interleaving must invert the query's interleave for
+    // arbitrary (x, y) — the property that makes a z-ordered range scan
+    // recover BOTH dimension ranges
+    val pairGen = for {
+      x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L)
+    } yield (x, y)
+    def interleave(x: Long, y: Long): Long =
+      (0 until 8).map { k =>
+        (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))
+      }.reduce(_ | _)
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until 8).foreach { k =>
+        x |= ((z >> (2 * k)) & 1L) << k
+        y |= ((z >> (2 * k + 1)) & 1L) << k
+      }
+      (x, y)
+    }
+    samples(pairGen, 64).foreach { case (x, y) =>
+      assert(deinterleave(interleave(x, y)) == ((x, y)), s"($x,$y)")
+    }
+  }
+
+  test("int8 quantization bounds the reconstruction error (any vector)") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0f))
+      .suchThat(v => v.exists(_ != 0.0f))
+    samples(vecGen, 8).foreach { v =>
+      val df = Seq((1L, v)).toDF("vec_id", "embedding")
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val mx = array_max(transform(col("embedding"),
+        y => abs(y.cast(DoubleType))))
+      val q = df.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * (lit(127.0) / mx) + 0.5)
+            .cast(LongType)).as("qv"), mx.as("m")).head
+      val scale = 127.0 / q.getDouble(2)
+      val qs = q.getSeq[Long](1)
+      v.zip(qs).foreach { case (orig, quant) =>
+        val recon = quant / scale
+        assert(math.abs(orig - recon) <= 0.5 / scale + 1e-12,
+          s"$orig -> $quant -> $recon")
+        assert(quant >= -127 && quant <= 127)
+      }
+    }
+  }
+
+  test("reservoir-style hash sample: k smallest is stable under union order") {
+    // the sample is a pure function of the key set: permuting/partition-
+    // shuffling the input must not change the selected keys
+    val base = Tables.orders(spark, sf).select("o_orderkey")
+    val h = graft.functions.XHash.sha60(
+      concat(lit("smp1:"), col("o_orderkey").cast("string")))
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), h.as("h"))
+        .orderBy("h", "o_orderkey").limit(100)
+        .collect().map(_.getLong(0)).toSeq
+    val a = pick(base)
+    Seq(3, 17).foreach { np =>
+      assert(pick(base.repartition(np)) == a, s"np=$np")
+    }
+  }
 }
