@@ -73,6 +73,35 @@ object StreamingBatch {
         }(Encoders.product[UserRunning])
         .toDF("user_id", "n_events", "sum_value")
         .orderBy("user_id")
+    },
+
+    // The streaming OHLC formulation under the oracle gate: min_by /
+    // max_by over the total (ts, event_id) key — the ONLY argmin form
+    // allowed on a stream (time_ohlc's row_number needs a finite
+    // window). Total order ⇒ it picks the same rows as the window
+    // form, so the oracle states it with row_number; StreamingSpec
+    // additionally proves micro-batched ≡ batch.
+    Decl("stream_ohlc",
+      """WITH b AS (SELECT event_type, value,
+        |    epoch_us(date_trunc('hour', ts)) AS h_us,
+        |    row_number() OVER (PARTITION BY event_type,
+        |        date_trunc('hour', ts) ORDER BY ts, event_id) AS rno,
+        |    row_number() OVER (PARTITION BY event_type,
+        |        date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rnc
+        |  FROM events)
+        |SELECT event_type, h_us,
+        |  MAX(CASE WHEN rno = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rnc = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY event_type, h_us
+        |ORDER BY event_type, h_us""".stripMargin) { (s, d) =>
+      graft.streaming.Streaming.ohlcCandles(Tables.events(s, d))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("h_us"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy("event_type", "h_us")
     }
   )
 }
