@@ -349,6 +349,33 @@ object Scalars {
           element_at(array(struct(col("o_totalprice").as("p"))), 1)
             .getField("p").as("arr_struct_price"))
         .orderBy("o_orderkey")
+    },
+
+    // regexp_extract_all — every match, not just the first (the `.str
+    // .findall` surface). Both engines share the name and semantics on
+    // the RE2/Java-common subset; counts and boundary elements keep the
+    // output scalar-typed for the hash gate.
+    Decl("scalar_regex_all",
+      """WITH m AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[a-z]{6,}') AS ms
+        |  FROM documents)
+        |SELECT doc_id, len(ms) AS n_long_words,
+        |  COALESCE(ms[1], '') AS first_m,
+        |  COALESCE(ms[len(ms)], '') AS last_m
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0))
+            .as("ms"))
+        .select(col("doc_id"), size(col("ms")).as("n_long_words"),
+          // element_at(_, 0) THROWS under ANSI; guard the empty case
+          // instead of leaning on coalesce like the DuckDB twin can
+          when(size(col("ms")) > 0, element_at(col("ms"), 1))
+            .otherwise("").as("first_m"),
+          when(size(col("ms")) > 0,
+            element_at(col("ms"), size(col("ms"))))
+            .otherwise("").as("last_m"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -192,6 +192,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cached view scans InMemoryTableScan and uncaches cleanly") {
+    val v = "graft_cache_probe"
+    Tables.nation(spark, sf).createOrReplaceTempView(v)
+    spark.catalog.cacheTable(v)
+    try {
+      val df = spark.table(v).filter(col("n_regionkey") === 0)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("In-memory table"))
+      assert(spark.catalog.isCached(v))
+    } finally {
+      spark.catalog.uncacheTable(v)
+      assert(!spark.catalog.isCached(v))
+      spark.catalog.dropTempView(v)
+    }
+  }
+
   test("tpch_q4/q21/q22 decorrelate EXISTS into semi/anti joins") {
     val q4 = plan("tpch_q4")
     assert(q4.contains("LeftSemi"), q4)
