@@ -49,4 +49,16 @@ object HiveTables {
   /** List a database's tables (the reference's `get_all_tables`). */
   def tables(spark: SparkSession, database: String): Seq[String] =
     spark.catalog.listTables(database).collect().map(_.name).toSeq
+
+  /** List databases (the reference's `get_all_databases`). */
+  def databases(spark: SparkSession): Seq[String] =
+    spark.catalog.listDatabases().collect().map(_.name).toSeq
+
+  /** List a partitioned table's partition specs (the reference's
+    * `get_partitions`): rows like `o_year=1996`, straight from the
+    * catalog's partition enumeration (metastore-backed under Hive). */
+  def partitions(spark: SparkSession, database: String,
+      name: String): Seq[String] =
+    spark.sql(s"SHOW PARTITIONS ${q(database)}.${q(name)}")
+      .collect().map(_.getString(0)).toSeq
 }

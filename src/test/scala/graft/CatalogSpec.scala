@@ -95,6 +95,9 @@ class CatalogSpec extends AnyFunSuite {
       assert(viaFacade.count() ==
         Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1996).count())
       assert(HiveTables.tables(spark, "graft_db").contains("orders_part"))
+      assert(HiveTables.databases(spark).contains("graft_db"))
+      val pSpecs = HiveTables.partitions(spark, "graft_db", "orders_part")
+      assert(pSpecs.nonEmpty && pSpecs.forall(_.startsWith("o_year=")), pSpecs)
       val facadePlan = viaFacade.queryExecution.executedPlan.toString
       assert(facadePlan.contains("1996"), facadePlan)
 
