@@ -273,6 +273,38 @@ object Stats {
             (max(col("n")) * sum(col("x"))).cast(DoubleType)).as("gini"))
         .select(col("o_orderpriority"), col("n"), col("gini"))
         .orderBy("o_orderpriority")
+    },
+
+    // Herfindahl–Hirschman concentration index of per-user activity
+    // within each event type — entropy's market-share sibling, but with
+    // NO libm: each share² is pure IEEE arithmetic on exact integer
+    // ratios, decimal-cast per term (via-VARCHAR in the oracle — the
+    // cast-semantics hop) for an order-independent sum.
+    Decl("agg_hhi",
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY event_type, user_id),
+        |t AS (SELECT event_type,
+        |    CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM c GROUP BY event_type)
+        |SELECT c.event_type, n_users,
+        |  CAST(SUM(CAST(CAST(
+        |      (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)
+        |    AS VARCHAR) AS DECIMAL(20,15))) AS DOUBLE) AS hhi
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |GROUP BY c.event_type, n_users ORDER BY c.event_type""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("c"))
+      val t = c.groupBy(col("event_type").as("te"))
+        .agg(sum(col("c")).cast(DoubleType).as("n"),
+          count(lit(1)).as("n_users"))
+      val share = col("c").cast(DoubleType) / col("n")
+      c.join(broadcast(t), col("event_type") === col("te"))
+        .groupBy(col("event_type"), col("n_users"))
+        .agg(sum((share * share).cast(DecimalType(20, 15)))
+          .cast(DoubleType).as("hhi"))
+        .orderBy("event_type")
     }
   )
 }

@@ -493,6 +493,39 @@ object Text {
           (col("c").cast(DoubleType) / col("total").cast(DoubleType))
             .as("share"))
         .orderBy(col("c").desc, col("token"))
+    },
+
+    // Repetition profile per document — the boilerplate/low-quality
+    // signal (crawled corpora are full of token-looping junk): distinct
+    // ratio and the heaviest single token's share, all exact integer
+    // counts with identical double divisions. One explode + one
+    // (doc, token) aggregate + one doc rollup.
+    Decl("text_repetition",
+      """WITH tc AS (SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY doc_id, t),
+        |d AS (SELECT doc_id, CAST(SUM(CAST(c AS BIGINT)) AS BIGINT)
+        |    AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_distinct,
+        |  CAST(top_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_share,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)
+        |    AS rep_ratio
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+          (col("top_c").cast(DoubleType) / col("n_tok").cast(DoubleType))
+            .as("top_share"),
+          (lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_tok").cast(DoubleType)).as("rep_ratio"))
+        .orderBy("doc_id")
     }
   )
 }

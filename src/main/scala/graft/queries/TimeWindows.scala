@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Decl, Det, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Event-time windowing over the `events` stream table (SURVEY.md §2
   * rows B36-B38) — batch-first, with Structured-Streaming-identical
@@ -204,6 +204,87 @@ object TimeWindows {
           max(when(col("rnc") === 1, col("value"))).as("close"),
           count(lit(1)).as("n"), dsum(col("value")).as("volume"))
         .orderBy("event_type", "h")
+    },
+
+    // Lag-1 autocorrelation of the hourly event-count series per type —
+    // the burstiness/trend diagnostic of stream QA. Counts are exact
+    // ints, so ALL five power sums are exact decimals and the Pearson
+    // formula runs on identical doubles — no libm anywhere. Lag pairs
+    // are over OBSERVED hours (gap hours absent on both engines alike).
+    Decl("time_autocorr",
+      s"""WITH hcnt AS (SELECT event_type,
+         |    (epoch_us(ts) // $HourUs) AS hb,
+         |    CAST(count(*) AS DECIMAL(10,0)) AS c
+         |  FROM events GROUP BY event_type, hb),
+         |lagd AS (SELECT event_type, c AS y,
+         |    lag(c) OVER (PARTITION BY event_type ORDER BY hb) AS x
+         |  FROM hcnt),
+         |p AS (SELECT event_type, x, y FROM lagd WHERE x IS NOT NULL),
+         |st AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+         |  FROM p GROUP BY event_type)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+         |  CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+         |    THEN (n * sxy - sx * sy) /
+         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |  END AS autocorr
+         |FROM st ORDER BY event_type""".stripMargin) { (s, d) =>
+      val hcnt = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType).as("hb"))
+        .agg(count(lit(1)).cast(DecimalType(10, 0)).as("c"))
+      val wLag = Window.partitionBy("event_type").orderBy("hb")
+      val p = hcnt
+        .select(col("event_type"), col("c").as("y"),
+          lag(col("c"), 1).over(wLag).as("x"))
+        .filter(col("x").isNotNull)
+      val st = p.groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+      val n = col("n"); val sx = col("sx"); val sy = col("sy")
+      val vx = n * col("sxx") - sx * sx
+      val vy = n * col("syy") - sy * sy
+      st.select(col("event_type"), n.cast(LongType).as("n_pairs"),
+          when(vx > 0.0 && vy > 0.0,
+            (n * col("sxy") - sx * sy) / (sqrt(vx) * sqrt(vy)))
+            .as("autocorr"))
+        .orderBy("event_type")
+    },
+
+    // Hour-of-day seasonality profile per type — counts and shares from
+    // pure integer epoch arithmetic (no timezone functions: both
+    // engines compute hod = (epoch_us // 1h) % 24 on the same longs).
+    Decl("time_seasonality",
+      s"""WITH b AS (SELECT event_type,
+         |    CAST((epoch_us(ts) // $HourUs) % 24 AS BIGINT) AS hod
+         |  FROM events),
+         |c AS (SELECT event_type, hod, count(*) AS n FROM b
+         |  GROUP BY event_type, hod),
+         |t AS (SELECT event_type, CAST(SUM(CAST(n AS BIGINT)) AS BIGINT)
+         |    AS total FROM c GROUP BY event_type)
+         |SELECT c.event_type AS event_type, hod, CAST(n AS BIGINT) AS n,
+         |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         |FROM c JOIN t ON c.event_type = t.event_type
+         |ORDER BY c.event_type, hod""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          ((epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType) % 24)
+            .as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("event_type").as("te"))
+        .agg(sum(col("n")).as("total"))
+      c.join(broadcast(t), col("event_type") === col("te"))
+        .select(col("event_type"), col("hod"), col("n"),
+          (col("n").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("share"))
+        .orderBy("event_type", "hod")
     }
   )
 
