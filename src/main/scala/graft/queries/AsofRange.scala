@@ -265,6 +265,65 @@ object AsofRange {
         .orderBy("event_id")
     },
 
+    // B11c: as-of join WITH TOLERANCE — pandas merge_asof(tolerance=…):
+    // the backward match is kept only when the event is within 7 days
+    // of the matched order; staler matches revert to unmatched. Same
+    // single-shuffle union-tag window as join_asof, one extra carried
+    // column (the match's own timestamp) and a gap gate at the end.
+    Decl("join_asof_tolerance",
+      """WITH dorders AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN o.o_orderkey IS NOT NULL
+        |        AND epoch_us(e.ts) - epoch_us(o.o_orderdate)
+        |            <= 604800000000 THEN o.o_orderkey ELSE -1 END
+        |    AS matched_order,
+        |  CASE WHEN o.o_orderkey IS NOT NULL
+        |        AND epoch_us(e.ts) - epoch_us(o.o_orderdate)
+        |            <= 604800000000
+        |       THEN epoch_us(e.ts) - epoch_us(o.o_orderdate) ELSE -1 END
+        |    AS gap_us
+        |FROM events e
+        |ASOF LEFT JOIN dorders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val TolUs = 604800000000L // 7 days
+      val wDedup = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy(col("o_orderkey").desc)
+      val orders = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("k"),
+          // o_orderdate reads as TIMESTAMP_NTZ; the session is pinned
+          // UTC, so the NTZ→TZ cast yields exactly DuckDB's epoch_us
+          // of the naive value
+          Det.epochUs(col("o_orderdate").cast("timestamp")).as("tus"),
+          lit(0).as("tag"), col("o_orderkey"),
+          lit(null).cast(LongType).as("event_id"))
+      val events = Tables.events(s, d)
+        .select(col("user_id").as("k"), Det.epochUs(col("ts")).as("tus"),
+          lit(1).as("tag"), lit(null).cast(LongType).as("o_orderkey"),
+          col("event_id"))
+      val w = Window.partitionBy("k").orderBy("tus", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = col("tus") - col("match_tus")
+      orders.unionByName(events)
+        .withColumn("match_key",
+          last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("match_tus",
+          last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          when(col("match_key").isNotNull && gap <= TolUs, col("match_key"))
+            .otherwise(-1L).as("matched_order"),
+          when(col("match_key").isNotNull && gap <= TolUs, gap)
+            .otherwise(-1L).as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // B13: cartesian product (BroadcastNestedLoopJoin; small sides only —
     // any big-side cross is a bug at scale, never a strategy).
     Decl("cross_join",

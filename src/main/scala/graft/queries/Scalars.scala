@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -232,6 +233,29 @@ object Scalars {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
+    },
+
+    // Fixed-SIZE per-group sample (the `groupby().sample(n=…)` /
+    // stratified-n surface; sample_stratified above is rate-based):
+    // the 20 hash-smallest docs per language — deterministic, uniform
+    // within each group, and window-parallel per group key.
+    Decl("sample_group_n", {
+      val h = graft.functions.XHash
+        .sqlSha60("'gs:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT lang, doc_id, row_number() OVER (
+         |      PARTITION BY lang ORDER BY $h, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.XHash.sha60
+      val w = Window.partitionBy("lang")
+        .orderBy(sha60(concat(lit("gs:"), col("doc_id").cast(StringType))),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 20)
+        .orderBy("lang", "rk")
     },
 
     // B25b: string↔typed parsing round-trips (pandas `to_datetime` /
