@@ -440,6 +440,44 @@ object Windows {
             (n * col("sxy") - sx * sy) / (sqrt(varx) * sqrt(vary)))
             .as("roll_corr"))
         .orderBy("l_suppkey", "rn")
+    },
+
+    // Longest rising streak of event values per user — the classic
+    // gaps-and-islands composition: a lag comparison starts islands, a
+    // running sum names them, a per-island count and a per-user max
+    // finish. Three windows + one aggregate, ALL on the same user-key
+    // shuffle; everything integer-exact.
+    Decl("window_streak",
+      """WITH s AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(value) OVER wo IS NULL
+        |           OR value <= lag(value) OVER wo THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM events
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (SELECT user_id, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM s),
+        |runs AS (SELECT user_id, island, count(*) AS run_len
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+        |  CAST(COUNT(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // island numbering must run in the SAME total order the lag saw
+      val wCum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("value"), 1).over(wo))
+        .withColumn("brk",
+          when(col("prev").isNull || col("value") <= col("prev"), 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("brk")).over(wCum))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("user_id")
+        .agg(max(col("run_len")).as("longest_streak"),
+          count(lit(1)).as("n_runs"))
+        .orderBy("user_id")
     }
   )
 }

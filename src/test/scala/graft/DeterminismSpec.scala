@@ -48,7 +48,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "text_bm25",          // score ties at the k boundary
     "heavy_hitters",      // count ties at the share gate
     "merge_upsert",       // full-outer result ordering
-    "event_funnel")       // mapGroups walk under sorted ties
+    "event_funnel",       // mapGroups walk under sorted ties
+    "join_asof_tolerance", // dedup + tag ordering + gap gate
+    "sample_group_n")     // hash-ranked per-group pick
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {
