@@ -305,6 +305,32 @@ object Stats {
         .agg(sum((share * share).cast(DecimalType(20, 15)))
           .cast(DoubleType).as("hhi"))
         .orderBy("event_type")
+    },
+
+    // Revenue concentration: the top decile's share of total order
+    // value — ntile over the price ordering (orderkey tiebreak), exact
+    // decimal sums in numerator and denominator, one final division on
+    // correctly-rounded doubles (VARCHAR hop past 2^53 on the oracle).
+    // Scale note: the global ntile is a range-partitioned sort here for
+    // EXACT decile bounds; the 100 TB form replaces it with a quantile
+    // cutoff (percentile ≈ p90, broadcast) + filter — same two exact
+    // sums, no global ordering.
+    Decl("agg_topk_share",
+      s"""WITH r AS (SELECT o_totalprice,
+         |    ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+         |      AS decile
+         |  FROM orders)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  ${sqlSum("CASE WHEN decile = 1 THEN o_totalprice ELSE 0.0 END")} /
+         |    ${sqlSum("o_totalprice")} AS top_decile_share
+         |FROM r""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .agg(count(lit(1)).as("n_orders"),
+          (dsum(when(col("decile") === 1, col("o_totalprice"))
+            .otherwise(0.0)) / dsum(col("o_totalprice")))
+            .as("top_decile_share"))
     }
   )
 }

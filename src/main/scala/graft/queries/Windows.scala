@@ -478,6 +478,32 @@ object Windows {
         .agg(max(col("run_len")).as("longest_streak"),
           count(lit(1)).as("n_runs"))
         .orderBy("user_id")
+    },
+
+    // Running-max drawdown per user — peak-tracking over the event
+    // stream (the time-series risk metric; also the shape of "distance
+    // below best checkpoint" monitoring). Running MAX is exact on any
+    // ordering; the subtraction is one IEEE op on identical doubles.
+    // Worst (most negative) drawdown summarized per user.
+    Decl("window_drawdown",
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS peak
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(value - peak) AS worst_drawdown,
+        |  MAX(peak) AS final_peak
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("peak", max(col("value")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          min(col("value") - col("peak")).as("worst_drawdown"),
+          max(col("peak")).as("final_peak"))
+        .orderBy("user_id")
     }
   )
 }
