@@ -254,6 +254,31 @@ object Warehouse {
         .orderBy("event_type")
     },
 
+    // CDC log compaction: the event stream read as a change log —
+    // latest op per user wins (total (ts, event_id) order), purchase
+    // acting as the delete marker — reconstructing the live snapshot.
+    // dedup_latest's newest-wins shuffle plus delete semantics: the
+    // core of every CDC-fed table maintenance job.
+    Decl("cdc_snapshot",
+      """WITH latest AS (SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT user_id, event_id AS last_event, event_type AS last_op,
+        |  value AS live_value
+        |FROM latest WHERE event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type").as("last_op"), col("value").as("live_value"))
+        .orderBy("user_id")
+    },
+
     // Deterministic reservoir-style k-sample: rank every row by a
     // seeded cross-engine hash of its key and keep the k smallest —
     // a uniform without-replacement sample that is reproducible across

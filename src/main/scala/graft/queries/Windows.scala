@@ -504,6 +504,28 @@ object Windows {
           min(col("value") - col("peak")).as("worst_drawdown"),
           max(col("peak")).as("final_peak"))
         .orderBy("user_id")
+    },
+
+    // Percent change between consecutive observations per user
+    // (pandas `pct_change`): lag + one division on identical doubles;
+    // zero previous guarded to NULL symmetrically. Emitted per event
+    // (the window's natural grain), keyed totally by (user, ts, id).
+    Decl("window_pct_change",
+      """SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |  CASE WHEN lag(value) OVER wo IS NOT NULL
+        |        AND lag(value) OVER wo <> 0.0
+        |       THEN (value - lag(value) OVER wo) / lag(value) OVER wo
+        |  END AS pct_change
+        |FROM events
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, tus, event_id""".stripMargin) { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prev = lag(col("value"), 1).over(wo)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("tus"),
+          when(prev.isNotNull && prev =!= 0.0,
+            (col("value") - prev) / prev).as("pct_change"))
+        .orderBy("user_id", "tus", "event_id")
     }
   )
 }
