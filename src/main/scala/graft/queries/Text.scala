@@ -495,6 +495,47 @@ object Text {
         .orderBy(col("c").desc, col("token"))
     },
 
+    // Keyword extraction: the top-3 TF-IDF terms per document — the
+    // metadata-enrichment step after text_tfidf. The RANKING must not
+    // ride raw ln-derived doubles (1-ulp cross-engine drift could swap
+    // near-ties), so scores are quantized at scale 6 BEFORE the window
+    // and remaining ties break on the token — the text_bm25 contract
+    // applied to ordering.
+    Decl("text_keywords",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |       GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |    CAST(CAST(tf.tf * ln((nn.n + 1.0) / (df.df + 1.0)) AS VARCHAR)
+        |      AS DECIMAL(20,6)) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nn)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok,
+        |  CAST(score AS DOUBLE) AS score
+        |FROM (SELECT doc_id, tok, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM sc)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("tok").as("dtok"))
+        .agg(countDistinct("doc_id").as("df"))
+      val n = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(df), col("tok") === col("dtok")).crossJoin(n)
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+            .cast(DecimalType(20, 6)).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"),
+          col("score").cast(DoubleType).as("score"))
+        .orderBy("doc_id", "rk")
+    },
+
     // Repetition profile per document — the boilerplate/low-quality
     // signal (crawled corpora are full of token-looping junk): distinct
     // ratio and the heaviest single token's share, all exact integer

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "streaming_dedup",
     "text_tfidf", "null_handling",
     "text_bm25", "heavy_hitters", // broadcast single-row corpus stats
+    "text_keywords", // broadcast single-row doc count (tfidf family)
     "dedup_near_keep", // broadcast single-row max-cluster agg
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
     "feature_minmax", // broadcast single-row global-stats join (no condition)
