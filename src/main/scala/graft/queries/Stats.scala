@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Det, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -331,6 +331,124 @@ object Stats {
           (dsum(when(col("decile") === 1, col("o_totalprice"))
             .otherwise(0.0)) / dsum(col("o_totalprice")))
             .as("top_decile_share"))
+    },
+
+    // Median absolute deviation per priority — the robust spread
+    // statistic. Two stacked applications of the exact-median pick
+    // (agg_median's rn ∈ {⌈n/2⌉, ⌈(n+1)/2⌉} + decimal-exact average):
+    // once for the center, once over |x − med| (one IEEE subtract/abs
+    // on identical doubles; dev ordering totalized by the order key).
+    Decl("agg_mad",
+      s"""WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders),
+         |med AS (SELECT o_orderpriority,
+         |    ${sqlSum("o_totalprice")} / COUNT(*) AS med
+         |  FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+         |  GROUP BY o_orderpriority),
+         |dev AS (SELECT o.o_orderpriority, o.o_orderkey,
+         |    ABS(o.o_totalprice - m.med) AS dev
+         |  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority),
+         |dr AS (SELECT o_orderpriority, dev,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY dev, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM dev)
+         |SELECT dr.o_orderpriority, MAX(m.med) AS med,
+         |  ${sqlSum("dev")} / COUNT(*) AS mad
+         |FROM dr JOIN med m ON dr.o_orderpriority = m.o_orderpriority
+         |WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+         |GROUP BY dr.o_orderpriority ORDER BY dr.o_orderpriority""".stripMargin) { (s, d) =>
+      def medianOf(df: DataFrame, key: String, v: String,
+          tiebreak: String, out: String) = {
+        val wOrd = Window.partitionBy(key).orderBy(v, tiebreak)
+        val wAll = Window.partitionBy(key)
+        df.withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .filter(col("rn") === expr("(n + 1) div 2")
+            || col("rn") === expr("(n + 2) div 2"))
+          .groupBy(key).agg(davg(col(v)).as(out))
+      }
+      val orders = Tables.orders(s, d)
+      val med = medianOf(orders, "o_orderpriority", "o_totalprice",
+        "o_orderkey", "med")
+      val dev = orders.join(med.withColumnRenamed("o_orderpriority", "mp"),
+          col("o_orderpriority") === col("mp"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          abs(col("o_totalprice") - col("med")).as("dev"))
+      medianOf(dev, "o_orderpriority", "dev", "o_orderkey", "mad")
+        .join(med.withColumnRenamed("o_orderpriority", "mp"),
+          col("o_orderpriority") === col("mp"))
+        .select(col("o_orderpriority"), col("med"), col("mad"))
+        .orderBy("o_orderpriority")
+    },
+
+    // 5%-trimmed mean per priority: drop the n/20 smallest and largest
+    // by exact integer rank bounds, exact-decimal mean of the kept
+    // middle — the outlier-robust center estimate.
+    Decl("agg_trimmed_mean",
+      s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders)
+         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  ${sqlSum("o_totalprice")} / COUNT(*) AS trimmed_mean
+         |FROM r WHERE rn > n // 20 AND rn <= n - n // 20
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      val wAll = Window.partitionBy("o_orderpriority")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") > expr("n div 20")
+          && col("rn") <= col("n") - expr("n div 20"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_kept"),
+          davg(col("o_totalprice")).as("trimmed_mean"))
+        .orderBy("o_orderpriority")
+    },
+
+    // 3σ outlier counts of event values per type — the anomaly gate of
+    // stream QA. Mean/σ come from scale-6-quantized decimal power sums
+    // (the established events.value contract; factors hop via VARCHAR
+    // in the oracle so both engines quantize the shortest repr), and
+    // the flag comparison runs on identical doubles.
+    Decl("agg_outlier_count",
+      """WITH s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(12,6)))
+        |      AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(12,6)) *
+        |                  CAST(CAST(value AS VARCHAR) AS DECIMAL(12,6)))
+        |      AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, CAST(s.n AS BIGINT) AS n,
+        |  s.s1 / s.n AS mean,
+        |  CAST(SUM(CASE WHEN ABS(e.value - s.s1 / s.n) >
+        |      3.0 * sqrt((s.n * s.s2 - s.s1 * s.s1) / (s.n * (s.n - 1.0)))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |GROUP BY e.event_type, s.n, s.s1, s.s2
+        |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val vdec = col("value").cast(DecimalType(12, 6))
+      val st = Tables.events(s, d).groupBy(col("event_type").as("se"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(vdec).cast(DoubleType).as("s1"),
+          sum(vdec * vdec).cast(DoubleType).as("s2"))
+      val mean = col("s1") / col("n")
+      val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1")) /
+        (col("n") * (col("n") - lit(1.0))))
+      Tables.events(s, d)
+        .join(broadcast(st), col("event_type") === col("se"))
+        .groupBy(col("event_type"), col("n"), col("s1"), col("s2"))
+        .agg(sum(when(abs(col("value") - mean) > lit(3.0) * sd, 1)
+          .otherwise(0)).cast(LongType).as("n_outliers"))
+        .select(col("event_type"), col("n").cast(LongType).as("n"),
+          mean.as("mean"), col("n_outliers"))
+        .orderBy("event_type")
     }
   )
 }
