@@ -285,6 +285,31 @@ object TimeWindows {
           (col("n").cast(DoubleType) / col("total").cast(DoubleType))
             .as("share"))
         .orderBy("event_type", "hod")
+    },
+
+    // Completeness audit: hours with NO events inside each type's own
+    // [first, last] hour span — span size minus observed distinct
+    // hours, all exact integer epoch arithmetic. The data-quality gate
+    // a feed-monitoring pipeline runs before trusting a window agg.
+    Decl("time_gap_count",
+      s"""SELECT event_type,
+         |  CAST(max(hb) - min(hb) + 1 AS BIGINT) AS span_hours,
+         |  CAST(count(DISTINCT hb) AS BIGINT) AS observed_hours,
+         |  CAST(max(hb) - min(hb) + 1 - count(DISTINCT hb) AS BIGINT)
+         |    AS gap_hours
+         |FROM (SELECT event_type, epoch_us(ts) // $HourUs AS hb
+         |      FROM events)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType)
+            .as("hb"))
+        .groupBy("event_type")
+        .agg((max(col("hb")) - min(col("hb")) + 1).as("span_hours"),
+          countDistinct(col("hb")).as("observed_hours"),
+          (max(col("hb")) - min(col("hb")) + 1 - countDistinct(col("hb")))
+            .as("gap_hours"))
+        .orderBy("event_type")
     }
   )
 
