@@ -28,6 +28,84 @@ object HiveTables {
   // as a multi-part reference here (dask_hivemetastore core.py)
   private def q(id: String) = "`" + id.replace("`", "``") + "`"
 
+  /** Build a Hive-catalog SparkSession. With `metastoreUris` set (e.g.
+    * `thrift://hms-host:9083`) the session talks to that EXTERNAL Hive
+    * metastore — the reference's `HiveMetastoreClient(host, port)`
+    * constructor; unset, it falls back to an embedded Derby metastore
+    * under `localBase` (self-contained dev/test mode). Both modes run
+    * the identical HiveExternalCatalog code path — only the
+    * `hive.metastore.uris` conf differs — so the Derby-backed
+    * CatalogSpec exercises exactly what a remote HMS would serve.
+    * Default uris come from `HIVE_METASTORE_URIS` in the environment,
+    * the deployment-friendly knob. */
+  def session(appName: String = "graft",
+      metastoreUris: Option[String] = sys.env.get("HIVE_METASTORE_URIS"),
+      master: String = "local[*]",
+      localBase: String = "spark-warehouse-hive"): SparkSession = {
+    val b = SparkSession.builder().appName(appName).master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$localBase/warehouse")
+    val withCatalog = metastoreUris match {
+      case Some(uris) => b.config("hive.metastore.uris", uris)
+      case None => b.config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$localBase/metastore_db;create=true")
+    }
+    withCatalog.enableHiveSupport().getOrCreate()
+  }
+
+  /** SerDe-class → (Spark reader format, reader options): the
+    * reference's core dispatch — the table's serialization library
+    * plus its serde parameters decide which reader runs and how it is
+    * configured (dask_hivemetastore reads `field.delim` etc. from the
+    * StorageDescriptor). Pure function so the full dispatch table is
+    * unit-testable without a metastore. */
+  private[graft] def serdeDispatch(serde: String,
+      props: Map[String, String]): (String, Map[String, String]) = {
+    val s = serde.toLowerCase
+    if (s.contains("parquet")) ("parquet", Map.empty)
+    else if (s.contains("orc")) ("orc", Map.empty)
+    else if (s.contains("json")) ("json", Map.empty)
+    else if (s.contains("opencsv"))
+      // OpenCSVSerde: quoting-aware, its own property names
+      ("csv", Map(
+        "sep" -> props.getOrElse("separatorChar", ","),
+        "quote" -> props.getOrElse("quoteChar", "\""),
+        "escape" -> props.getOrElse("escapeChar", "\\")))
+    else if (s.contains("lazysimple") || s.isEmpty)
+      // LazySimpleSerDe (ROW FORMAT DELIMITED): delimiter from serde
+      // params, Hive's default being ^A (), not comma
+      ("csv", Map(
+        "sep" -> props.getOrElse("field.delim", "\u0001"),
+        "nullValue" -> props.getOrElse("serialization.null.format", "\\N")))
+    else throw new IllegalArgumentException(
+      s"no reader dispatch for SerDe class '$serde'")
+  }
+
+  /** Read a catalog table by inspecting its SerDe class and serde
+    * properties — the reference's per-call reader branching
+    * (`table_to_dask` chooses parquet vs delimited-text readers from
+    * the Thrift StorageDescriptor). `spark.table` already performs
+    * this dispatch internally for registered tables; this entry point
+    * makes the mechanism explicit and configurable, and is the one a
+    * reference user migrating SerDe-heavy tables would reach for.
+    * Unpartitioned external tables only (partitioned tables resolve
+    * per-partition storage — use [[table]], where Catalyst handles
+    * partition-key injection and pruning). */
+  def readViaSerde(spark: SparkSession, database: String,
+      name: String): DataFrame = {
+    val t = spark.sharedState.externalCatalog.getTable(database, name)
+    require(t.partitionColumnNames.isEmpty,
+      s"$database.$name is partitioned — read it via table(); " +
+        "per-partition SerDe dispatch is the catalog's job")
+    val (format, opts) = serdeDispatch(t.storage.serde.getOrElse(""),
+      t.storage.properties)
+    val location = t.storage.locationUri.map(_.toString).getOrElse(
+      throw new IllegalArgumentException(
+        s"$database.$name has no storage location"))
+    spark.read.format(format).options(opts)
+      .schema(t.dataSchema).load(location)
+  }
+
   /** Load a catalog table as a lazy DataFrame, with optional filters
     * (partition-key predicates prune at the metastore/file-index level;
     * other predicates push down to the scan). */

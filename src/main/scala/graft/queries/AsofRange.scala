@@ -251,17 +251,21 @@ object AsofRange {
           col("event_id"), lit(null).cast(LongType).as("src"),
           lit(1).as("tag"))
       // views sort before purchases at the same instant (tag 0 < 1), so
-      // `last(src) ignoreNulls` at a purchase row IS the as-of match
+      // the last view-tagged row at a purchase IS the as-of match. The
+      // match is carried as ONE struct(src, tus) so both output columns
+      // come from the same latest view even when its src is NULL (a
+      // per-column last(src, ignoreNulls) would skip a NULL-src view and
+      // attribute to an older one, diverging from ASOF JOIN semantics).
       val w = Window.partitionBy("user_id").orderBy("tus", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       views.unionAll(purch)
-        .withColumn("attributed_src", last(col("src"), ignoreNulls = true).over(w))
-        .withColumn("view_tus",
-          last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+        .withColumn("vmatch",
+          last(when(col("tag") === 0, struct(col("src"), col("tus"))),
+            ignoreNulls = true).over(w))
         .filter(col("tag") === 1)
         .select(col("event_id"), col("user_id"), col("tus"),
-          coalesce(col("attributed_src"), lit(-1L)).as("attributed_src"),
-          coalesce(col("view_tus"), lit(-1L)).as("view_tus"))
+          coalesce(col("vmatch.src"), lit(-1L)).as("attributed_src"),
+          coalesce(col("vmatch.tus"), lit(-1L)).as("view_tus"))
         .orderBy("event_id")
     },
 

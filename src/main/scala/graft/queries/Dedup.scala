@@ -121,15 +121,21 @@ object Dedup {
        |  END AS bhash FROM sigs, UNNEST(range(0, $NumBands)) AS u(band))""".stripMargin
   }
 
-  /** [[sqlSignatureCtes]] extended with candidate-pair and Jaccard
-    * CTEs — the full near-dup detection pipeline as DuckDB CTE text,
-    * shared by the dedup_near and dedup_near_keep oracles. */
-  private def sqlNearDupCtes: String =
+  /** [[sqlSignatureCtes]] extended with the LSH candidate-pair CTE —
+    * the content-based blocking shared by every pairwise dedup scorer
+    * (near/ngram/containment): docs sharing ≥1 (band, bhash) key. */
+  private def sqlCandCtes: String =
     s"""$sqlSignatureCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bhash = b.bhash
-       |    AND a.doc_id < b.doc_id),
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** [[sqlCandCtes]] extended with the shingle-Jaccard verify CTE —
+    * the full near-dup detection pipeline as DuckDB CTE text, shared
+    * by the dedup_near and dedup_near_keep oracles. */
+  private def sqlNearDupCtes: String =
+    s"""$sqlCandCtes,
        |jac AS (SELECT d1, d2,
        |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
        |      len(list_distinct(list_concat(s1.sh, s2.sh))) AS jaccard
@@ -162,20 +168,18 @@ object Dedup {
       ck.join(broadcast(big), keys, "left_semi"))
   }
 
-  /** Candidate near-dup pairs with exact Jaccard: (d1 < d2, jaccard).
-    * Bucket-grouping instead of a band self-join — one shuffle on
-    * (band, bhash), the signature pipeline computed exactly once (a
-    * self-join re-evaluates it per side; no ReusedExchange for
-    * differently-aliased subplans), in-bucket pair expansion bounded by
+  /** LSH candidate pairs (d1 < d2), distinct — the content-based
+    * blocking stage shared by every pairwise dedup scorer. Bucket-
+    * grouping instead of a band self-join — one shuffle on (band,
+    * bhash), the signature pipeline computed exactly once (a self-join
+    * re-evaluates it per side; no ReusedExchange for differently-
+    * aliased subplans), in-bucket pair expansion bounded by
     * [[BucketCap]] (oversized buckets take the self-join path — see
     * [[splitBuckets]]); least/greatest orders each pair
-    * deterministically whatever order collect_list saw the rows in. */
-  private[graft] def nearDupPairs(docsIn: DataFrame): DataFrame = {
-    // explicit NULL-text exclusion, mirrored in the oracle's docs CTE:
-    // a null text nulls the whole signature chain anyway (dropped at
-    // posexplode), but concat_ws in the DuckDB twin would instead give
-    // every NULL-text doc IDENTICAL band keys — so both engines filter
-    val docs = docsIn.filter(col("text").isNotNull)
+    * deterministically whatever order collect_list saw the rows in.
+    * Returned frame is localCheckpoint'd: every caller reads it at
+    * least twice (candIds + the verify join). */
+  private[graft] def candidatePairs(docs: DataFrame): DataFrame = {
     val (small, big) = splitBuckets(bands(sigArray(docs)), Seq("band", "bhash"))
     val smallPairs = small
       .groupBy("band", "bhash")
@@ -192,8 +196,18 @@ object Dedup {
         Seq("band", "bhash"))
       .filter(col("da") < col("db"))
       .select(col("da").as("d1"), col("db").as("d2"))
-    // pairs checkpointed: candIds and the verify join both read them
-    val cand = smallPairs.unionByName(bigPairs).distinct().localCheckpoint()
+    smallPairs.unionByName(bigPairs).distinct().localCheckpoint()
+  }
+
+  /** Candidate near-dup pairs with exact shingle Jaccard:
+    * (d1 < d2, jaccard) over [[candidatePairs]]. */
+  private[graft] def nearDupPairs(docsIn: DataFrame): DataFrame = {
+    // explicit NULL-text exclusion, mirrored in the oracle's docs CTE:
+    // a null text nulls the whole signature chain anyway (dropped at
+    // posexplode), but concat_ws in the DuckDB twin would instead give
+    // every NULL-text doc IDENTICAL band keys — so both engines filter
+    val docs = docsIn.filter(col("text").isNotNull)
+    val cand = candidatePairs(docs)
     // the verify stage only needs shingles for docs that appear in a
     // candidate pair — semi-join the corpus down FIRST (candidates ≪
     // corpus on a real dataset), materialize just that slice, and feed
@@ -501,38 +515,38 @@ object Dedup {
         .orderBy("label")
     },
 
-    // n-gram Jaccard dedup: char-trigram set similarity on blocked probe
-    // pairs (same language, bounded id distance — the blocking keeps the
-    // candidate count linear; exact trigram sets are engine-neutral so
-    // this one *is* oracled).
+    // n-gram Jaccard dedup: char-trigram set similarity, candidates
+    // blocked by the shared MinHash-LSH bands ([[candidatePairs]]) — a
+    // CONTENT signal, so recall does not depend on duplicates having
+    // adjacent ids (an id-window block would find ~zero dups in a real
+    // shuffled corpus). Candidate count stays linear via the LSH bucket
+    // structure + BucketCap skew guard; exact trigram sets are engine-
+    // neutral so the verify stage *is* oracled.
     Decl("dedup_ngram",
-      """WITH probe AS (SELECT doc_id, lang, text FROM documents
-        |               WHERE doc_id % 500 = 0 AND len(text) >= 3),
-        |pairs AS (SELECT p.doc_id AS d1, e.doc_id AS d2,
-        |    list_distinct(list_transform(range(1, len(p.text) - 1),
-        |      i -> substr(p.text, i, 3))) AS g1,
-        |    list_distinct(list_transform(range(1, len(e.text) - 1),
-        |      i -> substr(e.text, i, 3))) AS g2
-        |  FROM probe p JOIN documents e
-        |    ON p.lang = e.lang AND e.doc_id > p.doc_id
-        |    AND e.doc_id - p.doc_id < 50 AND len(e.text) >= 3)
-        |SELECT d1, d2,
-        |  CAST(len(list_intersect(g1, g2)) AS DOUBLE) /
-        |    (len(g1) + len(g2) - len(list_intersect(g1, g2))) AS jaccard
-        |FROM pairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // len >= 3 on BOTH sides (and mirrored in the oracle): Spark's
-      // sequence(1, len - 2) turns DESCENDING for len < 3 and substr
-      // would index out of range, where DuckDB's range() is just empty.
+      s"""WITH $sqlCandCtes,
+         |g AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(text) - 1),
+         |      i -> substr(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3)
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+         |    AS jaccard
+         |FROM cand JOIN g a ON a.doc_id = d1 JOIN g b ON b.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // len >= 3 on the scoring side (and mirrored in the oracle):
+      // Spark's sequence(1, len - 2) turns DESCENDING for len < 3 and
+      // substr would index out of range, where DuckDB's range() is just
+      // empty. The inner join back to candidates drops short docs.
       val grams = array_distinct(expr(
         "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
-      val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
-      val probe = docs.filter(col("doc_id") % 500 === 0)
-        .select(col("doc_id").as("d1"), col("lang").as("l1"), grams.as("g1"))
-      val cands = docs
-        .select(col("doc_id").as("d2"), col("lang").as("l2"), grams.as("g2"))
-      probe.join(cands,
-          col("l1") === col("l2") && col("d2") > col("d1")
-            && col("d2") - col("d1") < 50)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val cand = candidatePairs(docs)
+      val g = docs.filter(length(col("text")) >= 3)
+        .select(col("doc_id"), grams.as("g"))
+      cand
+        .join(g.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+        .join(g.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
         .select(col("d1"), col("d2"),
           (size(array_intersect(col("g1"), col("g2"))).cast(DoubleType) /
             (size(col("g1")) + size(col("g2"))
@@ -543,24 +557,21 @@ object Dedup {
     // Containment similarity |A∩B| / |A| over word-bigram shingles —
     // the ASYMMETRIC dedup score that catches sub-document duplication
     // (doc A fully quoted inside a longer B scores 1.0 while Jaccard
-    // dilutes with |B|). Same probe blocking as dedup_ngram: candidate
-    // pairs stay linear, never O(n²).
+    // dilutes with |B|). Same LSH-band blocking as dedup_near/ngram:
+    // content-keyed candidates, linear, never O(n²).
     Decl("dedup_containment",
-      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tks
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
-        |sh AS (SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(tks)),
-        |      i -> tks[i] || ' ' || tks[i + 1])) AS g
-        |  FROM toks),
-        |pairs AS (SELECT p.doc_id AS d1, e.doc_id AS d2,
-        |    p.g AS g1, e.g AS g2
-        |  FROM sh p JOIN sh e ON p.lang = e.lang AND e.doc_id > p.doc_id
-        |    AND e.doc_id - p.doc_id < 50
-        |  WHERE p.doc_id % 500 = 0)
-        |SELECT d1, d2,
-        |  CAST(len(list_intersect(g1, g2)) AS DOUBLE) / len(g1)
-        |    AS containment
-        |FROM pairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      s"""WITH $sqlCandCtes,
+         |g AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tks)),
+         |      i -> tks[i] || ' ' || tks[i + 1])) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tks
+         |        FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 2))
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+         |    AS containment
+         |FROM cand JOIN g a ON a.doc_id = d1 JOIN g b ON b.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       // bigram shingles: sequence(1, n-1) mirrors range(1, len) — both
       // empty below 2 tokens, but the n >= 2 guard keeps sequence()
       // from turning descending (same hazard dedup_ngram documents)
@@ -568,15 +579,13 @@ object Dedup {
         "transform(sequence(1, size(split(text, ' ')) - 1), " +
           "i -> concat(element_at(split(text, ' '), i), ' ', " +
           "element_at(split(text, ' '), i + 1)))"))
-      val docs = Tables.documents(s, d)
-        .filter(size(split(col("text"), " ")) >= 2)
-      val probe = docs.filter(col("doc_id") % 500 === 0)
-        .select(col("doc_id").as("d1"), col("lang").as("l1"), grams.as("g1"))
-      val cands = docs
-        .select(col("doc_id").as("d2"), col("lang").as("l2"), grams.as("g2"))
-      probe.join(cands,
-          col("l1") === col("l2") && col("d2") > col("d1")
-            && col("d2") - col("d1") < 50)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val cand = candidatePairs(docs)
+      val g = docs.filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), grams.as("g"))
+      cand
+        .join(g.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+        .join(g.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
         .select(col("d1"), col("d2"),
           (size(array_intersect(col("g1"), col("g2"))).cast(DoubleType) /
             size(col("g1"))).as("containment"))

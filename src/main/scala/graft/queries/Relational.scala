@@ -84,8 +84,10 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // B4: HLL approximate distinct — sketches differ per engine, no oracle;
-    // property-tested within ±5% of exact in RelationalSpec.
+    // B4: HLL approximate distinct — sketches differ per engine, no
+    // oracle; its deterministic exact twin is agg_distinct (same group,
+    // same key, oracle-exact), and RelationalSpec pins this one within
+    // ±5% of that exact count at sf0.001/0.01/0.1.
     Decl.noOracle("agg_approx_distinct") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -93,13 +95,15 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // B5: inner equi join (fact ⋈ dimension ⇒ broadcast the dimension).
+    // B5: inner equi join. customer is sf-proportional, so no broadcast
+    // hint: AQE converts to broadcast at small SF and falls back to a
+    // shuffled join when the dim outgrows executor memory at 100 TB.
     Decl("join_inner",
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"), "inner")
         .select("o_orderkey", "c_name", "o_totalprice")
         .orderBy("o_orderkey")
@@ -148,9 +152,12 @@ object Relational {
       semi.unionByName(anti).orderBy("tag", "c_custkey")
     },
 
-    // B8: broadcast join — the `part` dimension is replicated to every
-    // executor; lineitem never shuffles. At 100 TB this is the difference
-    // between a map-side join and a full fact-table exchange.
+    // B8: broadcast join — the explicit map-side-join operator: the hint IS
+    // the contract (the caller asserts the dimension fits in executor
+    // memory), so this is the one deliberate broadcast of an sf-scaled
+    // table in the repo; everywhere else AQE decides. lineitem never
+    // shuffles here — at 100 TB that is the difference between a map-side
+    // join and a full fact-table exchange.
     Decl("join_broadcast",
       s"""SELECT p_brand, ${sqlSum(revenueExpr)} AS revenue, COUNT(*) AS n
          |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -181,7 +188,7 @@ object Relational {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
@@ -190,8 +197,10 @@ object Relational {
         .limit(10)
     },
 
-    // B10: 6-table star join — region/nation/customer/supplier broadcast;
-    // only orders⋈lineitem shuffles. Exercises Catalyst join reordering.
+    // B10: 6-table star join — only nation/region (fixed 25/5 rows) carry
+    // broadcast hints; customer and supplier are sf-proportional so AQE
+    // picks their strategy (broadcast at test SF, shuffle at 100 TB).
+    // Exercises Catalyst join reordering.
     Decl("join_5way",
       s"""SELECT r_name, n_name, ${sqlSum(revenueExpr)} AS revenue, COUNT(*) AS n
          |FROM region
@@ -201,11 +210,11 @@ object Relational {
          |JOIN lineitem ON l_orderkey = o_orderkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
-      val dim = broadcast(Tables.customer(s, d)
+      val dim = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey")))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(dim, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")

@@ -57,18 +57,59 @@ object Similarity {
       s"CAST(CAST(($a)[k] AS DOUBLE) * CAST(($b)[k] AS DOUBLE) " +
       s"AS DECIMAL(26,12)))) END AS DOUBLE)"
 
+  // ANN index parameters. On this corpus (uniform random vectors — no
+  // planted cluster structure, verified: intra-label mean cosine ≈
+  // inter-label ≈ 0) recall is probe-fraction plus the angular-
+  // correlation bonus; SimilarityTextSpec pins recall@10 ≥ 0.8 vs brute
+  // force at sf0.1 for BOTH indexes with these settings. On a real
+  // embedding corpus (clustered) the same radius/nProbe touch far less
+  // data; raise LshNumPlanes / IvfNumCells with corpus size, radius and
+  // nProbe are the recall knobs.
+  private[graft] val LshNumPlanes = 4
+  /** Multi-probe Hamming radius: candidates come from every bucket whose
+    * signature differs from the query's in ≤ this many planes. */
+  private[graft] val LshProbeRadius = 2
+  private[graft] val IvfNumCells = 8
+  /** Number of nearest centroids probed per query (multi-probe IVF). */
+  private[graft] val IvfNProbe = 5
+
+  /** Fixed seeded random hyperplanes for sign-LSH, shared by the Spark
+    * query and its DuckDB twin (embedded as exact decimal literals). */
+  private val lshPlanes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(LshNumPlanes)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** All XOR masks within [[LshProbeRadius]] bit flips — the query-side
+    * probe-bucket expansion (compile-time constant, 11 masks at 4/2). */
+  private val lshProbeMasks: Seq[Long] =
+    (0 until (1 << LshNumPlanes))
+      .filter(m => Integer.bitCount(m) <= LshProbeRadius).map(_.toLong)
+
+  /** Sign-LSH bucket id: bit i = sign of dot with plane i. */
+  private def lshBucketOf(emb: Column): Column =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Fixed seeded IVF centroids, shared by the ANN probe query and the
     * one-Lloyd-iteration fit query. */
   private val ivfCentroids: Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(7L)
-    Seq.fill(8)(Seq.fill(64)((rnd.nextGaussian() * 0.15).toFloat))
+    Seq.fill(IvfNumCells)(Seq.fill(64)((rnd.nextGaussian() * 0.15).toFloat))
   }
+
+  /** The (score, cell) struct list both twins rank: struct_pack keeps
+    * field order (s, c) so DuckDB's lexicographic struct compare
+    * matches Spark's. */
+  private def ivfScoredStructsSql: String =
+    ivfCentroids.zipWithIndex.map { case (c, i) =>
+      s"struct_pack(s := ${sqlDotList("embedding", sqlVec(c))}, c := $i)"
+    }.mkString(", ")
 
   /** DuckDB argmax-cell twin of [[ivfCellOf]]. */
   private def ivfCellSql: String =
-    ivfCentroids.zipWithIndex.map { case (c, i) =>
-      s"struct_pack(s := ${sqlDotList("embedding", sqlVec(c))}, c := $i)"
-    }.mkString("(list_max([", ", ", "])).c")
+    s"(list_max([$ivfScoredStructsSql])).c"
 
   /** Nearest-centroid assignment: argmax of dot(emb, centroid_i) over
     * the fixed centroid list (tie → max cell, mirrored in SQL). */
@@ -78,6 +119,63 @@ object Similarity {
     }
     greatest(scored: _*).getField("cell")
   }
+
+  /** The query's [[IvfNProbe]] best cells, best first — descending
+    * (score, cell) struct sort, so ties break to the max cell exactly
+    * like [[ivfCellOf]] (and like DuckDB's list_reverse_sort twin). */
+  private def ivfTopCells(emb: Column): Column = {
+    val scored = ivfCentroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
+    }
+    transform(
+      slice(sort_array(array(scored: _*), asc = false), 1, IvfNProbe),
+      x => x.getField("cell"))
+  }
+
+  /** Parameterized ANN pipelines, shared by the declared queries
+    * (qid = 0, k = 10) and SimilarityTextSpec's recall@10 measurement
+    * over many query ids. Both keep the 100-TB shape: per-row bucket/
+    * cell assignment (map-only), a broadcast handful of query-side
+    * probe rows, one equi-join on the bucket key — candidates only,
+    * never the full corpus. */
+  private[graft] def annLshTopK(
+      s: SparkSession, d: String, qid: Long, k: Int): DataFrame = {
+    val e = withN2(Tables.embeddings(s, d))
+      .withColumn("bucket", lshBucketOf(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") === qid)
+      .select(col("embedding").as("qv"), col("n2").as("qn2"),
+        explode(array(lshProbeMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket")))
+    e.join(q, col("bucket") === col("pbucket"))
+      .select(col("vec_id"), simCol.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private[graft] def annIvfTopK(
+      s: SparkSession, d: String, qid: Long, k: Int): DataFrame = {
+    val e = withN2(Tables.embeddings(s, d))
+      .withColumn("cell", ivfCellOf(col("embedding")))
+    val q = broadcast(Tables.embeddings(s, d)
+      .filter(col("vec_id") === qid)
+      .select(col("embedding").as("qv"),
+        graft.functions.VectorOps.norm2(col("embedding")).as("qn2"),
+        explode(ivfTopCells(col("embedding"))).as("pcell")))
+    e.join(q, col("cell") === col("pcell"))
+      .select(col("vec_id"), simCol.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Exact brute-force top-k twin of the ANN pipelines (scan +
+    * TakeOrderedAndProject) — the recall denominator. */
+  private[graft] def bruteTopK(
+      s: SparkSession, d: String, qid: Long, k: Int): DataFrame =
+    withN2(Tables.embeddings(s, d))
+      .crossJoin(queryVec(s, d, qid))
+      .select(col("vec_id"), simCol.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
 
   /** Shared oracle CTE: cosine of every embedding against vec 0. */
   private def simsCte(extraCols: String = ""): String =
@@ -207,80 +305,69 @@ object Similarity {
         .limit(20)
     },
 
-    // C3-scale: ANN via random-hyperplane LSH — embeddings bucketed by a
-    // 4-bit signature (sign of dot with 4 fixed seeded hyperplanes, 16
-    // buckets — plenty at test scale; at 100 TB raise the plane count);
-    // search touches only the query's bucket. Approximate vs brute
+    // C3-scale: ANN via random-hyperplane LSH with MULTI-PROBE —
+    // embeddings bucketed by the sign signature over LshNumPlanes fixed
+    // seeded hyperplanes; the query expands to every bucket within
+    // Hamming radius LshProbeRadius of its own (a compile-time mask
+    // list exploded on the broadcast query side, so the corpus join
+    // stays a plain equi-join on the bucket key). Approximate vs brute
     // force, but fully DETERMINISTIC given the fixed planes, so the
     // oracle replays the exact bucketing (plane literals embedded as
-    // exact decimals); SimilaritySpec keeps the recall ≥ 0.5 property.
+    // exact decimals); SimilarityTextSpec pins recall@10 ≥ 0.8 vs
+    // brute force at sf0.1.
     {
-      val rnd = new scala.util.Random(42)
-      val planes: Seq[Seq[Float]] =
-        Seq.fill(4)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
-      val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+      val bucketSql = lshPlanes.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN ${sqlDotList("embedding", sqlVec(p))} >= 0 " +
           s"THEN ${1L << i} ELSE 0 END)"
       }.mkString("(", " + ", ")")
+      val masksSql = lshProbeMasks.mkString("[", ", ", "]")
       Decl("sim_ann_lsh",
         s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
            |           FROM embeddings),
            |q AS (SELECT embedding AS qv, bucket AS qbucket
            |      FROM b WHERE vec_id = 0),
+           |probes AS (SELECT qv, xor(qbucket, m) AS pbucket
+           |           FROM q, UNNEST($masksSql) AS u(m)),
            |cand AS (SELECT vec_id,
            |    ${sqlDotList("embedding", "qv")} AS dot,
            |    ${sqlDotList("embedding", "embedding")} AS nx,
            |    ${sqlDotList("qv", "qv")} AS ny
-           |  FROM b, q WHERE b.bucket = q.qbucket)
+           |  FROM b JOIN probes ON b.bucket = probes.pbucket)
            |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
-           |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-        def sigOf(emb: Column): Column =
-          planes.zipWithIndex.map { case (p, i) =>
-            when(dot(emb, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-          }.reduce(_ + _)
-        val e = withN2(Tables.embeddings(s, d))
-          .withColumn("bucket", sigOf(col("embedding")))
-        val q = broadcast(e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"), col("n2").as("qn2"),
-            col("bucket").as("qbucket")))
-        e.join(q, col("bucket") === col("qbucket"))
-          .select(col("vec_id"), simCol.as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(10)
+           |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) {
+        (s, d) => annLshTopK(s, d, 0L, 10)
       }
     },
 
-    // C3-scale (IVF flavor): inverted-file ANN — a fixed set of seeded
-    // centroids partitions the space; each vector is assigned to its
-    // nearest centroid (one pass, broadcastable centroid list), and a
-    // query probes only the nProbe nearest cells. At 100 TB the
-    // assignment is a per-row map and each probe touches ~nProbe/nCells
-    // of the data. Centroids here are seeded pseudo-random (a k-means
-    // fit would slot in without changing the query shape). Deterministic
-    // given the fixed centroids ⇒ oracled (struct list_max mirrors
-    // Spark's greatest-of-structs argmax incl. the tie→max-cell order);
-    // SimilarityTextSpec keeps the brute-force cross-check.
+    // C3-scale (IVF flavor): inverted-file ANN with MULTI-PROBE — a
+    // fixed set of seeded centroids partitions the space; each vector
+    // is assigned to its nearest centroid (one pass, broadcastable
+    // centroid list), and a query probes its IvfNProbe nearest cells
+    // (exploded on the broadcast query side → plain equi-join on the
+    // cell key). At 100 TB the assignment is a per-row map and each
+    // probe touches ~nProbe/nCells of the data. Centroids here are
+    // seeded pseudo-random (a k-means fit — sim_ivf_fit — would slot in
+    // without changing the query shape). Deterministic given the fixed
+    // centroids ⇒ oracled (list_reverse_sort of (score, cell) structs
+    // mirrors Spark's descending struct sort incl. tie→max-cell);
+    // SimilarityTextSpec pins recall@10 ≥ 0.8 vs brute force at sf0.1.
     Decl("sim_ann_ivf",
       s"""WITH a AS (SELECT vec_id, embedding, $ivfCellSql AS cell
          |           FROM embeddings),
-         |q AS (SELECT embedding AS qv, cell AS qcell
-         |      FROM a WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qv,
+         |        list_transform(list_reverse_sort(
+         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |          AS pcells
+         |      FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT qv, UNNEST(pcells) AS pcell FROM q),
          |cand AS (SELECT vec_id,
          |    ${sqlDotList("embedding", "qv")} AS dot,
          |    ${sqlDotList("embedding", "embedding")} AS nx,
          |    ${sqlDotList("qv", "qv")} AS ny
-         |  FROM a, q WHERE a.cell = q.qcell)
+         |  FROM a JOIN probes ON a.cell = probes.pcell)
          |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
-         |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-      val e = withN2(Tables.embeddings(s, d))
-        .withColumn("cell", ivfCellOf(col("embedding")))
-      val q = broadcast(e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("n2").as("qn2"),
-          col("cell").as("qcell")))
-      e.join(q, col("cell") === col("qcell")) // nProbe = 1
-        .select(col("vec_id"), simCol.as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
+         |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, d) => annIvfTopK(s, d, 0L, 10)
     },
 
     // IVF training step — one Lloyd iteration over the corpus: assign
@@ -344,15 +431,21 @@ object Similarity {
 
     // Symmetric int8 quantization: scale = 127 / max|x| per vector,
     // q = ⌊x·scale + 0.5⌋ (round-half-up via floor — identical IEEE
-    // ops in both engines, no engine-specific round()). The 16× size
-    // reduction is THE storage lever for 100 TB embedding corpora;
-    // integer outputs make the op exactly oracle-able.
+    // ops in both engines, no engine-specific round()). An all-zero
+    // vector quantizes to all zeros explicitly — without the guard the
+    // scale is 127/0 = Inf and 0·Inf = NaN, whose Long cast is
+    // engine-specific. The 16× size reduction is THE storage lever for
+    // 100 TB embedding corpora; integer outputs make the op exactly
+    // oracle-able.
     Decl("embed_quantize",
       """WITH q AS (SELECT vec_id,
-        |    list_transform(embedding, x ->
-        |      CAST(FLOOR(CAST(x AS DOUBLE) *
-        |        (127.0 / list_max(list_transform(embedding, y ->
-        |          abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT)) AS qv
+        |    CASE WHEN list_max(list_transform(embedding, y ->
+        |        abs(CAST(y AS DOUBLE)))) = 0.0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(FLOOR(CAST(x AS DOUBLE) *
+        |          (127.0 / list_max(list_transform(embedding, y ->
+        |            abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT)) END AS qv
         |  FROM embeddings)
         |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
@@ -360,9 +453,11 @@ object Similarity {
         |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
       val mx = array_max(transform(col("embedding"),
         y => abs(y.cast(DoubleType))))
-      val qv = transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * (lit(127.0) / mx) + 0.5)
-          .cast(LongType))
+      val qv = when(mx === 0.0,
+        transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * (lit(127.0) / mx) + 0.5)
+            .cast(LongType)))
       Tables.embeddings(s, d)
         .withColumn("qv", qv)
         .select(col("vec_id"),

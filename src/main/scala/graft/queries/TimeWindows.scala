@@ -29,6 +29,16 @@ object TimeWindows {
   private val HourUs = 3600L * 1000000L
   private val SlideUs = 900L * 1000000L // 15 minutes
 
+  /** Floor division for epoch-µs bucketing — matches DuckDB's `//` on
+    * negative (pre-1970) epochs, where Spark's long `/`-then-cast (and
+    * `DIV`) truncate toward zero instead. Subtracting the positive
+    * modulus first keeps the arithmetic integral: the quotient is exact,
+    * so truncation equals floor. (Exact for |epoch| < 2^53 µs, i.e.
+    * years 1684–2255 — the timestamp range the µs grid itself covers.) */
+  private def floorDivUs(c: org.apache.spark.sql.Column, n: Long) =
+    ((c.cast(LongType) - pmod(c.cast(LongType), lit(n))) / lit(n))
+      .cast(LongType)
+
   def decls: Seq[Decl] = Seq(
 
     // B36: 1-hour tumbling count+sum by event_type.
@@ -187,9 +197,8 @@ object TimeWindows {
          |  COUNT(*) AS n, ${sqlSum("value")} AS volume
          |FROM b GROUP BY event_type, h
          |ORDER BY event_type, h""".stripMargin) { (s, d) =>
-      val h = ((epochUs(col("ts")).cast(LongType) / HourUs)
-        .cast(LongType) * HourUs).as("h")
-      val hKey = (epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType)
+      val h = (floorDivUs(epochUs(col("ts")), HourUs) * HourUs).as("h")
+      val hKey = floorDivUs(epochUs(col("ts")), HourUs)
       val wOpen = Window.partitionBy(col("event_type"), hKey)
         .orderBy(col("ts"), col("event_id"))
       val wClose = Window.partitionBy(col("event_type"), hKey)
@@ -234,7 +243,7 @@ object TimeWindows {
          |FROM st ORDER BY event_type""".stripMargin) { (s, d) =>
       val hcnt = Tables.events(s, d)
         .groupBy(col("event_type"),
-          (epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType).as("hb"))
+          floorDivUs(epochUs(col("ts")), HourUs).as("hb"))
         .agg(count(lit(1)).cast(DecimalType(10, 0)).as("c"))
       val wLag = Window.partitionBy("event_type").orderBy("hb")
       val p = hcnt
@@ -275,8 +284,7 @@ object TimeWindows {
          |ORDER BY c.event_type, hod""".stripMargin) { (s, d) =>
       val c = Tables.events(s, d)
         .groupBy(col("event_type"),
-          ((epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType) % 24)
-            .as("hod"))
+          (floorDivUs(epochUs(col("ts")), HourUs) % 24).as("hod"))
         .agg(count(lit(1)).as("n"))
       val t = c.groupBy(col("event_type").as("te"))
         .agg(sum(col("n")).as("total"))
@@ -302,8 +310,7 @@ object TimeWindows {
          |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
-          (epochUs(col("ts")).cast(LongType) / HourUs).cast(LongType)
-            .as("hb"))
+          floorDivUs(epochUs(col("ts")), HourUs).as("hb"))
         .groupBy("event_type")
         .agg((max(col("hb")) - min(col("hb")) + 1).as("span_hours"),
           countDistinct(col("hb")).as("observed_hours"),
@@ -329,7 +336,7 @@ object TimeWindows {
       .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
     val hourAgg = ev
       .groupBy(col("event_type"),
-        expr(s"(us DIV $HourUs) * $HourUs").as("bucket_us"))
+        (floorDivUs(col("us"), HourUs) * HourUs).as("bucket_us"))
       .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_ev"))
     val grid = ev.select("event_type").distinct()
       .crossJoin(s.range(GridHours)

@@ -109,8 +109,8 @@ object TpcH {
         .join(Tables.orders(s, d)
             .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)
-            .filter(col("c_mktsegment") === "BUILDING")),
+        .join(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), dateStr(col("o_orderdate")).as("odate"),
           col("o_orderpriority"))
@@ -159,9 +159,9 @@ object TpcH {
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey")
             && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.nation(s, d)),
@@ -215,9 +215,9 @@ object TpcH {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey"))
         .join(n1, col("c_nationkey") === col("c_nk"))
         .join(n2, col("s_nationkey") === col("s_nk"))
@@ -252,11 +252,11 @@ object TpcH {
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+        .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
           col("p_partkey") === col("l_partkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey"))
         .join(n1, col("c_nationkey") === col("c_nk"))
         .join(n2, col("s_nationkey") === col("s_nk"))
@@ -287,7 +287,7 @@ object TpcH {
             .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
               && col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
@@ -329,7 +329,7 @@ object TpcH {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
           && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-        .join(broadcast(Tables.part(s, d)),
+        .join(Tables.part(s, d),
           col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
           dsum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
@@ -357,7 +357,7 @@ object TpcH {
         .agg(dsum(rev).as("total_revenue"))
       rv.join(broadcast(rv.agg(max(col("total_revenue")).as("mx"))))
         .filter(col("total_revenue") === col("mx"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("s_suppkey") === col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -377,7 +377,7 @@ object TpcH {
       val li = Tables.lineitem(s, d)
       val avgQ = li.groupBy(col("l_partkey").as("ap_key"))
         .agg((lit(0.5) * davg(col("l_quantity"))).as("qty_lim"))
-      li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#13")),
+      li.join(Tables.part(s, d).filter(col("p_brand") === "Brand#13"),
           col("p_partkey") === col("l_partkey"))
         .join(avgQ, col("ap_key") === col("l_partkey"))
         .filter(col("l_quantity") < col("qty_lim"))
@@ -406,7 +406,7 @@ object TpcH {
       Tables.orders(s, d)
         .join(big, col("o_orderkey") === col("big_key"), "left_semi")
         .join(li, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
           dateStr(col("o_orderdate")).as("odate"), col("o_totalprice"))
@@ -428,7 +428,7 @@ object TpcH {
          |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
          |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)),
+        .join(Tables.part(s, d),
           col("p_partkey") === col("l_partkey")
             && ((col("p_brand") === "Brand#12"
               && col("p_size").between(1, 15)
@@ -475,7 +475,7 @@ object TpcH {
           && col("s3") =!= col("l_suppkey")
           && col("sd3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
           "left_anti")
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("s_suppkey") === col("l_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))

@@ -59,24 +59,32 @@ object Warehouse {
     // rows + inserts with fresh keys) to the orders snapshot in one
     // full-outer join — WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
     // THEN INSERT, with unmatched snapshot rows carried through.
+    // Insert keys are max(o_orderkey) + 1 + o_orderkey — provably above
+    // the key domain at EVERY scale factor (a fixed +10M offset would
+    // collide with real keys once SF ≳ 1.7, silently turning inserts
+    // into matches; the +1 covers o_orderkey = 0, whose insert key
+    // would otherwise BE the max); the 1-row max broadcasts, no extra
+    // fact shuffle.
     Decl("merge_upsert",
-      """WITH chg AS (
+      """WITH mx AS (SELECT max(o_orderkey) + 1 AS mxk FROM orders),
+        |chg AS (
         |  SELECT o_orderkey AS k, o_totalprice + 500.0 AS p, 'U' AS st
         |  FROM orders WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS k, o_totalprice AS p, 'I' AS st
-        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |  SELECT o_orderkey + mxk AS k, o_totalprice AS p, 'I' AS st
+        |  FROM orders, mx WHERE o_orderkey % 7 = 0)
         |SELECT COALESCE(k, o_orderkey) AS o_orderkey,
         |  COALESCE(st, o_orderstatus) AS status,
         |  COALESCE(p, o_totalprice) AS totalprice
         |FROM orders FULL JOIN chg ON o_orderkey = k
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
+      val mx = broadcast(o.agg((max(col("o_orderkey")) + 1).as("mxk")))
       val chg = o.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey").as("k"),
           (col("o_totalprice") + 500.0).as("p"), lit("U").as("st"))
-        .unionAll(o.filter(col("o_orderkey") % 7 === 0)
-          .select((col("o_orderkey") + 10000000L).as("k"),
+        .unionAll(o.filter(col("o_orderkey") % 7 === 0).crossJoin(mx)
+          .select((col("o_orderkey") + col("mxk")).as("k"),
             col("o_totalprice").as("p"), lit("I").as("st")))
       o.join(chg, col("o_orderkey") === col("k"), "full_outer")
         .select(coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
@@ -350,6 +358,14 @@ object Warehouse {
         sumCur = labels.agg(sum("comp")).head.getLong(0)
         rounds += 1
       }
+      // Exhausting the cap without reaching the fixpoint must be an
+      // error, not a silently-wrong labeling: a component whose
+      // eccentricity from its min-label node exceeds the cap would
+      // otherwise return labels that disagree with the transitive
+      // closure the oracle computes.
+      require(sumCur == sumPrev,
+        s"graph_components: label propagation not converged after " +
+          s"$rounds rounds (raise the cap for higher-diameter graphs)")
       val w = Window.partitionBy("comp")
       labels.withColumn("comp_size", count(lit(1)).over(w))
         .orderBy("node")

@@ -136,4 +136,133 @@ class CatalogSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("serde dispatch table: class + params → reader format + options") {
+    // the pure dispatch — the reference's reader branching — without a
+    // metastore in the loop
+    val pq = HiveTables.serdeDispatch(
+      "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe", Map())
+    assert(pq == ("parquet", Map()))
+    assert(HiveTables.serdeDispatch(
+      "org.apache.hadoop.hive.ql.io.orc.OrcSerde", Map())._1 == "orc")
+    assert(HiveTables.serdeDispatch(
+      "org.apache.hive.hcatalog.data.JsonSerDe", Map())._1 == "json")
+    val lazySimple = HiveTables.serdeDispatch(
+      "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+      Map("field.delim" -> "|"))
+    assert(lazySimple._1 == "csv" && lazySimple._2("sep") == "|")
+    // Hive's default text delimiter is ^A, not comma
+    assert(HiveTables.serdeDispatch(
+      "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+      Map())._2("sep") == "\u0001")
+    val open = HiveTables.serdeDispatch(
+      "org.apache.hadoop.hive.serde2.OpenCSVSerde",
+      Map("separatorChar" -> ";", "quoteChar" -> "'"))
+    assert(open._1 == "csv" && open._2("sep") == ";"
+      && open._2("quote") == "'")
+    intercept[IllegalArgumentException] {
+      HiveTables.serdeDispatch("com.example.AvroSerDe", Map())
+    }
+  }
+
+  test("metastore entry point: uris-configurable session, serde-driven " +
+      "reads, catalog-side partition pruning (A1 remote path)") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val base = "/root/repo/target/hive2"
+    // The public entry point: HIVE_METASTORE_URIS unset here, so this
+    // takes the embedded-Derby branch — the SAME HiveExternalCatalog
+    // code path a `thrift://host:9083` uris value would drive (only the
+    // connection conf differs), which is what the sandbox can pin.
+    val spark = HiveTables.session(appName = "graft-catalog-spec",
+      metastoreUris = None, master = "local[2]", localBase = base)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+      val sf = "/root/testdata/sf0.001"
+      spark.sql("CREATE DATABASE IF NOT EXISTS serde_db")
+
+      // SerDe-driven dispatch: a pipe-delimited text table registered
+      // with ROW FORMAT DELIMITED (LazySimpleSerDe + field.delim in the
+      // serde properties — exactly what a Thrift StorageDescriptor
+      // carries); readViaSerde must pick the csv reader and the '|'.
+      val csvDir = s"$base/nation_psv"
+      Tables.nation(spark, sf)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite")
+        .option("sep", "|").csv(csvDir)
+      spark.sql("DROP TABLE IF EXISTS serde_db.nation_psv")
+      spark.sql(
+        s"""CREATE EXTERNAL TABLE serde_db.nation_psv (
+           |  n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+           |ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+           |STORED AS TEXTFILE LOCATION '$csvDir'""".stripMargin)
+      val t = spark.sharedState.externalCatalog
+        .getTable("serde_db", "nation_psv")
+      assert(t.storage.serde.exists(_.contains("LazySimpleSerDe")), t.storage)
+      assert(t.storage.properties.get("field.delim").contains("|"))
+      val viaSerde = HiveTables.readViaSerde(spark, "serde_db", "nation_psv")
+      val expected = Tables.nation(spark, sf).count()
+      assert(viaSerde.count() == expected)
+      assert(viaSerde.filter(col("n_name") === "NATION_3").count() == 1)
+      // and a parquet table routes to the parquet reader via its serde
+      val pqDir = s"$base/region_pq"
+      Tables.region(spark, sf).write.mode("overwrite").parquet(pqDir)
+      spark.sql("DROP TABLE IF EXISTS serde_db.region_pq")
+      spark.sql(
+        s"""CREATE EXTERNAL TABLE serde_db.region_pq (
+           |  r_regionkey BIGINT, r_name STRING)
+           |STORED AS PARQUET LOCATION '$pqDir'""".stripMargin)
+      assert(HiveTables.readViaSerde(spark, "serde_db", "region_pq")
+        .count() == Tables.region(spark, sf).count())
+
+      // Metastore-side partition-filter pushdown: the catalog API the
+      // reference's get_partitions_by_filter maps to. Register a
+      // partitioned external table, then assert (a) the external
+      // catalog's listPartitionsByFilter returns ONLY the matching
+      // partition and (b) the executed scan enumerates only it.
+      val partDir = s"$base/orders_by_year"
+      Tables.orders(spark, sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(partDir)
+      spark.sql("DROP TABLE IF EXISTS serde_db.orders_part")
+      spark.sql(
+        s"""CREATE EXTERNAL TABLE serde_db.orders_part (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+           |  o_orderdate TIMESTAMP)
+           |PARTITIONED BY (o_year INT)
+           |STORED AS PARQUET LOCATION '$partDir'""".stripMargin)
+      spark.sql("MSCK REPAIR TABLE serde_db.orders_part")
+      val nParts = spark.sql("SHOW PARTITIONS serde_db.orders_part").count()
+      assert(nParts > 1, s"need >1 partition to prove pruning, got $nParts")
+
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, EqualTo, Literal}
+      import org.apache.spark.sql.types.IntegerType
+      val byFilter = spark.sharedState.externalCatalog
+        .listPartitionsByFilter("serde_db", "orders_part",
+          Seq(EqualTo(AttributeReference("o_year", IntegerType)(),
+            Literal(1996))),
+          "UTC")
+      assert(byFilter.length == 1
+        && byFilter.head.spec == Map("o_year" -> "1996"),
+        s"catalog-side pruning returned ${byFilter.map(_.spec)}")
+
+      // plan-level: the scan's partition enumeration reflects the prune
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scan = spark.table("serde_db.orders_part")
+        .filter(col("o_year") === 1996)
+        .queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scan.nonEmpty, "expected a FileSourceScanExec")
+      assert(scan.head.selectedPartitions.partitionCount == 1,
+        s"scan enumerates ${scan.head.selectedPartitions.partitionCount}" +
+          " partitions")
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }

@@ -47,6 +47,34 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"near-dup should collide in ≥1 of 16 bands; got $cand")
   }
 
+  test("dedup_ngram/containment blocking is content-based: " +
+      "distant-id near-dups are found") {
+    // An id-window block (|d2-d1| < k) would miss this pair by
+    // construction: a true near-dup whose ids are ~10^9 apart. The LSH
+    // band blocking keys on content, so it must surface in BOTH the
+    // trigram-Jaccard and containment scorers.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contentblock").toString
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "again and again in the bright morning sunshine today"
+    Seq(
+      (0L, base),
+      (987654321L, base + " epilogue"),
+      (500L, "a completely different document about spark query engines ok"),
+      (1000L, "yet another unrelated text with many plain boring words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jac = SparkEntry.queries("dedup_ngram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.get((0L, 987654321L)).exists(_ >= 0.5),
+      s"distant-id near-dup must be blocked by content; pairs: $jac")
+    val cont = SparkEntry.queries("dedup_containment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // d1's bigrams are a strict subset of d2's → containment 1.0 exactly
+    assert(cont.get((0L, 987654321L)).contains(1.0),
+      s"sub-document duplication must score containment 1.0; got $cont")
+  }
+
   test("near-dup components are TRANSITIVE (A~B~C chains into one cluster)") {
     import spark.implicits._
     // 0≡1 exactly, 3 is a one-token mutation of them, 2 is unrelated —

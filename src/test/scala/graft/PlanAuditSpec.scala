@@ -28,12 +28,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dedup_near_keep", // broadcast single-row max-cluster agg
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
     "feature_minmax", // broadcast single-row global-stats join (no condition)
+    "merge_upsert", // broadcast single-row max-key scalar for insert keys
     "event_funnel", // cross of four single-row stage-count frames
     "agg_chi2", // broadcast single-row (n, k) totals cross
     "time_resample_ffill", // distinct-keys × 48-bucket grid cross (tiny)
     "time_resample_interp") // same grid scaffold
 
   private val maxShuffles = 6
+
+  /** The sf-proportional dimensions (customer/supplier/part) carry NO
+    * broadcast hint — at 100 TB a forced broadcast OOMs every executor.
+    * At test scale the cost-based planner (or AQE's runtime demotion)
+    * must still arrive at a broadcast-hash join on its own; this pins
+    * that the strategy choice is size-driven, not hint-driven. */
+  private val unhintedBroadcastJoins = Seq(
+    "join_inner", "join_multi", "join_5way",
+    "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q14", "tpch_q18")
+
+  unhintedBroadcastJoins.foreach { name =>
+    test(s"$name: planner picks broadcast-hash join unhinted at test scale") {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // materialize so AQE finalizes the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: expected a size-driven BroadcastHashJoin at test scale:\n" +
+          plan.take(1500))
+    }
+  }
 
   SparkEntry.allDecls.foreach { decl =>
     test(s"${decl.name}: plan is scale-sane") {

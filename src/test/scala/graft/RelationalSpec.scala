@@ -7,15 +7,41 @@ import org.scalatest.funsuite.AnyFunSuite
   * can't express (approximate ops, equivalences between formulations). */
 class RelationalSpec extends AnyFunSuite with SparkSuite {
 
-  test("approx_count_distinct within 5% of exact (B4)") {
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("nd"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+  test("approx_count_distinct within 5% of exact (B4) at all three SFs") {
+    // The two declared-approximate queries are the only rows-only
+    // entries in the oracle gate; this quantifies their error bound at
+    // every scale the driver exercises, so "no oracle" never means
+    // "no check". The exact twin is agg_distinct's countDistinct.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val exact = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val approx = SparkEntry.queries("agg_approx_distinct")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, e) =>
+        val a = approx(k)
+        assert(math.abs(a - e).toDouble / e <= 0.05,
+          s"$dir $k: approx=$a exact=$e")
+      }
+    }
+  }
+
+  test("sample_stats_approx quantiles/distinct within 5% of exact (B31b) " +
+      "at all three SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val li = Tables.lineitem(spark, dir)
+      val Array(p50e, p95e) = li.stat
+        .approxQuantile("l_extendedprice", Array(0.5, 0.95), 0.0) // exact
+      val nde = li.select(countDistinct("l_partkey")).head.getLong(0)
+      val r = SparkEntry.queries("sample_stats_approx")(spark, dir).head()
+      assert(math.abs(r.getDouble(0) - p50e) / p50e <= 0.05,
+        s"$dir p50: ${r.getDouble(0)} vs $p50e")
+      assert(math.abs(r.getDouble(1) - p95e) / p95e <= 0.05,
+        s"$dir p95: ${r.getDouble(1)} vs $p95e")
+      assert(math.abs(r.getLong(2) - nde).toDouble / nde <= 0.05,
+        s"$dir nd: ${r.getLong(2)} vs $nde")
     }
   }
 

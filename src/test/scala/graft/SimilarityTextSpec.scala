@@ -33,6 +33,40 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("embed_quantize maps an all-zero vector to all-zero codes") {
+    // The real table has no zero vectors (and PropertySpec filters them),
+    // so pin the 127/0 = Inf → 0·Inf = NaN guard on a synthetic table.
+    val dir = java.nio.file.Files.createTempDirectory("qzero").toString
+    val schema = Tables.embeddings(spark, sf).schema
+    val src = Tables.embeddings(spark, sf).limit(3).collect().toSeq
+    val zeroed = src.zipWithIndex.map { case (r, i) =>
+      if (i == 0) {
+        val vals = r.toSeq.toArray
+        val vi = schema.fieldIndex("embedding")
+        val dim = r.getSeq[Float](vi).length
+        vals(vi) = Seq.fill(dim)(0.0f)
+        org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+      } else r
+    }
+    spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(zeroed).asJava), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("embed_quantize")(spark, dir)
+      .orderBy("vec_id").collect()
+    assert(out.length == 3)
+    val z = out.head
+    assert(z.getLong(z.fieldIndex("q_sum")) == 0L
+      && z.getLong(z.fieldIndex("q_min")) == 0L
+      && z.getLong(z.fieldIndex("q_max")) == 0L,
+      s"zero vector must quantize to zeros, got $z")
+    // non-zero rows still produce a full-range code (max |q| = 127)
+    out.tail.foreach { r =>
+      assert(math.max(math.abs(r.getLong(r.fieldIndex("q_min"))),
+        math.abs(r.getLong(r.fieldIndex("q_max")))) == 127L, r.toString)
+    }
+  }
+
   test("cosine(v, v) == 1 within double tolerance") {
     val e = Tables.embeddings(spark, sf).limit(20)
     val sims = e.select(VectorOps.cosine(col("embedding"), col("embedding")).as("s"))
@@ -50,6 +84,33 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     // any ann hit that appears in the exact top-10 must carry the same sim
     ann.foreach { case (id, s) =>
       brute.get(id).foreach(bs => assert(math.abs(bs - s) < 1e-12)) }
+  }
+
+  test("ANN recall@10 vs brute force ≥ 0.8 at sf0.1 (LSH and IVF)") {
+    // Deterministic measurement: fixed planes/centroids, fixed corpus,
+    // 20 fixed query ids — the recall is a constant of the code+data,
+    // not a flaky statistic. The corpus is uniform random (no planted
+    // near-dups), the hardest case for ANN: this bound certifies the
+    // multi-probe parameterization actually buys recall, not just the
+    // lucky bucket.
+    import graft.queries.Similarity
+    val d = "/root/testdata/sf0.1"
+    def recall(ann: (org.apache.spark.sql.SparkSession, String, Long, Int)
+        => org.apache.spark.sql.DataFrame): Double = {
+      val per = (0L until 20L).map { qid =>
+        val exact = Similarity.bruteTopK(spark, d, qid, 10).collect()
+          .map(_.getLong(0)).toSet
+        val got = ann(spark, d, qid, 10).collect().map(_.getLong(0)).toSet
+        (exact intersect got).size / 10.0
+      }
+      per.sum / per.size
+    }
+    val lsh = recall(Similarity.annLshTopK)
+    val ivf = recall(Similarity.annIvfTopK)
+    info(f"recall@10: lsh=$lsh%.3f ivf=$ivf%.3f")
+    assert(lsh >= 0.8, f"LSH multi-probe recall@10 $lsh%.3f < 0.8")
+    assert(ivf >= 0.8, f"IVF nProbe=${Similarity.IvfNProbe} recall@10 " +
+      f"$ivf%.3f < 0.8")
   }
 
   test("knn predictions are valid labels with ≥1 vote") {
