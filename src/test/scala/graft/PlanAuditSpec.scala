@@ -27,6 +27,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "text_keywords", // broadcast single-row doc count (tfidf family)
     "dedup_near_keep", // broadcast single-row max-cluster agg
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
+    "tpch_q11", // broadcast single-row inventory-value cut scalar
     "feature_minmax", // broadcast single-row global-stats join (no condition)
     "merge_upsert", // broadcast single-row max-key scalar for insert keys
     "event_funnel", // cross of four single-row stage-count frames
