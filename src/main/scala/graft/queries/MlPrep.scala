@@ -125,6 +125,68 @@ object MlPrep {
           ((col("o_totalprice") - s1 / n) /
             sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0))))).as("zscore"))
         .orderBy("o_orderkey")
+    },
+
+    // Train/eval DECONTAMINATION — the benchmark-leakage check every
+    // training pipeline runs before eval numbers mean anything: an eval
+    // document is contaminated when any of its token 8-grams appears
+    // verbatim in the training split (the 13-gram-overlap scheme of the
+    // published LLM pipelines, sized to this corpus's 10-99-token
+    // docs). Split is the deterministic doc_id residue (5% eval).
+    // Scale shape: grams travel as sha60 HASHES, never strings —
+    // train side explodes to (hash) and dedups (one shuffle), eval
+    // explodes to (doc_id, hash), and contamination is a left-SEMI
+    // equi-join on the hash (ships keys only, no gram text, no
+    // broadcast of a 100-TB gram set); per-doc counts then aggregate on
+    // doc_id. Every eval doc is reported (hit or not) — silence on
+    // clean docs would make "no output" ambiguous with "didn't run".
+    Decl("contamination_check",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
+         |g AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tks) - 7 + 1),
+         |      i -> ${graft.functions.XHash.sqlSha60(
+                 "concat_ws(' ', tks[i], tks[i+1], tks[i+2], tks[i+3]," +
+                   " tks[i+4], tks[i+5], tks[i+6], tks[i+7])")})) AS gs
+         |  FROM d),
+         |tg AS (SELECT DISTINCT unnest(gs) AS h FROM g
+         |       WHERE doc_id % 20 <> 0),
+         |eg AS (SELECT doc_id, unnest(gs) AS h FROM g
+         |       WHERE doc_id % 20 = 0),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN h IN (SELECT h FROM tg)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM eg GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_grams AS hit_share,
+         |  n_hit > 0 AS contaminated
+         |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.XHash.sha60
+      // the >= 8 guard (mirrored in the oracle) keeps sequence() from
+      // turning descending on sub-gram docs AND keeps every element_at
+      // index in range under ANSI mode
+      val grams = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .filter(size(col("tks")) >= 8)
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(1), size(col("tks")) - 7),
+          i => sha60(concat_ws(" ", (0 until 8).map(k =>
+            element_at(col("tks"), i + k)): _*)))).as("gs"))
+      val train = grams.filter(col("doc_id") % 20 =!= 0)
+        .select(explode(col("gs")).as("h")).distinct()
+      val eval_ = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(col("gs")).as("h"))
+      val hit = eval_.join(train, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      eval_.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+            col("n_grams")).as("hit_share"),
+          (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -75,6 +75,31 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"sub-document duplication must score containment 1.0; got $cont")
   }
 
+  test("contamination_check flags an eval doc copied from train, " +
+      "clears an unrelated one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contam").toString
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    // ids ≡ 0 (mod 20) land in the eval split, everything else trains
+    Seq(
+      (1L, leaked),                       // train: the source document
+      (20L, leaked + " nu xi"),           // eval: quotes all of train's 8-grams
+      (40L, "one two three four five six seven eight nine ten " +
+        "eleven twelve"),                 // eval: clean
+      (3L, "unrelated training text about spark plans and shuffles " +
+        "goes here today"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("contamination_check")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(r.fieldIndex("contaminated")))).toMap
+    assert(out(20L)._2 && out(20L)._1 >= 5,
+      s"copied eval doc must be contaminated: $out")
+    assert(!out(40L)._2 && out(40L)._1 == 0,
+      s"clean eval doc must not be flagged: $out")
+  }
+
   test("near-dup components are TRANSITIVE (A~B~C chains into one cluster)") {
     import spark.implicits._
     // 0≡1 exactly, 3 is a one-token mutation of them, 2 is unrelated —
