@@ -574,14 +574,17 @@ object Dedup {
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       // bigram shingles: sequence(1, n-1) mirrors range(1, len) — both
       // empty below 2 tokens, but the n >= 2 guard keeps sequence()
-      // from turning descending (same hazard dedup_ngram documents)
+      // from turning descending (same hazard dedup_ngram documents).
+      // Tokenize ONCE in a prior projection: split() inside the lambda
+      // body would re-run per element (no CSE across higher-order
+      // functions — the shinglesOfTks trap, measured 4.6s → ~1s here).
       val grams = array_distinct(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat(element_at(split(text, ' '), i), ' ', " +
-          "element_at(split(text, ' '), i + 1)))"))
+        "transform(sequence(1, size(tks) - 1), " +
+          "i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1)))"))
       val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       val cand = candidatePairs(docs)
-      val g = docs.filter(size(split(col("text"), " ")) >= 2)
+      val g = docs.select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .filter(size(col("tks")) >= 2)
         .select(col("doc_id"), grams.as("g"))
       cand
         .join(g.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
