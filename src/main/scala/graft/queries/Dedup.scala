@@ -350,6 +350,64 @@ object Dedup {
         coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
     },
 
+    // C2-incremental: dedup an INCOMING BATCH against the existing
+    // corpus — the daily-ingest shape, where re-pairing corpus×corpus
+    // for every delivery would be quadratic over time. The batch is the
+    // deterministic doc_id residue (10%); candidates come from the same
+    // skew-guarded LSH machinery ([[candidatePairs]]) filtered to
+    // cross-split pairs, so only new×old buckets are verified (new×new
+    // dedup is the batch's own dedup_near pass, scoped out here). Every
+    // batch doc is reported; match_id is the smallest matching corpus
+    // doc (deterministic representative).
+    Decl("dedup_incremental",
+      s"""WITH $sqlCandCtes,
+         |nc AS (SELECT CASE WHEN d1 % 10 = 7 THEN d1 ELSE d2 END AS dn,
+         |    CASE WHEN d1 % 10 = 7 THEN d2 ELSE d1 END AS d_old
+         |  FROM cand WHERE (d1 % 10 = 7) <> (d2 % 10 = 7)),
+         |jx AS (SELECT dn, d_old,
+         |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.sh, s2.sh))) AS j
+         |  FROM nc JOIN sh s1 ON s1.doc_id = dn
+         |          JOIN sh s2 ON s2.doc_id = d_old),
+         |m AS (SELECT dn, COUNT(*) AS n_matches, MIN(d_old) AS match_id
+         |  FROM jx WHERE j >= 0.3 GROUP BY dn)
+         |SELECT doc_id, COALESCE(n_matches, 0) AS n_matches,
+         |  COALESCE(match_id, -1) AS match_id,
+         |  n_matches IS NOT NULL AS is_dup
+         |FROM docs LEFT JOIN m ON dn = doc_id
+         |WHERE doc_id % 10 = 7
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val isNew = (c: Column) => c % 10 === 7
+      val nc = candidatePairs(docs)
+        .filter(isNew(col("d1")) =!= isNew(col("d2")))
+        .select(when(isNew(col("d1")), col("d1")).otherwise(col("d2"))
+            .as("dn"),
+          when(isNew(col("d1")), col("d2")).otherwise(col("d1"))
+            .as("d_old"))
+      val candIds = nc.select(col("dn").as("doc_id"))
+        .unionByName(nc.select(col("d_old").as("doc_id"))).distinct()
+      val sh = withShingles(docs).select("doc_id", "sh")
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val m = nc
+        .join(sh.select(col("doc_id").as("dn"), col("sh").as("sh1")), "dn")
+        .join(sh.select(col("doc_id").as("d_old"), col("sh").as("sh2")),
+          "d_old")
+        .filter(size(array_intersect(col("sh1"), col("sh2")))
+          .cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2"))) >= 0.3)
+        .groupBy("dn")
+        .agg(count(lit(1)).as("n_matches"), min(col("d_old")).as("match_id"))
+      docs.filter(isNew(col("doc_id"))).select("doc_id")
+        .join(m, col("dn") === col("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("match_id"), lit(-1L)).as("match_id"),
+          col("n_matches").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // C2-action: near-dup REMOVAL — connect the verified pairs into
     // clusters and keep one representative per cluster. Components via
     // iterative min-label propagation (see nearDupComponents: one join

@@ -75,6 +75,31 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"sub-document duplication must score containment 1.0; got $cont")
   }
 
+  test("dedup_incremental: batch doc matching the corpus is flagged " +
+      "with its corpus representative; clean batch doc passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val dupText = "the quick brown fox jumps over the lazy dog " +
+      "again and again in the bright morning sunshine today"
+    // ids ≡ 7 (mod 10) form the incoming batch; the rest are corpus
+    Seq(
+      (1L, dupText),                       // corpus: the original
+      (2L, "a completely different corpus document about spark " +
+        "engines and their query plans"),
+      (7L, dupText + " epilogue"),         // batch: near-dup of 1
+      (17L, "entirely fresh batch content with many new words " +
+        "nobody wrote before today"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("is_dup")), r.getLong(2))).toMap
+    assert(out.keySet == Set(7L, 17L), s"every batch doc reported: $out")
+    assert(out(7L) == (true, 1L),
+      s"batch near-dup must match corpus doc 1: $out")
+    assert(out(17L) == (false, -1L), s"clean batch doc flagged: $out")
+  }
+
   test("contamination_check flags an eval doc copied from train, " +
       "clears an unrelated one") {
     import spark.implicits._
