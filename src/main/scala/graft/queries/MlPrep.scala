@@ -165,27 +165,35 @@ object MlPrep {
       import graft.functions.XHash.sha60
       // the >= 8 guard (mirrored in the oracle) keeps sequence() from
       // turning descending on sub-gram docs AND keeps every element_at
-      // index in range under ANSI mode
+      // index in range under ANSI mode. The gram hash is computed AFTER
+      // exploding the start index — as a row-level expression it stays
+      // in whole-stage codegen, where the same hash inside a transform()
+      // lambda runs interpreted per element (measured 8 s vs 0.6 s at
+      // sf0.1 — the HOF-kernel lesson from the MinHash pipeline). The
+      // (doc_id, h) distinct equals the oracle's per-doc list_distinct.
       val grams = Tables.documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), split(col("text"), " ").as("tks"))
         .filter(size(col("tks")) >= 8)
-        .select(col("doc_id"), array_distinct(transform(
-          sequence(lit(1), size(col("tks")) - 7),
-          i => sha60(concat_ws(" ", (0 until 8).map(k =>
-            element_at(col("tks"), i + k)): _*)))).as("gs"))
+        .select(col("doc_id"), col("tks"),
+          explode(sequence(lit(1), size(col("tks")) - 7)).as("i"))
+        .select(col("doc_id"), sha60(concat_ws(" ", (0 until 8).map(k =>
+          element_at(col("tks"), col("i") + k)): _*)).as("h"))
+        .distinct()
+      // one pass per split (the doc_id residue filter commutes below
+      // the gram projection, so neither split computes the other's
+      // grams), and ONE left join carrying a hit marker — counting
+      // grams and hits in the same aggregation instead of a semi-join
+      // plus a second scan of the eval grams
       val train = grams.filter(col("doc_id") % 20 =!= 0)
-        .select(explode(col("gs")).as("h")).distinct()
+        .select("h").distinct().withColumn("hit", lit(1L))
       val eval_ = grams.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id"), explode(col("gs")).as("h"))
-      val hit = eval_.join(train, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      eval_.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        .join(hit, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
-            col("n_grams")).as("hit_share"),
-          (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+      eval_.join(train, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_grams")).as("hit_share"),
+          (col("n_hit") > 0).as("contaminated"))
         .orderBy("doc_id")
     }
   )

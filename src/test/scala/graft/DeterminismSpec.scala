@@ -50,7 +50,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "merge_upsert",       // full-outer result ordering
     "event_funnel",       // mapGroups walk under sorted ties
     "join_asof_tolerance", // dedup + tag ordering + gap gate
-    "sample_group_n")     // hash-ranked per-group pick
+    "sample_group_n",     // hash-ranked per-group pick
+    "dedup_incremental",  // LSH buckets + min-representative picks
+    "contamination_check", // hash-gram semi-join under repartitioning
+    "tpch_q2")            // min-cost window ties across suppliers
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {
