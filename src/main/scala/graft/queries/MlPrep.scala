@@ -195,6 +195,51 @@ object MlPrep {
           (col("n_hit").cast(DoubleType) / col("n_grams")).as("hit_share"),
           (col("n_hit") > 0).as("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // Domain-mix rebalancing — the data-mixing step of a pretraining
+    // pipeline: cap every source at a uniform target share (total/
+    // n_sources) by hash-gate downsampling the over-represented ones.
+    // All the rate arithmetic is integer (DIV / least on longs), so the
+    // per-source keep rate is bit-identical cross-engine, and the gate
+    // itself is the same sha-60 residue used by `sample` — partition-
+    // invariant and exactly reproducible. Scale: one count aggregation
+    // (shuffle on source), a scalar total, and a map-only gated pass;
+    // the per-source rate table is domain-cardinality-sized and AQE
+    // broadcasts it on its own.
+    Decl("mix_rebalance",
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents
+        |           GROUP BY source),
+        |t AS (SELECT SUM(cnt) // COUNT(*) AS target FROM c),
+        |r AS (SELECT source, cnt,
+        |        CAST(least(1000000, (target * 1000000) // cnt) AS BIGINT)
+        |          AS rate_ppm
+        |      FROM c, t),
+        |k AS (SELECT d.source, COUNT(*) AS n_kept
+        |      FROM documents d JOIN r ON d.source = r.source
+        |      WHERE (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+        |               1, 15)) AS BIGINT) % 1000000) < rate_ppm
+        |      GROUP BY d.source)
+        |SELECT r.source, cnt AS n_docs, rate_ppm,
+        |  COALESCE(n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      import graft.functions.XHash.sha60
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val target = counts.agg(expr("SUM(cnt) DIV COUNT(*)").as("target"))
+      val rates = counts.crossJoin(target)
+        .select(col("source"), col("cnt"),
+          least(lit(1000000L), expr("(target * 1000000) DIV cnt"))
+            .as("rate_ppm"))
+      val kept = docs.join(rates.select("source", "rate_ppm"), Seq("source"))
+        .filter(sha60(col("doc_id").cast(StringType)) % 1000000 <
+          col("rate_ppm"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("cnt").as("n_docs"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
     }
   )
 }

@@ -387,6 +387,33 @@ object Relational {
           |ORDER BY c_custkey, o_orderkey""".stripMargin)
     },
 
+    // B7d: correlated EXISTS / NOT EXISTS in one predicate — the SQL
+    // spelling of the semi⋈anti pair. Catalyst's
+    // RewritePredicateSubquery decorrelates both into key-only
+    // LeftSemi/LeftAnti joins against the same orders scan: at scale,
+    // only o_custkey (plus the pushed filter column) ships, never order
+    // payloads, and the two subquery scans share the exchange under AQE.
+    Decl("subquery_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.Catalog.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // B30b: null-safe equality (<=> / IS NOT DISTINCT FROM).
     Decl("null_safe_eq",
       """SELECT

@@ -449,6 +449,42 @@ object Stats {
         .select(col("event_type"), col("n").cast(LongType).as("n"),
           mean.as("mean"), col("n_outliers"))
         .orderBy("event_type")
+    },
+
+    // Rolling EXACT median over the trailing 5 events per user — the
+    // robust-smoothing window (spike rejection) a monitoring pipeline
+    // runs over every metric stream. The frame is materialized as a
+    // sorted 5-element array per row: constant-size state, so unlike a
+    // global median this stays a single partitioned window pass at any
+    // scale. Odd frames take the middle element verbatim; even (the
+    // first ramp-up rows) average two elements — one IEEE division of
+    // identical doubles, so cross-engine exact.
+    Decl("window_rolling_median",
+      """WITH a AS (SELECT user_id, event_id, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events)
+        |SELECT user_id, event_id, value,
+        |  CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+        |       ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+        |  END AS roll_med
+        |FROM a ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      val arr = col("arr")
+      val n = size(arr)
+      Tables.events(s, d)
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .select(col("user_id"), col("event_id"), col("value"),
+          // Column `/` is double division — cast back for the index
+          // (values are small positive ints, truncation == floor)
+          when(n % 2 === 1,
+            element_at(arr, ((n + 1) / 2).cast(IntegerType)))
+            .otherwise((element_at(arr, (n / 2).cast(IntegerType)) +
+              element_at(arr, (n / 2).cast(IntegerType) + 1)) / lit(2.0))
+            .as("roll_med"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

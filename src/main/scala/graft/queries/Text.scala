@@ -567,6 +567,90 @@ object Text {
           (lit(1.0) - col("n_distinct").cast(DoubleType) /
             col("n_tok").cast(DoubleType)).as("rep_ratio"))
         .orderBy("doc_id")
+    },
+
+    // Gopher-style rule filter — the published heuristic gate battery
+    // (Rae et al. 2021, table A1 shapes): token-count bounds, mean
+    // token length bounds, stopword-hit requirement, and a max-repetition
+    // bound, each emitted as its own flag so downstream can audit WHICH
+    // rule fired, plus the conjunction as `keep`. All counts are exact
+    // integers; the two ratios are identical single double divisions.
+    // Scale: one explode-free pass (array built-ins only) + one exact
+    // per-doc token aggregate — map-side heavy, one shuffle on doc_id.
+    Decl("text_gopher_rules",
+      """WITH tc AS (SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY doc_id, t),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS n_tok,
+        |    CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM tc GROUP BY doc_id),
+        |f AS (SELECT d.doc_id, n_tok,
+        |    CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok AS mean_tok_len,
+        |    len(list_intersect(string_split(text, ' '),
+        |      ['the', 'of', 'and', 'der', 'el', 'le'])) AS n_stop,
+        |    CAST(top_c AS DOUBLE) / n_tok AS top_share
+        |  FROM documents d JOIN agg ON d.doc_id = agg.doc_id)
+        |SELECT doc_id, n_tok, mean_tok_len, n_stop, top_share,
+        |  n_tok BETWEEN 10 AND 100000 AS pass_len,
+        |  mean_tok_len BETWEEN 2 AND 12 AS pass_tok_len,
+        |  n_stop >= 1 AS pass_stop,
+        |  top_share <= 0.2 AS pass_rep,
+        |  (n_tok BETWEEN 10 AND 100000)
+        |    AND (mean_tok_len BETWEEN 2 AND 12)
+        |    AND n_stop >= 1 AND top_share <= 0.2 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stops = Seq("the", "of", "and", "der", "el", "le")
+      val agg = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_c"))
+      val meanTokLen =
+        (col("n_chars") - col("n_tok") + 1).cast(DoubleType) / col("n_tok")
+      val topShare = col("top_c").cast(DoubleType) / col("n_tok")
+      val passLen = col("n_tok").between(10, 100000)
+      val passTokLen = col("mean_tok_len").between(2.0, 12.0)
+      val passStop = col("n_stop") >= 1
+      val passRep = col("top_share") <= 0.2
+      Tables.documents(s, d).join(agg, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"),
+          meanTokLen.as("mean_tok_len"),
+          size(array_intersect(toks,
+            array(stops.map(lit): _*))).cast(LongType).as("n_stop"),
+          topShare.as("top_share"))
+        .select(col("doc_id"), col("n_tok"), col("mean_tok_len"),
+          col("n_stop"), col("top_share"),
+          passLen.as("pass_len"), passTokLen.as("pass_tok_len"),
+          passStop.as("pass_stop"), passRep.as("pass_rep"),
+          (passLen && passTokLen && passStop && passRep).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // First BPE-merge statistics — the pair-count step every byte-pair
+    // tokenizer induction starts from: adjacent character pairs within
+    // tokens, counted corpus-wide, top-20. The pair explosion is a
+    // per-row flatMap (≈ word length multiplier); the count is a
+    // partial+final aggregate on the pair key, and the top-20 is
+    // TakeOrderedAndProject — never a global sort. The len >= 2 filter
+    // runs BEFORE the index explode (Spark's sequence() turns
+    // descending when stop < start — the repo-wide guard idiom).
+    Decl("text_bpe_pairs",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |p AS (SELECT substr(w, i, 2) AS pair
+        |      FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |            FROM w WHERE len(w) >= 2))
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1))
+          .as("i"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
     }
   )
 }

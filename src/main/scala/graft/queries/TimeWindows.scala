@@ -317,6 +317,46 @@ object TimeWindows {
           (max(col("hb")) - min(col("hb")) + 1 - countDistinct(col("hb")))
             .as("gap_hours"))
         .orderBy("event_type")
+    },
+
+    // Time-weighted average value per user (TWAP) — each observation
+    // holds until the next one, so it is weighted by its holding
+    // duration; the per-user last event has no successor and drops out
+    // (standard left-open TWAP). One lead() window + one aggregate on
+    // the same user_id partitioning — Spark reuses the window's
+    // hash partitioning for the groupBy, so a single shuffle total.
+    // Exactness: value is money-precision (2 dec) → DECIMAL(18,2)
+    // factor; the µs gap is an exact integer DECIMAL — the product and
+    // sum are exact, and the final division is one IEEE op over
+    // identical doubles (the dsumProd2 argument with an integer
+    // second factor).
+    Decl("time_twap",
+      """WITH g AS (SELECT user_id, value, epoch_us(ts) AS tus,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_tus
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(next_tus - tus) AS BIGINT) AS held_us,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+        |                CAST(next_tus - tus AS DECIMAL(18,0)))
+        |       AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(next_tus - tus AS DECIMAL(18,0)))
+        |        AS VARCHAR) AS DOUBLE) AS twap
+        |FROM g WHERE next_tus IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = col("next_tus") - col("tus")
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"), epochUs(col("ts")).as("tus"),
+          lead(epochUs(col("ts")), 1).over(w).as("next_tus"))
+        .filter(col("next_tus").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(gap).as("held_us"),
+          (sum(col("value").cast(DecimalType(18, 2)) *
+              gap.cast(DecimalType(18, 0))).cast(DoubleType) /
+            sum(gap.cast(DecimalType(18, 0))).cast(DoubleType)).as("twap"))
+        .orderBy("user_id")
     }
   )
 

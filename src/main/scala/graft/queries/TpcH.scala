@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The reference's tables expose the full dask.dataframe surface, and the
   * canonical workload for "a user could run every query they run today"
-  * over this exact schema is TPC-H. 21 of the 22 queries run here (all
-  * but Q12's receipt-date mode split, whose l_commitdate/l_receiptdate
-  * columns have no analogue at all): the fixture set ships no
-  * `partsupp`, so the five price/availability queries (Q2, Q9, Q11,
-  * Q16, Q20) run over [[partsupp]], a table derived deterministically
-  * from lineitem that the DuckDB oracle reconstructs bit-identically.
+  * over this exact schema is TPC-H. All 22 queries run here: the
+  * fixture set ships no `partsupp`, so the five price/availability
+  * queries (Q2, Q9, Q11, Q16, Q20) run over [[partsupp]], a table
+  * derived deterministically from lineitem that the DuckDB oracle
+  * reconstructs bit-identically.
   * Adaptations to the columns that exist: no l_commitdate/l_receiptdate
   * → lateness is proxied as "shipped > 60 days after order date"; no
+  * l_shipmode → Q12's two-mode IN list runs over l_returnflag; no
   * o_shippriority → o_orderpriority; no c_phone → country code from the
   * customer-name suffix; no p_container → p_size bands; no p_mfgr →
   * p_brand; no s_comment → a deterministic s_suppkey residue for Q16's
@@ -300,6 +300,40 @@ object TpcH {
         .agg(dsum(rev).as("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(desc("revenue"), col("c_custkey")).limit(20)
+    },
+
+    // Q12: shipping-mode priority split — join + conditional
+    // aggregation by category. Adapted: no l_shipmode/l_receiptdate
+    // columns exist, so the mode is proxied by l_returnflag (two of its
+    // three values, mirroring Q12's two-mode IN list) and lateness by
+    // the same shipped->60-days-after-order proxy Q4/Q21 use. The shape
+    // is unchanged: fact⋈orders with the selective line-side filters
+    // pushed to the scan, then CASE-conditional counts per mode.
+    Decl("tpch_q12",
+      """SELECT l_returnflag AS l_shipmode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R")
+          && col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag").as("l_shipmode"))
+        .agg(
+          sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_shipmode")
     },
 
     // Q13: customer order-count distribution — outer join with the

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level semantics of the round-5 additions — invariants the
+  * DuckDB hash gate can't express (equivalence to a brute-force
+  * formulation, conservation laws, flag consistency). */
+class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
+
+  test("mix_rebalance: kept ≤ docs, full-rate sources keep everything, " +
+      "rates cap at the uniform target") {
+    val rows = SparkEntry.queries("mix_rebalance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val target = total / rows.length
+    rows.foreach { r =>
+      val (nDocs, ratePpm, nKept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept <= nDocs)
+      if (ratePpm == 1000000L) assert(nKept == nDocs,
+        s"${r.getString(0)}: full rate must keep all docs")
+      // a source at/below the uniform target is never downsampled
+      if (nDocs <= target) assert(ratePpm == 1000000L)
+      else assert(ratePpm == math.min(1000000L, target * 1000000L / nDocs))
+    }
+  }
+
+  test("window_rolling_median matches a brute-force sliding median") {
+    val got = SparkEntry.queries("window_rolling_median")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).flatMap { case (uid, rs) =>
+      val ordered = rs.sortBy(r => (r._4, r._2))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._3).sorted
+        val n = frame.length
+        val med = if (n % 2 == 1) frame(n / 2)
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        (uid, ordered(i)._2) -> med
+      }
+    }
+    assert(got.size == expected.size)
+    expected.foreach { case (k, m) =>
+      assert(got(k) == m, s"key $k: got ${got(k)} expected $m")
+    }
+  }
+
+  test("time_twap: bounded by min/max value; held_us spans first→last") {
+    val twap = SparkEntry.queries("time_twap")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val byUser = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("span"), count(lit(1)).as("n"))
+      .collect()
+    byUser.foreach { r =>
+      val uid = r.getLong(0)
+      if (r.getLong(4) > 1) { // users with ≥2 events have spans
+        val (heldUs, tw) = twap(uid)
+        assert(heldUs == r.getLong(3),
+          s"user $uid: held $heldUs vs ts span ${r.getLong(3)}")
+        assert(tw >= r.getDouble(1) - 1e-9 && tw <= r.getDouble(2) + 1e-9,
+          s"user $uid: twap $tw outside [${r.getDouble(1)}, ${r.getDouble(2)}]")
+      } else assert(!twap.contains(uid))
+    }
+  }
+
+  test("tpch_q12: mode counts conserve the late-line total") {
+    val rows = SparkEntry.queries("tpch_q12")(spark, sf).collect()
+    val fromQuery = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("A", "R")
+        && col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .count()
+    assert(fromQuery == direct && fromQuery > 0)
+  }
+
+  test("text_gopher_rules: keep is exactly the conjunction of its flags") {
+    SparkEntry.queries("text_gopher_rules")(spark, sf).collect().foreach { r =>
+      val flags = Seq(5, 6, 7, 8).map(r.getBoolean)
+      assert(r.getBoolean(9) == flags.forall(identity),
+        s"doc ${r.getLong(0)}: keep != AND(flags)")
+    }
+  }
+
+  test("text_bpe_pairs: 2-char pairs, non-increasing counts, " +
+      "top pair count matches a direct recount") {
+    val rows = SparkEntry.queries("text_bpe_pairs")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(0).length == 2))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val (topPair, topN) = (rows.head.getString(0), rows.head.getLong(1))
+    val direct = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1))
+        .as("i"))
+      .filter(col("w").substr(col("i"), lit(2)) === topPair)
+      .count()
+    assert(direct == topN)
+  }
+
+  test("subquery_exists == explicit leftsemi ∘ leftanti joins") {
+    val viaSql = SparkEntry.queries("subquery_exists")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val orders = Tables.orders(spark, sf)
+    val viaJoins = Tables.customer(spark, sf)
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "leftsemi")
+      .join(orders.filter(col("o_orderstatus") === "F"
+          && col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "leftanti")
+      .select("c_custkey").orderBy("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaJoins && viaSql.nonEmpty)
+  }
+}
