@@ -69,6 +69,18 @@ object Streaming {
         col("e.event_id").as("error_id"))
   }
 
+  /** B38 streaming twin: session windows (30-min inactivity gap) per
+    * user. On a stream the watermark is what closes a session — a
+    * session stays open state until event time passes its end + delay;
+    * Spark merges adjacent in-gap windows inside the state store
+    * without replaying a user's history. Identical expression to the
+    * batch `time_session` shape, so StreamingSpec asserts batch ≡
+    * final streamed sessions. */
+  def sessionCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   /** Stream ⋈ static enrichment — the dimension-lookup shape: the
     * static side is re-planned per micro-batch (broadcast here, since
     * dimensions are small), and no join state accumulates — unlike

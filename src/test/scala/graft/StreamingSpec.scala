@@ -76,6 +76,36 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("session windows: streaming ≡ batch; gap >30min splits sessions " +
+      "(B38)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      // user 1: 10:05,10:20 chain (gap 15m) then 10:55 (gap 35m → new
+      // session); user 2: one singleton
+      Ev(1, ts(5), "click", 1, 1.0), Ev(2, ts(20), "click", 1, 2.0),
+      Ev(3, ts(55), "click", 1, 4.0), Ev(4, ts(30), "view", 2, 8.0))
+    val input = MemoryStream[Ev]
+    val q = Streaming.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("session_window.start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val streamed = norm(spark.table("sess"))
+      val batch = norm(Streaming.sessionCounts(rows.toDF()))
+      assert(streamed == batch && streamed.size == 3)
+      // the merged session holds both in-gap events
+      val merged = spark.table("sess")
+        .filter(col("user_id") === 1 && col("n_events") === 2).head
+      assert(merged.getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than the delay (B39)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
