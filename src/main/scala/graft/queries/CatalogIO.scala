@@ -228,6 +228,37 @@ object CatalogIO {
           .write.mode("overwrite").parquet(path)
       }
       s.read.parquet(path).orderBy("l_returnflag")
+    },
+
+    // A10b: HIVE-PARTITIONED sink — `partitionBy` write, the layout
+    // every downstream partition-pruned read depends on. The round-trip
+    // read filters one partition value: the directory layout (not a
+    // row filter) satisfies it, which CatalogSpec pins by counting
+    // scanned files. The partition column comes back injected from the
+    // path (A9) — the oracle recomputes the same slice relationally.
+    // Scale: partitionBy(status) with a pre-repartition on the same
+    // key writes one file per partition per task wave instead of
+    // open-file explosion (the small-files failure mode of naive
+    // partitioned writes at 100 TB).
+    Decl("sink_partitioned",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        |       AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+      val path = Catalog.scratch(d, "sink_orders_part")
+      Catalog.once(s, d, path) {
+        Tables.orders(s, d)
+          .repartition(col("o_orderstatus"))
+          .write.mode("overwrite").partitionBy("o_orderstatus")
+          .parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
     }
   )
 }

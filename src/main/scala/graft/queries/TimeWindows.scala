@@ -357,6 +357,51 @@ object TimeWindows {
               gap.cast(DecimalType(18, 0))).cast(DoubleType) /
             sum(gap.cast(DecimalType(18, 0))).cast(DoubleType)).as("twap"))
         .orderBy("user_id")
+    },
+
+    // Hourly-volume anomaly detection — flag hours whose event count
+    // deviates > 3σ from that event type's mean hourly count (the
+    // monitoring alarm a feed pipeline runs). Two stacked aggregates:
+    // hourly counts (shuffle on type×hour), then per-type moments over
+    // those counts. Counts are exact BIGINTs, so Σc and Σc² are exact
+    // in both engines (≪ 2^53); mean/σ are the same left-associative
+    // IEEE tree over identical operands — no tolerance needed. The
+    // emitted rows are only the anomalies (alarm grain), with the
+    // per-type stats carried for auditability.
+    Decl("time_anomaly",
+      s"""WITH hc AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS hb,
+         |    COUNT(*) AS c
+         |  FROM events GROUP BY event_type, hb),
+         |st AS (
+         |  SELECT event_type,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(c) AS DOUBLE) AS s1,
+         |    CAST(SUM(c * c) AS DOUBLE) AS s2
+         |  FROM hc GROUP BY event_type)
+         |SELECT hc.event_type AS event_type, hb, c,
+         |  s.s1 / s.n AS mean_c,
+         |  sqrt((s.n * s.s2 - s.s1 * s.s1) / (s.n * (s.n - 1.0))) AS sd_c
+         |FROM hc JOIN st s ON hc.event_type = s.event_type
+         |WHERE abs(c - s.s1 / s.n) >
+         |  3.0 * sqrt((s.n * s.s2 - s.s1 * s.s1) / (s.n * (s.n - 1.0)))
+         |ORDER BY event_type, hb""".stripMargin) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floorDivUs(epochUs(col("ts")), HourUs).as("hb"))
+        .agg(count(lit(1)).as("c"))
+      val st = hc.groupBy(col("event_type").as("se"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("c")).cast(DoubleType).as("s1"),
+          sum(col("c") * col("c")).cast(DoubleType).as("s2"))
+      val mean = col("s1") / col("n")
+      val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1")) /
+        (col("n") * (col("n") - lit(1.0))))
+      hc.join(st, col("event_type") === col("se"))
+        .filter(abs(col("c") - mean) > lit(3.0) * sd)
+        .select(col("event_type"), col("hb"), col("c"),
+          mean.as("mean_c"), sd.as("sd_c"))
+        .orderBy("event_type", "hb")
     }
   )
 

@@ -526,6 +526,57 @@ object Windows {
           when(prev.isNotNull && prev =!= 0.0,
             (col("value") - prev) / prev).as("pct_change"))
         .orderBy("user_id", "tus", "event_id")
+    },
+
+    // Exponentially-weighted moving average (pandas `ewm(alpha=.5)`,
+    // halflife smoothing) over the trailing 8 events per user. The
+    // weights are DYADIC (2^(7−j) for the row j steps back), so every
+    // product value·weight is exact in scale-2 decimal and the ≤8-term
+    // sum is exact — cross-engine bit-identical without any tolerance,
+    // which a float alpha^j could never give. Expressed as 8 lag()
+    // columns over ONE window pass (not a collected array): all
+    // per-row, stays in whole-stage codegen, same single user_id
+    // shuffle as any other window query. The truncated-tail (finite
+    // window) form is the standard streaming-friendly EWMA: the
+    // dropped tail's total weight is < 1/128 of the current weight.
+    Decl("window_ewma",
+      """SELECT user_id, event_id, value,
+        |  CAST(CAST((COALESCE(CAST(value AS DECIMAL(18,2)) * 128, 0)
+        |    + COALESCE(CAST(lag(value, 1) OVER wo AS DECIMAL(18,2)) * 64, 0)
+        |    + COALESCE(CAST(lag(value, 2) OVER wo AS DECIMAL(18,2)) * 32, 0)
+        |    + COALESCE(CAST(lag(value, 3) OVER wo AS DECIMAL(18,2)) * 16, 0)
+        |    + COALESCE(CAST(lag(value, 4) OVER wo AS DECIMAL(18,2)) * 8, 0)
+        |    + COALESCE(CAST(lag(value, 5) OVER wo AS DECIMAL(18,2)) * 4, 0)
+        |    + COALESCE(CAST(lag(value, 6) OVER wo AS DECIMAL(18,2)) * 2, 0)
+        |    + COALESCE(CAST(lag(value, 7) OVER wo AS DECIMAL(18,2)), 0))
+        |   AS VARCHAR) AS DOUBLE)
+        |  / (128
+        |    + CASE WHEN lag(value, 1) OVER wo IS NULL THEN 0 ELSE 64 END
+        |    + CASE WHEN lag(value, 2) OVER wo IS NULL THEN 0 ELSE 32 END
+        |    + CASE WHEN lag(value, 3) OVER wo IS NULL THEN 0 ELSE 16 END
+        |    + CASE WHEN lag(value, 4) OVER wo IS NULL THEN 0 ELSE 8 END
+        |    + CASE WHEN lag(value, 5) OVER wo IS NULL THEN 0 ELSE 4 END
+        |    + CASE WHEN lag(value, 6) OVER wo IS NULL THEN 0 ELSE 2 END
+        |    + CASE WHEN lag(value, 7) OVER wo IS NULL THEN 0 ELSE 1 END)
+        |  AS ewma
+        |FROM events
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      def lagged(k: Int) =
+        (if (k == 0) col("value") else lag(col("value"), k).over(wo))
+      val num = (0 to 7).map { k =>
+        coalesce(lagged(k).cast(DecimalType(18, 2)) * lit(1L << (7 - k)),
+          lit(0).cast(DecimalType(18, 2)))
+      }.reduce(_ + _)
+      val den = (0 to 7).map { k =>
+        if (k == 0) lit(128L)
+        else when(lagged(k).isNull, 0L).otherwise(1L << (7 - k))
+      }.reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (num.cast(DoubleType) / den).as("ewma"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

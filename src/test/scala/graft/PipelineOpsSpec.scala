@@ -111,6 +111,67 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(direct == topN)
   }
 
+  test("window_ewma matches a brute-force dyadic-weight recompute") {
+    val got = SparkEntry.queries("window_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    events.groupBy(_._1).foreach { case (uid, rs) =>
+      val ordered = rs.sortBy(r => (r._4, r._2))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 7), i + 1).map(_._3)
+        // weights 2^(7-j): value·2^k is EXACT in Double (power-of-two
+        // scaling), and the two-decimal values sum exactly in BigDecimal
+        val num = frame.reverse.zipWithIndex
+          .map { case (v, j) => BigDecimal(v) * BigDecimal(1L << (7 - j)) }
+          .sum
+        val den = frame.reverse.zipWithIndex
+          .map { case (_, j) => 1L << (7 - j) }.sum
+        val expect = num.toDouble / den
+        val k = (uid, ordered(i)._2)
+        assert(got(k) == expect, s"$k: ${got(k)} vs $expect")
+      }
+    }
+  }
+
+  test("time_anomaly rows really deviate > 3σ from their type's hourly mean") {
+    val anomalies = SparkEntry.queries("time_anomaly")(spark, sf).collect()
+    assert(anomalies.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) / 3600000000L).cast("long").as("hb"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val byType = hourly.groupBy(_._1._1).map { case (t, m) =>
+      val cs = m.values.map(_.toDouble).toSeq
+      val mean = cs.sum / cs.size
+      val sd = math.sqrt(cs.map(c => (c - mean) * (c - mean)).sum /
+        (cs.size - 1))
+      t -> (mean, sd)
+    }
+    anomalies.foreach { r =>
+      val (mean, sd) = byType(r.getString(0))
+      assert(math.abs(r.getLong(2) - mean) > 3 * sd,
+        s"${r.getString(0)}@${r.getLong(1)} not anomalous")
+    }
+  }
+
+  test("sink_partitioned round-trip equals the direct aggregate") {
+    val viaSink = SparkEntry.queries("sink_partitioned")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("s"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSink == direct && viaSink.nonEmpty)
+  }
+
   test("subquery_exists == explicit leftsemi ∘ leftanti joins") {
     val viaSql = SparkEntry.queries("subquery_exists")(spark, sf)
       .collect().map(_.getLong(0)).toSeq
