@@ -84,10 +84,72 @@ object DecimalDot {
   private val AccLimit = new JBD(java.math.BigInteger.TEN.pow(25), 12)
 
   /** Shared by interpreted eval and generated code. Returns a boxed
-    * Double, or null per the expression's null contract. */
+    * Double, or null per the expression's null contract.
+    *
+    * Hot path: the scale-12 quantization of each term is carried as a
+    * scaled LONG (`p · 1e12` rounded to nearest) whenever that rounding
+    * is provably unambiguous — the scaled value sits further from the
+    * nearest .5 boundary than the combined error of the ×1e12 multiply
+    * (≤ ½ ulp) and of the shortest-repr↔binary gap that Spark's
+    * double→decimal Cast introduces (≤ ½ ulp of p, scaled). Outside
+    * that guard (ties, |scaled| ≥ 2^51, NaN/Inf) the term falls back
+    * to the exact BigDecimal quantization, and a long-accumulator
+    * overflow restarts the whole dot in the all-BigDecimal path, which
+    * also owns the DECIMAL(26,12)/(25,12) overflow errors. Same value
+    * bit-for-bit as the pure-BigDecimal form on every input
+    * (SimilarityTextSpec pins kernel ≡ declarative fold; DecimalDotSpec
+    * stress-tests the boundary guard) — just ~20× less allocation on
+    * the similarity hot loop. */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
+    var acc = 0L // unscaled scale-12 sum
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val scaled = p * 1e12
+      var t = 0L
+      // NaN fails both comparisons → falls through to the exact path
+      // (which throws, as the decimal cast always did)
+      if (scaled > -2.2e15 && scaled < 2.2e15) {
+        val fl = Math.floor(scaled)
+        val distToHalf = Math.abs((scaled - fl) - 0.5)
+        if (distToHalf > 2.0 * Math.ulp(scaled) + 1e-9) {
+          t = Math.floor(scaled + 0.5).toLong
+        } else {
+          t = quantizeExact(p) // near a tie: decide exactly
+        }
+      } else if (java.lang.Double.isNaN(scaled) ||
+          java.lang.Double.isInfinite(scaled)) {
+        quantizeExact(p) // throws NumberFormatException like the cast
+      } else {
+        return dotSlow(a, b) // huge terms: all-BigDecimal semantics
+      }
+      val next = acc + t
+      // overflow check (Math.addExact without the exception cost)
+      if (((acc ^ next) & (t ^ next)) < 0L) return dotSlow(a, b)
+      acc = next
+      i += 1
+    }
+    JBD.valueOf(acc, 12).doubleValue()
+  }
+
+  /** Exact scale-12 unscaled quantization of one term — the literal
+    * semantics of Spark's Cast(double → DECIMAL(26,12)). */
+  private def quantizeExact(p: Double): Long = {
+    val term = JBD.valueOf(p).setScale(12, RoundingMode.HALF_UP)
+    if (term.abs.compareTo(TermLimit) >= 0)
+      throw new ArithmeticException(
+        s"decimal_dot term $term overflows DECIMAL(26,12)")
+    term.unscaledValue().longValueExact() // < 2.2e15+1 by the guard above
+  }
+
+  /** The original all-BigDecimal path: large-magnitude terms and
+    * accumulator overflow land here so the DECIMAL(26,12)/(25,12)
+    * limit errors fire exactly as the declarative form's would. */
+  private def dotSlow(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
     var sum = JBD.ZERO
     var i = 0
     while (i < n) {

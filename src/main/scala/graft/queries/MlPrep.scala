@@ -211,34 +211,38 @@ object MlPrep {
       """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents
         |           GROUP BY source),
         |t AS (SELECT SUM(cnt) // COUNT(*) AS target FROM c),
-        |r AS (SELECT source, cnt,
+        |r AS (SELECT source,
         |        CAST(least(1000000, (target * 1000000) // cnt) AS BIGINT)
         |          AS rate_ppm
-        |      FROM c, t),
-        |k AS (SELECT d.source, COUNT(*) AS n_kept
-        |      FROM documents d JOIN r ON d.source = r.source
-        |      WHERE (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
-        |               1, 15)) AS BIGINT) % 1000000) < rate_ppm
-        |      GROUP BY d.source)
-        |SELECT r.source, cnt AS n_docs, rate_ppm,
-        |  COALESCE(n_kept, 0) AS n_kept
-        |FROM r LEFT JOIN k ON r.source = k.source
-        |ORDER BY r.source""".stripMargin) { (s, d) =>
+        |      FROM c, t)
+        |SELECT d.source AS source, COUNT(*) AS n_docs, rate_ppm,
+        |  CAST(SUM(CASE WHEN
+        |      (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+        |         1, 15)) AS BIGINT) % 1000000) < rate_ppm
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |GROUP BY d.source, rate_ppm
+        |ORDER BY d.source""".stripMargin) { (s, d) =>
       import graft.functions.XHash.sha60
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
       val target = counts.agg(expr("SUM(cnt) DIV COUNT(*)").as("target"))
       val rates = counts.crossJoin(target)
-        .select(col("source"), col("cnt"),
+        .select(col("source"),
           least(lit(1000000L), expr("(target * 1000000) DIV cnt"))
             .as("rate_ppm"))
-      val kept = docs.join(rates.select("source", "rate_ppm"), Seq("source"))
-        .filter(sha60(col("doc_id").cast(StringType)) % 1000000 <
-          col("rate_ppm"))
-        .groupBy("source").agg(count(lit(1)).as("n_kept"))
-      rates.join(kept, Seq("source"), "left")
-        .select(col("source"), col("cnt").as("n_docs"), col("rate_ppm"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      // one gated pass over the corpus: the rate table is domain-
+      // cardinality (one row per source — a nation-sized dimension,
+      // NOT sf-proportional), so it broadcasts and the only shuffles
+      // are the two tiny rate-side aggregates plus the output group —
+      // kept-count and doc-count ride the SAME aggregation (conditional
+      // sum) instead of a second corpus pass + re-join
+      docs.join(broadcast(rates), Seq("source"))
+        .groupBy("source", "rate_ppm")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(sha60(col("doc_id").cast(StringType)) % 1000000 <
+            col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("rate_ppm"), col("n_kept"))
         .orderBy("source")
     }
   )

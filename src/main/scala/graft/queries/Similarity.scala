@@ -57,6 +57,26 @@ object Similarity {
       s"CAST(CAST(($a)[k] AS DOUBLE) * CAST(($b)[k] AS DOUBLE) " +
       s"AS DECIMAL(26,12)))) END AS DOUBLE)"
 
+  /** Plain-DOUBLE dot of a float-array column with a CONSTANT vector —
+    * the [[graft.functions.ConstDot]] kernel: a left-associative IEEE
+    * add chain over identical operands, bit-identical to the DuckDB
+    * textual chain twin [[sqlDotConst]] without decimal arithmetic
+    * (see the kernel scaladoc for the determinism argument and for why
+    * a kernel beats the unrolled 500-node expression tree). Used on
+    * the cell/bucket-assignment hot path; the decimal kernel remains
+    * for dots between two COLUMN vectors, where no shared constant
+    * ordering exists (the unnest+GROUP BY twin is unordered). */
+  private def dotConst(emb: Column, v: Seq[Float]): Column =
+    graft.functions.ConstDot(emb, v)
+
+  /** DuckDB twin of [[dotConst]] — same constants, same add order. */
+  private def sqlDotConst(a: String, v: Seq[Float]): String =
+    v.zipWithIndex.map { case (c, i) =>
+      s"(CAST(($a)[${i + 1}] AS DOUBLE) * " +
+        s"CAST(${new java.math.BigDecimal(c.toDouble).toPlainString} " +
+        "AS DOUBLE))"
+    }.mkString(" + ")
+
   // ANN index parameters. On this corpus (uniform random vectors — no
   // planted cluster structure, verified: intra-label mean cosine ≈
   // inter-label ≈ 0) recall is probe-fraction plus the angular-
@@ -89,7 +109,7 @@ object Similarity {
   /** Sign-LSH bucket id: bit i = sign of dot with plane i. */
   private def lshBucketOf(emb: Column): Column =
     lshPlanes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotConst(emb, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Fixed seeded IVF centroids, shared by the ANN probe query and the
@@ -104,7 +124,7 @@ object Similarity {
     * matches Spark's. */
   private def ivfScoredStructsSql: String =
     ivfCentroids.zipWithIndex.map { case (c, i) =>
-      s"struct_pack(s := ${sqlDotList("embedding", sqlVec(c))}, c := $i)"
+      s"struct_pack(s := ${sqlDotConst("embedding", c)}, c := $i)"
     }.mkString(", ")
 
   /** DuckDB argmax-cell twin of [[ivfCellOf]]. */
@@ -115,7 +135,7 @@ object Similarity {
     * the fixed centroid list (tie → max cell, mirrored in SQL). */
   private def ivfCellOf(emb: Column): Column = {
     val scored = ivfCentroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
+      struct(dotConst(emb, c).as("score"), lit(i).as("cell"))
     }
     greatest(scored: _*).getField("cell")
   }
@@ -125,7 +145,7 @@ object Similarity {
     * like [[ivfCellOf]] (and like DuckDB's list_reverse_sort twin). */
   private def ivfTopCells(emb: Column): Column = {
     val scored = ivfCentroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(emb, typedlit(c)).as("score"), lit(i).as("cell"))
+      struct(dotConst(emb, c).as("score"), lit(i).as("cell"))
     }
     transform(
       slice(sort_array(array(scored: _*), asc = false), 1, IvfNProbe),
@@ -140,13 +160,17 @@ object Similarity {
     * never the full corpus. */
   private[graft] def annLshTopK(
       s: SparkSession, d: String, qid: Long, k: Int): DataFrame = {
-    val e = withN2(Tables.embeddings(s, d))
+    // n2 (the decimal self-dot) is computed on CANDIDATES after the
+    // probe join, not corpus-wide: bucket assignment is the cheap
+    // double path, so the only per-row decimal work left is on rows
+    // that survive probing.
+    val e = Tables.embeddings(s, d)
       .withColumn("bucket", lshBucketOf(col("embedding")))
     val q = broadcast(e.filter(col("vec_id") === qid)
-      .select(col("embedding").as("qv"), col("n2").as("qn2"),
+      .select(col("embedding").as("qv"), norm2(col("embedding")).as("qn2"),
         explode(array(lshProbeMasks.map(m =>
           col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket")))
-    e.join(q, col("bucket") === col("pbucket"))
+    withN2(e.join(q, col("bucket") === col("pbucket")))
       .select(col("vec_id"), simCol.as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -154,14 +178,14 @@ object Similarity {
 
   private[graft] def annIvfTopK(
       s: SparkSession, d: String, qid: Long, k: Int): DataFrame = {
-    val e = withN2(Tables.embeddings(s, d))
+    val e = Tables.embeddings(s, d)
       .withColumn("cell", ivfCellOf(col("embedding")))
     val q = broadcast(Tables.embeddings(s, d)
       .filter(col("vec_id") === qid)
       .select(col("embedding").as("qv"),
         graft.functions.VectorOps.norm2(col("embedding")).as("qn2"),
         explode(ivfTopCells(col("embedding"))).as("pcell")))
-    e.join(q, col("cell") === col("pcell"))
+    withN2(e.join(q, col("cell") === col("pcell")))
       .select(col("vec_id"), simCol.as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -317,7 +341,7 @@ object Similarity {
     // brute force at sf0.1.
     {
       val bucketSql = lshPlanes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN ${sqlDotList("embedding", sqlVec(p))} >= 0 " +
+        s"(CASE WHEN ${sqlDotConst("embedding", p)} >= 0 " +
           s"THEN ${1L << i} ELSE 0 END)"
       }.mkString("(", " + ", ")")
       val masksSql = lshProbeMasks.mkString("[", ", ", "]")

@@ -753,17 +753,29 @@ object TpcH {
     * [1.00, 1001.00) on the 2-decimal money grid, so cost·qty products
     * round exactly onto Det's scale-6 decimal in both engines. Unlocks
     * Q2, Q9, Q11, Q16, Q20. */
-  private[graft] def partsupp(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .withColumn("h", graft.functions.XHash.sha60(
-        concat_ws("_", col("ps_partkey"), col("ps_suppkey"))))
-      .select(col("ps_partkey"), col("ps_suppkey"),
-        (col("h") % 10000 + 1).as("ps_availqty"),
-        (expr("h div 7 % 100000").cast("double") / 100.0 + 1.0)
-          .as("ps_supplycost"))
+  /** Derived `partsupp`, MATERIALIZED once per (session, data root):
+    * five queries consume it, and recomputing the distinct-shuffle +
+    * sha-60 projection per query is exactly the repeated-derived-
+    * dimension waste a warehouse would avoid by writing the table —
+    * which is what this does (scratch parquet; doubles/longs round-trip
+    * parquet bit-exactly, so the oracle twin is unaffected). */
+  private[graft] def partsupp(s: SparkSession, d: String): DataFrame = {
+    val path = graft.Catalog.scratch(d, "partsupp")
+    graft.Catalog.once(s, d, path) {
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .withColumn("h", graft.functions.XHash.sha60(
+          concat_ws("_", col("ps_partkey"), col("ps_suppkey"))))
+        .select(col("ps_partkey"), col("ps_suppkey"),
+          (col("h") % 10000 + 1).as("ps_availqty"),
+          (expr("h div 7 % 100000").cast("double") / 100.0 + 1.0)
+            .as("ps_supplycost"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
 
   /** DuckDB twin of [[partsupp]] as a WITH-clause entry. */
   private val sqlPartsupp: String = {

@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "tpch_q11", // broadcast single-row inventory-value cut scalar
     "feature_minmax", // broadcast single-row global-stats join (no condition)
     "merge_upsert", // broadcast single-row max-key scalar for insert keys
+    "mix_rebalance", // broadcast single-row uniform-target scalar cross
     "event_funnel", // cross of four single-row stage-count frames
     "agg_chi2", // broadcast single-row (n, k) totals cross
     "time_resample_ffill", // distinct-keys × 48-bucket grid cross (tiny)
