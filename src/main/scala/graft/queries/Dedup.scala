@@ -651,6 +651,102 @@ object Dedup {
           (size(array_intersect(col("g1"), col("g2"))).cast(DoubleType) /
             size(col("g1"))).as("containment"))
         .orderBy("d1", "d2")
+    },
+
+    // Prefix-filtered set-similarity join (AllPairs/PPJoin family:
+    // Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    // Xiao et al., PPJoin, WWW'08): the EXACT Jaccard >= 0.8 join over
+    // word-trigram shingle sets, without LSH's false-negative risk and
+    // without all-pairs. Guarantee: if J(A,B) >= t, A and B must share
+    // at least one token among each one's (n - ceil(t*n) + 1) RAREST
+    // tokens under a global document-frequency order — so candidates =
+    // pairs sharing a prefix token (plus the |A| >= t|B| length filter),
+    // and the verify stage makes the result exact. All integer
+    // arithmetic at the boundaries (prefix length via DIV, threshold via
+    // 5*inter >= 4*union) so no float rounding can diverge engines.
+    // Scale shape: one token-frequency agg, one regroup to rebuild the
+    // frequency-sorted shingle list, one equi-join on prefix tokens —
+    // all linear in corpus token count; candidate volume is governed by
+    // rare-token selectivity (Zipf vocab => near-linear; this toy
+    // 31-word corpus needs trigram shingles for the same effect).
+    // SimjoinSpec proves losslessness vs the brute-force join at
+    // sf0.001.
+    Decl("simjoin_prefix",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tks) - 1),
+        |    i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])) AS s
+        |  FROM tk),
+        |ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        |f AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+        |ord AS (SELECT e.doc_id, list(e.tok ORDER BY f.c, e.tok) AS os,
+        |          count(*) AS n
+        |        FROM ex e JOIN f ON e.tok = f.tok GROUP BY e.doc_id),
+        |pref AS (SELECT doc_id, n,
+        |    unnest(os[1 : n - ((4*n + 4) // 5) + 1]) AS tok FROM ord),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM pref a JOIN pref b ON a.tok = b.tok
+        |           AND a.doc_id < b.doc_id
+        |           AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n))
+        |SELECT d1, d2,
+        |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        |    AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = d1 JOIN sh sb ON sb.doc_id = d2
+        |WHERE 5 * len(list_intersect(sa.s, sb.s)) >=
+        |  4 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sh = prefixShingles(Tables.documents(s, d))
+      val pref = prefixTokens(sh)
+      val cand = pref.select(col("doc_id").as("d1"), col("n").as("n1"),
+          col("tok"))
+        .join(pref.select(col("doc_id").as("d2"), col("n").as("n2"),
+          col("tok")), Seq("tok"))
+        .filter(col("d1") < col("d2") &&
+          lit(5) * least(col("n1"), col("n2")) >=
+            lit(4) * greatest(col("n1"), col("n2")))
+        .select("d1", "d2").distinct()
+      val inter = size(array_intersect(col("s1"), col("s2")))
+      val uni = size(col("s1")) + size(col("s2")) - inter
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
+        .filter(lit(5) * inter >= lit(4) * uni)
+        .select(col("d1"), col("d2"),
+          (inter.cast(DoubleType) / uni).as("jaccard"))
+        .orderBy("d1", "d2")
     }
   )
+
+  /** Distinct word-trigram shingle sets per document (docs with < 3
+    * tokens have no trigram and drop out, mirrored by the oracle's
+    * len >= 3 guard — and the guard also keeps `sequence()` ascending,
+    * the same hazard dedup_ngram documents). */
+  private[graft] def prefixShingles(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tks"))
+      .filter(size(col("tks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(tks) - 2), i -> concat(" +
+          "element_at(tks, i), ' ', element_at(tks, i + 1), ' ', " +
+          "element_at(tks, i + 2)))")).as("s"))
+
+  /** Per-doc prefix tokens under the global rarest-first order: explode
+    * shingles, count document frequency, regroup sorting each doc's
+    * shingles by (freq, token) — the sort_array-of-structs makes the
+    * collect_list order-independent — and keep the first
+    * n - ceil(0.8·n) + 1 (integer form: n - (4n+4) DIV 5 + 1). */
+  private def prefixTokens(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("tok"))
+    val f = ex.groupBy("tok").agg(count(lit(1)).as("c"))
+    ex.join(f, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("c"), col("tok")))).as("st"))
+      .select(col("doc_id"), expr("transform(st, x -> x.tok)").as("os"),
+        size(col("st")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(os, 1, n - ((4*n + 4) div 5) + 1)")).as("tok"))
+  }
 }

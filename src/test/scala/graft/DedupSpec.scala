@@ -193,4 +193,33 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(j((0L, 1L)) == 1.0)
     assert(j((0L, 2L)) < 0.2)
   }
+
+  test("simjoin_prefix is LOSSLESS: equals brute-force all-pairs Jaccard " +
+    ">= 0.8 at sf0.001 (the prefix-filter completeness guarantee)") {
+    val dir = "/root/testdata/sf0.001"
+    val filtered = SparkEntry.queries("simjoin_prefix")(spark, dir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.prefixShingles(graft.Tables.documents(spark, dir))
+    val inter = size(array_intersect(col("a.s"), col("b.s")))
+    val uni = size(col("a.s")) + size(col("b.s")) - inter
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(lit(5) * inter >= lit(4) * uni)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+    assert(filtered == brute,
+      s"prefix filter dropped ${(brute -- filtered).size} true pairs / " +
+        s"invented ${(filtered -- brute).size}")
+  }
+
+  test("simjoin_prefix finds a true near-dup pair with DISTANT doc ids") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("simjoin_prefix")(spark, dir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.exists { case (a, b) => b - a > 50 },
+      s"all ${pairs.length} pairs are id-adjacent — blocking is content-" +
+        "keyed, so distant planted dups must surface")
+  }
 }
