@@ -209,6 +209,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("runtime bloom-filter injection prunes the probe side of a " +
+    "shuffle join (the 100 TB row-level runtime filter)") {
+    // At cluster scale a selective dim-side filter should reach the fact
+    // scan as an injected bloom might_contain BEFORE the shuffle. Local
+    // thresholds (10 GB probe-side scan) are sized for clusters, so the
+    // test arms the optimizer the way a deployment would and pins that
+    // the rewrite actually fires on our join shape.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 300000)
+      val joined = Tables.lineitem(spark, sf)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom runtime filter on lineitem:\n" +
+          p.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("tpch_q4/q21/q22 decorrelate EXISTS into semi/anti joins") {
     val q4 = plan("tpch_q4")
     assert(q4.contains("LeftSemi"), q4)
