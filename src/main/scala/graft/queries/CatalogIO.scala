@@ -259,6 +259,38 @@ object CatalogIO {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
+    },
+
+    // A10c: JSON-LINES sink — the LLM-training interchange format
+    // (every tokenizer/trainer ingests gzip'd jsonl shards). Write the
+    // corpus out compressed, read it back with an EXPLICIT schema (a
+    // 100 TB jsonl scan must never pay schema inference), and aggregate
+    // the round-tripped rows; the oracle computes the same aggregate
+    // from the source parquet, so matching values prove the
+    // write→escape→parse round trip is lossless. Counts/lengths only —
+    // exact in both engines regardless of JSON number formatting.
+    Decl("sink_jsonl",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+        |  CAST(SUM(len(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val path = Catalog.scratch(d, "sink_docs_jsonl")
+      Catalog.once(s, d, path) {
+        Tables.documents(s, d).select("doc_id", "source", "text")
+          .write.mode("overwrite").option("compression", "gzip").json(path)
+      }
+      s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("text", StringType))))
+        .json(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast(LongType)).as("n_toks"),
+          sum(length(col("text")).cast(LongType)).as("n_chars"))
+        .orderBy("source")
     }
   )
 }

@@ -154,9 +154,12 @@ object Dedup {
   /** Split banded rows into (small-bucket rows, oversized-bucket rows)
     * by bucket cardinality over `keys`. The input is localCheckpoint'd
     * first so the signature pipeline is computed once, not once per
-    * branch (and not twice more for the self-join's two sides); the
-    * oversized key set is tiny by construction (only degenerate
-    * buckets) and broadcasts. */
+    * branch (and not twice more for the self-join's two sides). The
+    * oversized key set is usually tiny (only degenerate buckets), but
+    * its size is DATA-DEPENDENT — a corpus where duplication is the
+    * norm can push it past executor memory, so no broadcast hint: AQE
+    * converts these anti/semi joins to broadcast at runtime whenever
+    * the key set actually is small. */
   private[graft] def splitBuckets(
       banded: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = {
     val ck = banded.localCheckpoint()
@@ -164,8 +167,7 @@ object Dedup {
     val big = ck.groupBy(kcols: _*).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > BucketCap)
       .select(kcols: _*)
-    (ck.join(broadcast(big), keys, "left_anti"),
-      ck.join(broadcast(big), keys, "left_semi"))
+    (ck.join(big, keys, "left_anti"), ck.join(big, keys, "left_semi"))
   }
 
   /** LSH candidate pairs (d1 < d2), distinct — the content-based

@@ -525,7 +525,11 @@ object Text {
       val n = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n")))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("tok"))
-      tf.join(broadcast(df), col("tok") === col("dtok")).crossJoin(n)
+      // df is the corpus VOCAB document-frequency table — data-
+      // dependent size (Heaps' law), so no broadcast hint: AQE picks
+      // broadcast at small scale and a shuffle join once vocab outgrows
+      // the threshold (the forced-broadcast-of-a-growing-side trap).
+      tf.join(df, col("tok") === col("dtok")).crossJoin(n)
         .select(col("doc_id"), col("tok"),
           (col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
             .cast(DecimalType(20, 6)).as("score"))

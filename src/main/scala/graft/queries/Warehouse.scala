@@ -306,6 +306,41 @@ object Warehouse {
         .orderBy("o_orderkey")
     },
 
+    // WEIGHTED sample without replacement — priority sampling
+    // (Duffield–Lund–Thorup, JACM '07): priority = w/u with u uniform,
+    // keep the k largest; inclusion odds scale with weight and the
+    // sample supports unbiased subset-sum estimation. Cross-engine
+    // exactness: w is the exact cent value (decimal-cast before ×100 —
+    // casting the double product would truncate vs round differently
+    // per engine), u is the shared sha60 hash, and w/u is one
+    // correctly-rounded IEEE divide of two integer-valued doubles —
+    // bit-identical in both engines. Same TakeOrderedAndProject shape
+    // as sample_reservoir: per-partition k-heaps, no global sort.
+    Decl("sample_weighted",
+      s"""SELECT o_orderkey, w, priority FROM (
+         |  SELECT o_orderkey, w,
+         |    CAST(w AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+         |  FROM (SELECT o_orderkey,
+         |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |        AS w,
+         |      ${XHash.sqlSha60("'wsmp:' || CAST(o_orderkey AS VARCHAR)")}
+         |        + 1 AS u
+         |    FROM orders)
+         |  ORDER BY priority DESC, o_orderkey LIMIT 200)
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("w"),
+          (XHash.sha60(concat(lit("wsmp:"),
+            col("o_orderkey").cast(StringType))) + 1).as("u"))
+        .select(col("o_orderkey"), col("w"),
+          (col("w").cast(DoubleType) / col("u").cast(DoubleType))
+            .as("priority"))
+        .orderBy(col("priority").desc, col("o_orderkey")).limit(200)
+        .orderBy("o_orderkey")
+    },
+
     // Connected components over the supplier co-order graph (suppliers
     // linked when they serve the same order; edge set sparsified to a
     // deterministic 2% of orders). Spark side: min-label propagation —

@@ -160,4 +160,47 @@ object Streaming {
           }
       }
   }
+
+  /** Exactly-once ADDITIVE upsert of one micro-batch into a parquet
+    * target — the `foreachBatch` streaming→warehouse bridge.
+    * `foreachBatch` is at-least-once: after a crash the last batch is
+    * re-delivered with the SAME batchId, and an additive merge (here:
+    * per-user running sum/count) would double-count it. The batch-id
+    * LEDGER makes the apply idempotent: a replayed id is a no-op.
+    * Ordering matters — the ledger row commits AFTER the target write,
+    * so a crash between the two replays the batch into the same merge
+    * (overwrite of a deterministic merge = idempotent), never skips it.
+    * Scale: the merge is a key-partitioned groupBy of target ∪ delta —
+    * no driver state, no collect; the ledger is O(#batches) rows.
+    * (Production would swap the overwrite for a transactional table
+    * format commit; the ledger-gate + deterministic-merge structure is
+    * the part that carries over.) */
+  def additiveUpsertBatch(batch: DataFrame, batchId: Long,
+      target: String, ledger: String): Unit = {
+    val spark = batch.sparkSession
+    def readOpt(path: String): Option[DataFrame] =
+      if (new java.io.File(path).exists()) Some(spark.read.parquet(path))
+      else None
+    if (readOpt(ledger).exists(
+        _.filter(col("batch_id") === batchId).head(1).nonEmpty)) return
+    val delta = batch.groupBy("user_id")
+      .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+    val merged = readOpt(target).map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy("user_id")
+      .agg(sum(col("sum_value")).as("sum_value"),
+        sum(col("n_events")).as("n_events"))
+      // materialize BEFORE overwriting the path being read
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(target)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+  }
+
+  /** Wire [[additiveUpsertBatch]] under a streaming query. */
+  def additiveUpsertSink(events: DataFrame, target: String,
+      ledger: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch(
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        additiveUpsertBatch(b.toDF(), id, target, ledger))
 }

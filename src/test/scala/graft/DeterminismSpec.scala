@@ -53,7 +53,10 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "sample_group_n",     // hash-ranked per-group pick
     "dedup_incremental",  // LSH buckets + min-representative picks
     "contamination_check", // hash-gram semi-join under repartitioning
-    "tpch_q2")            // min-cost window ties across suppliers
+    "tpch_q2",            // min-cost window ties across suppliers
+    // round 5
+    "simjoin_prefix",     // prefix-token candidate set under freq ties
+    "sample_weighted")    // priority ties at the k boundary
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {

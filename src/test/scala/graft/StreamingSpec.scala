@@ -242,6 +242,40 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("foreachBatch additive upsert is exactly-once: a replayed " +
+    "micro-batch is a no-op (the streaming→warehouse bridge)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString
+    val (target, ledger) = (s"$base/target", s"$base/ledger")
+    val input = MemoryStream[Ev]
+    val q = Streaming.additiveUpsertSink(input.toDF(), target, ledger)
+      .start()
+    try {
+      input.addData(Ev(1, ts(5), "click", 1, 2.0), Ev(2, ts(6), "click", 1, 3.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(7), "view", 2, 7.0), Ev(4, ts(8), "view", 1, 5.0))
+      q.processAllAvailable()
+      def state() = spark.read.parquet(target)
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      val afterRun = state()
+      assert(afterRun(1L) == ((10.0, 3L)), s"user1: ${afterRun(1L)}")
+      assert(afterRun(2L) == ((7.0, 1L)), s"user2: ${afterRun(2L)}")
+      // crash-replay simulation: re-deliver batch 1 with the same id —
+      // the ledger gate must make it a no-op (without it the additive
+      // merge would double-count batch 1's rows)
+      val replay = Seq(Ev(3, ts(7), "view", 2, 7.0),
+        Ev(4, ts(8), "view", 1, 5.0)).toDF()
+      Streaming.additiveUpsertBatch(replay, 1L, target, ledger)
+      assert(state() == afterRun, "replayed batch id must be a no-op")
+      // a NEW batch id with the same rows does apply (not dedup-by-content)
+      Streaming.additiveUpsertBatch(replay, 99L, target, ledger)
+      assert(state()(2L) == ((14.0, 2L)))
+    } finally q.stop()
+  }
+
   test("batch twin equals streaming final state (B41 oracle linkage)") {
     import spark.implicits._
     // the declared stateful_running_agg query at sf0.001 vs a direct agg
