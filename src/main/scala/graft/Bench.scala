@@ -18,6 +18,19 @@ object Bench {
     // the driver harness leaves it unset and measures the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Neutral session warm-up: JVM/JIT, codegen compiler, shuffle and
+    // broadcast machinery — deliberately NO table reads (footer caches
+    // stay cold; each query still pays its own data costs), so the
+    // alphabetically-first query no longer absorbs ~4 s of startup that
+    // has nothing to do with its plan.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(1000000).select(col("id"),
+        (col("id") % 97).as("k"))
+      w.groupBy("k").count().join(
+        broadcast(spark.range(97).select(col("id").as("k"))), "k")
+        .orderBy(col("count").desc).limit(5).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

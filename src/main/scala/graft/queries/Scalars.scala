@@ -112,6 +112,31 @@ object Scalars {
         .orderBy("event_type")
     },
 
+    // B27b: VARIANT (Spark 4's semi-structured type) — parse_json into
+    // an open-schema variant, then typed-path extraction with
+    // variant_get: the shredded binary encoding scans far faster than
+    // per-row JSON string parsing at 100 TB, and one column serves
+    // heterogeneous payloads without schema migration. The nested doc
+    // round-trips a struct through to_json→parse_json (shortest-repr
+    // doubles survive exactly); the oracle reads the same values
+    // relationally, so matching hashes prove the variant path-typed
+    // extraction is lossless.
+    Decl("scalar_variant",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_type AS t, value AS x
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val v = parse_json(col("props"))
+      val nested = parse_json(to_json(struct(
+        col("event_type").as("t"), col("value").as("x"))))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          variant_get(v, "$.k", "bigint").as("k"),
+          variant_get(nested, "$.t", "string").as("t"),
+          variant_get(nested, "$.x", "double").as("x"))
+        .orderBy("event_id")
+    },
+
     // B29: MapType — props parsed into map<string,int>, key/value access.
     Decl("scalar_map",
       """SELECT event_id, json_keys(props)[1] AS key0,
