@@ -700,34 +700,40 @@ object Dedup {
         |WHERE 5 * len(list_intersect(sa.s, sb.s)) >=
         |  4 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // Both frames feed SELF-joins (pref⋈pref candidates, sh⋈sh
-      // verify): without materialization Spark re-executes the whole
-      // scan→shingle→freq→regroup pipeline once per join side (no
-      // ReusedExchange across differently-aliased subtrees — measured
-      // 14.9 s → 6.2 s at sf0.1, DuckDB parity). Same pattern as
-      // splitBuckets: compute the corpus pipeline once, join the
-      // materialized result.
-      val sh = prefixShingles(Tables.documents(s, d)).localCheckpoint()
-      val pref = prefixTokens(sh).localCheckpoint()
-      val cand = pref.select(col("doc_id").as("d1"), col("n").as("n1"),
-          col("tok"))
-        .join(pref.select(col("doc_id").as("d2"), col("n").as("n2"),
-          col("tok")), Seq("tok"))
-        .filter(col("d1") < col("d2") &&
-          lit(5) * least(col("n1"), col("n2")) >=
-            lit(4) * greatest(col("n1"), col("n2")))
-        .select("d1", "d2").distinct()
-      val inter = size(array_intersect(col("s1"), col("s2")))
-      val uni = size(col("s1")) + size(col("s2")) - inter
-      cand
-        .join(sh.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
-        .filter(lit(5) * inter >= lit(4) * uni)
-        .select(col("d1"), col("d2"),
-          (inter.cast(DoubleType) / uni).as("jaccard"))
-        .orderBy("d1", "d2")
+      prefixSimjoin(Tables.documents(s, d))
     }
   )
+
+  /** The simjoin_prefix pipeline body, callable on any documents frame
+    * (DedupSpec drives it on repartitioned input to pin shuffle-order
+    * invariance). Both derived frames feed SELF-joins (pref⋈pref
+    * candidates, sh⋈sh verify): without materialization Spark
+    * re-executes the whole scan→shingle→freq→regroup pipeline once per
+    * join side (no ReusedExchange across differently-aliased subtrees —
+    * measured 14.9 s → 6.2 s at sf0.1, DuckDB parity). Same pattern as
+    * splitBuckets: compute the corpus pipeline once, join the
+    * materialized result. */
+  private[graft] def prefixSimjoin(docs: DataFrame): DataFrame = {
+    val sh = prefixShingles(docs).localCheckpoint()
+    val pref = prefixTokens(sh).localCheckpoint()
+    val cand = pref.select(col("doc_id").as("d1"), col("n").as("n1"),
+        col("tok"))
+      .join(pref.select(col("doc_id").as("d2"), col("n").as("n2"),
+        col("tok")), Seq("tok"))
+      .filter(col("d1") < col("d2") &&
+        lit(5) * least(col("n1"), col("n2")) >=
+          lit(4) * greatest(col("n1"), col("n2")))
+      .select("d1", "d2").distinct()
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    val uni = size(col("s1")) + size(col("s2")) - inter
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
+      .filter(lit(5) * inter >= lit(4) * uni)
+      .select(col("d1"), col("d2"),
+        (inter.cast(DoubleType) / uni).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
 
   /** Distinct word-trigram shingle sets per document (docs with < 3
     * tokens have no trigram and drop out, mirrored by the oracle's

@@ -178,9 +178,13 @@ object Streaming {
   def additiveUpsertBatch(batch: DataFrame, batchId: Long,
       target: String, ledger: String): Unit = {
     val spark = batch.sparkSession
-    def readOpt(path: String): Option[DataFrame] =
-      if (new java.io.File(path).exists()) Some(spark.read.parquet(path))
-      else None
+    // existence via the Hadoop FS API — the paths may live on any
+    // filesystem (HDFS/object store), not just local disk
+    def readOpt(path: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    }
     if (readOpt(ledger).exists(
         _.filter(col("batch_id") === batchId).head(1).nonEmpty)) return
     val delta = batch.groupBy("user_id")

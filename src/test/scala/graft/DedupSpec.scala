@@ -213,6 +213,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
         s"invented ${(filtered -- brute).size}")
   }
 
+  test("simjoin_prefix is invariant under input repartitioning " +
+    "(sorted-struct regroup kills collect_list shuffle-order dependence)") {
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.queries("simjoin_prefix")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val again = Dedup.prefixSimjoin(
+        graft.Tables.documents(spark, dir).repartition(13))
+      .collect().map(_.toSeq).toSeq
+    assert(base == again)
+  }
+
   test("simjoin_prefix finds a true near-dup pair with DISTANT doc ids") {
     val dir = "/root/testdata/sf0.001"
     val pairs = SparkEntry.queries("simjoin_prefix")(spark, dir)

@@ -240,6 +240,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("AQE skew-join splits a pathologically skewed shuffle join at " +
+    "runtime (the no-code-change alternative to manual salting)") {
+    // 90% of the left side lands on ONE key — the shape that stalls a
+    // cluster on a single straggler task. With thresholds sized to the
+    // test data, AQE must detect the skew post-shuffle and split the
+    // oversized partition (plan shows an AQEShuffleRead marked skewed
+    // + coalesced). join_skew_salted demonstrates the manual fix; this
+    // pins the automatic one.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id")).as("p"))
+      val right = spark.range(5000).select(col("id").as("k"),
+        col("id").as("v"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) — count() builds a separate plan and
+      // leaves THIS queryExecution unfinalized (isFinalPlan=false)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") && p.contains("skewed"),
+        s"expected an AQE skew-split join + shuffle read:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("tpch_q4/q21/q22 decorrelate EXISTS into semi/anti joins") {
     val q4 = plan("tpch_q4")
     assert(q4.contains("LeftSemi"), q4)
