@@ -265,4 +265,40 @@ class CatalogSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("recoverPartitions discovers directories added behind the " +
+    "catalog's back (MSCK REPAIR)") {
+    // the operational reality of external partitioned tables: upstream
+    // jobs drop new partition directories directly on storage; the
+    // catalog only sees them after repair
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = HiveTables.session(appName = "graft-msck-spec",
+      metastoreUris = None, master = "local[2]",
+      localBase = "/root/repo/target/hive_msck")
+    try {
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_msck").toString
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$base/p=1")
+      spark.sql("CREATE DATABASE IF NOT EXISTS msck_db")
+      spark.sql(s"""CREATE TABLE msck_db.t (id BIGINT, v STRING)
+        |USING parquet PARTITIONED BY (p INT) LOCATION '$base'""".stripMargin)
+      spark.sql("ALTER TABLE msck_db.t ADD PARTITION (p=1)")
+      assert(spark.table("msck_db.t").count() == 1)
+      // a new partition directory lands on storage, catalog unaware
+      Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.parquet(s"$base/p=2")
+      assert(spark.table("msck_db.t").count() == 1,
+        "catalog must not see the unregistered partition yet")
+      spark.catalog.recoverPartitions("msck_db.t")
+      assert(spark.table("msck_db.t").count() == 3)
+      assert(spark.sql("SHOW PARTITIONS msck_db.t").count() == 2)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }

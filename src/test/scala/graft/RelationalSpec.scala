@@ -94,4 +94,47 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       .select("o_orderkey").collect().head.getLong(0)
     assert(row.getAs[Long]("matched_order") == expected)
   }
+
+  test("Dataset.observe collects pipeline metrics inline — no second " +
+    "pass over the data (the 100 TB observability pattern)") {
+    // quality counters (rows, nulls, sum) ride the SAME job as the
+    // real computation via CollectMetrics; a separate .count()/.agg()
+    // pass would re-scan the corpus
+    val observed = Tables.orders(spark, sf).observe("order_metrics",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null"),
+      max(col("o_totalprice")).as("max_price"))
+    val filtered = observed.filter(col("o_totalprice") > 100000)
+    // collect() (not count()) — count() spawns a separate plan whose
+    // execution wouldn't register metrics on THIS queryExecution
+    val kept = filtered.collect().length.toLong
+    val m = filtered.queryExecution.observedMetrics("order_metrics")
+    assert(m.getAs[Long]("n_rows") == Tables.orders(spark, sf).count())
+    assert(m.getAs[Long]("n_null") == 0L)
+    assert(m.getAs[Double]("max_price") > 0.0)
+    assert(kept > 0 && kept < m.getAs[Long]("n_rows"))
+  }
+
+  test("PERMISSIVE csv scan captures malformed rows in a corrupt-record " +
+    "column instead of failing the job") {
+    // a 100 TB ingest always contains garbage lines; the job must
+    // quarantine them, not die at hour three
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"),
+      "1|A|2.5\nnot_a_long|B|3.5\n3|C|xyz\n4|D|4.5\n")
+    val df = spark.read
+      .schema("k LONG, tag STRING, v DOUBLE, _corrupt_record STRING")
+      .option("sep", "|").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .cache() // corrupt-record column requires a materialized frame
+    try {
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      val good = df.filter(col("_corrupt_record").isNull)
+      assert(bad.count() == 2, "both malformed lines quarantined")
+      assert(good.count() == 2)
+      assert(good.agg(sum(col("v"))).collect()(0).getDouble(0) == 7.0)
+    } finally df.unpersist()
+  }
 }
