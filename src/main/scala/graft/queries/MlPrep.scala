@@ -100,6 +100,32 @@ object MlPrep {
     // Feature scaling: min-max to [0,1] and z-score of order totals from
     // one broadcast stats row (min/max exact; mean/std via exact decimal
     // sums — mirrored IEEE trees, see Stats).
+    // Label encoding (dask `categorize` / sklearn LabelEncoder): map a
+    // string column to dense integer codes via a DICTIONARY — lex-rank
+    // over the distinct values, so the code table is deterministic and
+    // engine-neutral (frequency-ranked codes would tie-break
+    // arbitrarily). Scale: the dictionary is distinct-cardinality (a
+    // label domain, not sf-proportional) built with one small shuffle;
+    // the apply side is a dimension join AQE turns into a broadcast.
+    // Codes are 0-based and dense — the embedding-table-index contract.
+    Decl("feature_label_encode",
+      """WITH dict AS (SELECT v,
+        |    CAST(rank() OVER (ORDER BY v) - 1 AS BIGINT) AS code
+        |  FROM (SELECT DISTINCT source AS v FROM documents))
+        |SELECT doc_id, source, code
+        |FROM documents JOIN dict ON source = v
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // unpartitioned window is fine HERE only: it runs over the
+      // distinct label dictionary (domain cardinality), never the corpus
+      val dict = docs.select(col("source").as("v")).distinct()
+        .withColumn("code",
+          (dense_rank().over(Window.orderBy("v")) - 1).cast(LongType))
+      docs.join(dict, col("source") === col("v"))
+        .select(col("doc_id"), col("source"), col("code"))
+        .orderBy("doc_id")
+    },
+
     Decl("feature_minmax",
       s"""WITH st AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
          |    CAST(COUNT(*) AS DOUBLE) AS n,
