@@ -182,4 +182,27 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       assert(pick(base.repartition(np)) == a, s"np=$np")
     }
   }
+
+  test("priority sample prefers heavy rows: sampled mean weight beats " +
+    "the population mean (Duffield–Lund–Thorup inclusion ∝ weight)") {
+    val pop = Tables.orders(spark, sf)
+      .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    val sampled = SparkEntry.queries("sample_weighted")(spark, sf)
+      .agg(avg(col("w"))).collect()(0).getDouble(0) / 100.0 // cents
+    assert(sampled > pop * 1.1,
+      f"sampled mean $sampled%.0f should exceed population mean $pop%.0f " +
+        "by a clear margin — weighting is the whole point")
+  }
+
+  test("label encoding is a dense 0..k-1 bijection with the label set") {
+    val out = SparkEntry.queries("feature_label_encode")(spark, sf)
+    val pairs = out.select("source", "code").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val k = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(pairs.size.toLong == k, "one code per label")
+    assert(pairs.map(_._2).sorted == (0L until k).toSeq, "dense 0..k-1")
+    // lexicographic order of labels == numeric order of codes
+    assert(pairs.sortBy(_._1).map(_._2) == (0L until k).toSeq)
+  }
 }
