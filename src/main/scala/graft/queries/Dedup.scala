@@ -701,6 +701,50 @@ object Dedup {
         |  4 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       prefixSimjoin(Tables.documents(s, d))
+    },
+
+    // Canonical-URL dedup — the web-crawl pipeline's cheapest and
+    // highest-yield dedup stage: normalize each document's source URL
+    // (lowercase the host, drop the query string and its tracking
+    // params) and collapse documents sharing a canonical (host, path),
+    // keeping the smallest doc_id. URLs are synthesized from doc_id
+    // the same way url_normalize's are (no URL column in the fixture;
+    // doc_id mod 7 hosts × mod 23 paths make real collision groups —
+    // the raw URLs still differ per doc through their ?id= query, which
+    // is exactly what canonicalization must erase). One map-side regex
+    // pass + one partial+final group on the canonical key: at 100 TB
+    // this is a single shuffle at (host,path) cardinality, and the
+    // min/count aggregates combine map-side so the shuffle carries one
+    // row per canonical key per partition, not per document.
+    Decl("dedup_url",
+      """WITH u AS (SELECT doc_id,
+        |    'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.com/articles/' || CAST(doc_id % 23 AS VARCHAR) ||
+        |    '?id=' || CAST(doc_id AS VARCHAR) ||
+        |    '&utm_source=feed' AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS host,
+        |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path
+        |  FROM u)
+        |SELECT host, path, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM c GROUP BY host, path ORDER BY host, path""".stripMargin) {
+      (s, d) =>
+      val url = concat(lit("https://WWW.Example"),
+        (col("doc_id") % 7).cast(StringType), lit(".com/articles/"),
+        (col("doc_id") % 23).cast(StringType), lit("?id="),
+        col("doc_id").cast(StringType), lit("&utm_source=feed"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          lower(regexp_extract(col("url"), "https://([^/]+)/", 1))
+            .as("host"),
+          regexp_extract(col("url"), "https://[^/]+(/[^?]*)", 1)
+            .as("path"))
+        .groupBy("host", "path")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("host", "path")
     }
   )
 

@@ -270,6 +270,42 @@ object MlPrep {
             col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"))
         .select(col("source"), col("n_docs"), col("rate_ppm"), col("n_kept"))
         .orderBy("source")
+    },
+
+    // Lag-feature generation for forecasting training sets: per-user
+    // series ordered by (ts, event_id) — event_id breaks timestamp
+    // ties, making every window pick deterministic — with lag-1/lag-2
+    // values, the first difference, and a 3-point rolling sum. The
+    // rolling sum is deliberately NOT a window SUM: windowed double
+    // summation is engine-order-dependent (DuckDB may use a segment
+    // tree), so it is written as the explicit left-associated
+    // (value + lag1) + lag2 — the same IEEE additions in the same order
+    // in both engines, bit-identical, NULL while the frame is short
+    // (exactly the rows a trainer masks out anyway). Scale: one
+    // shuffle on user_id, every window runs inside that partition;
+    // map-side output, no second pass.
+    Decl("feature_lags",
+      """SELECT user_id, epoch_us(ts) AS tus, value,
+        |  lag(value, 1) OVER w AS lag1,
+        |  lag(value, 2) OVER w AS lag2,
+        |  value - lag(value, 1) OVER w AS delta1,
+        |  (value + lag(value, 1) OVER w) + lag(value, 2) OVER w
+        |    AS roll3_sum,
+        |  row_number() OVER w AS rn
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(col("user_id"),
+        epochUs(col("ts")).as("tus"), col("value"),
+        lag("value", 1).over(w).as("lag1"),
+        lag("value", 2).over(w).as("lag2"),
+        (col("value") - lag("value", 1).over(w)).as("delta1"),
+        ((col("value") + lag("value", 1).over(w)) +
+          lag("value", 2).over(w)).as("roll3_sum"),
+        row_number().over(w).as("rn"))
+        .orderBy("user_id", "rn")
     }
   )
 }

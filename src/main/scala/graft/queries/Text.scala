@@ -655,6 +655,86 @@ object Text {
         .select(col("w").substr(col("i"), lit(2)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("pair")).limit(20)
+    },
+
+    // Unigram-LM negative log-likelihood per document — the perplexity
+    // proxy LLM pipelines score quality with when a real LM is too
+    // expensive: p(tok) from corpus-wide counts, nll = -Σ ln p. Each
+    // ln term is a correctly-rounded double of identical integer-ratio
+    // args in both engines; the per-doc SUM is made order-independent
+    // by the repo's DECIMAL(20,9) exact-sum idiom (the oracle's VARCHAR
+    // hop matches Spark's shortest-repr HALF_UP cast). avg_nll is then
+    // one divide of bit-identical operands. Scale: the count table is
+    // vocab-sized — the tok⋈cnt join shuffles on the token key where
+    // stopwords are exactly the skewed keys (AQE skew-split territory);
+    // only the 1-row grand total broadcasts.
+    Decl("text_unigram_nll",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(CAST(CAST(-ln(CAST(c AS DOUBLE) / n) AS VARCHAR)
+        |    AS DECIMAL(20,9))) AS DOUBLE) AS nll_sum,
+        |  CAST(SUM(CAST(CAST(-ln(CAST(c AS DOUBLE) / n) AS VARCHAR)
+        |    AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_nll
+        |FROM tok JOIN cnt USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").cast(DoubleType).as("n"))
+      tok.join(cnt, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (-log(col("c").cast(DoubleType) / col("n"))).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("nll").cast(DecimalType(20, 9))).cast(DoubleType)
+            .as("nll_sum"))
+        .withColumn("avg_nll", col("nll_sum") / col("n_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Fixed-weight linear quality classifier — the fasttext-style
+    // "trained filter" stage of a data pipeline, reduced to its exact
+    // arithmetic skeleton: three integer features (uniqueness percent,
+    // capped length, stopword-share percent), fixed integer weights,
+    // and a threshold decision. Everything is integer DIV on positive
+    // operands, so the score — and the keep/drop decision — is
+    // bit-identical across engines with NO float boundary risk (the
+    // repo's integer-gate idiom). Threshold 270 ≈ the corpus median at
+    // every test scale, so both classes stay populated. Map-only: the
+    // features come from one projection pass, no shuffle at all.
+    Decl("quality_classify",
+      """SELECT doc_id, n_tok, uniq_pct, stop_pct,
+        |  3 * uniq_pct + 2 * least(n_tok, 150) + 5 * stop_pct AS score,
+        |  CASE WHEN 3 * uniq_pct + 2 * least(n_tok, 150) + 5 * stop_pct
+        |    >= 270 THEN 1 ELSE 0 END AS keep
+        |FROM (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    (100 * len(list_distinct(string_split(text, ' '))))
+        |      // len(string_split(text, ' ')) AS uniq_pct,
+        |    (100 * len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'and', 'of', 'to', 'in'))))
+        |      // len(string_split(text, ' ')) AS stop_pct
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTok = size(toks)
+      val nStop = size(expr("filter(split(text, ' '), " +
+        "x -> x IN ('the', 'and', 'of', 'to', 'in'))"))
+      val score = lit(3) * col("uniq_pct") +
+        lit(2) * least(col("n_tok"), lit(150)) + lit(5) * col("stop_pct")
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tok"),
+          expr(s"(100 * size(array_distinct(split(text, ' ')))) DIV " +
+            "size(split(text, ' '))").as("uniq_pct"),
+          (lit(100) * nStop).as("stop100"))
+        .select(col("doc_id"), col("n_tok"), col("uniq_pct"),
+          expr("stop100 DIV n_tok").as("stop_pct"))
+        .select(col("doc_id"), col("n_tok"), col("uniq_pct"),
+          col("stop_pct"), score.as("score"),
+          when(score >= 270, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

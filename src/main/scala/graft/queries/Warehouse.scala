@@ -404,8 +404,111 @@ object Warehouse {
       val w = Window.partitionBy("comp")
       labels.withColumn("comp_size", count(lit(1)).over(w))
         .orderBy("node")
+    },
+
+    // PageRank over the same supplier co-order graph, made CROSS-ENGINE
+    // EXACT by running the whole iteration in integer arithmetic: ranks
+    // start at 10^12, damping 0.85 is the rational 17/20, and each
+    // edge's contribution is (r·17) DIV (20·outdeg) — integer floor
+    // division, so partial sums are order-independent (long addition is
+    // associative) and both engines produce bit-identical BIGINTs. The
+    // per-iteration floor loss is < outdeg ulps of 10^-12 per node —
+    // quantified and asserted in WarehouseSpec's mass-conservation
+    // test. Fixed 3 iterations (unrolled CTEs in the oracle). Scale:
+    // each iteration is one shuffle join on the node key + one
+    // partial+final sum — the textbook Pregel round as dataflow; the
+    // edge⋈degree frame is pinned once (localCheckpoint) so the three
+    // rounds re-read a materialized frame instead of re-running the
+    // co-order self-join per round.
+    Decl("graph_pagerank",
+      """WITH pe AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 50 = 0),
+        |deg AS (SELECT x, COUNT(*) AS dg FROM pe GROUP BY x),
+        |r0 AS (SELECT x AS node, CAST(1000000000000 AS BIGINT) AS r
+        |       FROM deg),
+        |r1 AS (SELECT e.y AS node,
+        |         CAST(150000000000 + SUM((r.r * 17) // (20 * d.dg))
+        |           AS BIGINT) AS r
+        |       FROM pe e JOIN r0 r ON e.x = r.node
+        |         JOIN deg d ON d.x = e.x GROUP BY e.y),
+        |r2 AS (SELECT e.y AS node,
+        |         CAST(150000000000 + SUM((r.r * 17) // (20 * d.dg))
+        |           AS BIGINT) AS r
+        |       FROM pe e JOIN r1 r ON e.x = r.node
+        |         JOIN deg d ON d.x = e.x GROUP BY e.y),
+        |r3 AS (SELECT e.y AS node,
+        |         CAST(150000000000 + SUM((r.r * 17) // (20 * d.dg))
+        |           AS BIGINT) AS r
+        |       FROM pe e JOIN r2 r ON e.x = r.node
+        |         JOIN deg d ON d.x = e.x GROUP BY e.y)
+        |SELECT node, r AS pagerank FROM r3 ORDER BY node""".stripMargin) {
+      (s, d) =>
+      val edges = supplierEdges(s, d)
+      val deg = edges.groupBy("x").agg(count(lit(1)).as("dg"))
+      // edge ⋈ degree pinned once; every round re-reads this frame
+      val ed2 = edges.join(deg, "x").localCheckpoint(true)
+      var ranks = deg.select(col("x").as("node"),
+        lit(1000000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = ed2.join(ranks, col("x") === col("node"))
+          .groupBy(col("y"))
+          .agg(sum(expr("(r * 17) DIV (20 * dg)")).as("m"))
+          .select(col("y").as("node"),
+            (lit(150000000000L) + col("m")).as("r"))
+      }
+      ranks.select(col("node"), col("r").as("pagerank")).orderBy("node")
+    },
+
+    // Per-node triangle participation counts on the supplier co-order
+    // graph — exact integers, two self-joins of the symmetric edge set
+    // with an a<b<c orientation so each triangle is counted once per
+    // vertex. The b<c gate halves the wedge expansion; at 100 TB the
+    // standard refinement is degree-ordered orientation (expand wedges
+    // only from the lower-degree endpoint) which bounds per-node work
+    // by the graph's arboricity — here clique sizes are capped by TPC-H
+    // order width (≤7 lineitems), so wedges stay linear in edges. The
+    // edge frame is pinned (localCheckpoint) because BOTH join sides
+    // read it — without the pin each aliased side re-runs the co-order
+    // self-join (the repo-wide self-join trap).
+    Decl("graph_triangles",
+      """WITH pe AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 50 = 0)
+        |SELECT e1.x AS node, COUNT(*) AS triangles
+        |FROM pe e1
+        |JOIN pe e2 ON e2.x = e1.x AND e1.y < e2.y
+        |JOIN pe e3 ON e3.x = e1.y AND e3.y = e2.y
+        |GROUP BY e1.x ORDER BY node""".stripMargin) { (s, d) =>
+      val ed = supplierEdges(s, d).localCheckpoint(true)
+      val e1 = ed.select(col("x").as("a"), col("y").as("b"))
+      val e2 = ed.select(col("x").as("a2"), col("y").as("c"))
+      val e3 = ed.select(col("x").as("b3"), col("y").as("c3"))
+      e1.join(e2, col("a") === col("a2") && col("b") < col("c"))
+        .join(e3, col("b") === col("b3") && col("c") === col("c3"))
+        .groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("triangles"))
+        .orderBy("node")
     }
   )
+
+  /** Symmetric, deduplicated supplier co-order edge set (suppliers
+    * linked when they serve the same order; sparsified to the
+    * deterministic 2% of orders) — the shared input of the three graph
+    * operators. The self-join emits both (a,b) and (b,a), so the
+    * result is symmetric without an explicit union. */
+  private def supplierEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select("l_orderkey", "l_suppkey")
+    li.select(col("l_orderkey"), col("l_suppkey").as("x"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("y")),
+        "l_orderkey")
+      .filter(col("x") =!= col("y"))
+      .select("x", "y").distinct()
+  }
 
   /** Write orders + lineitem as bucketed/sorted tables once per
     * (session, sf dir); returns the two table names. Bucket count 8 on

@@ -56,7 +56,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "tpch_q2",            // min-cost window ties across suppliers
     // round 5
     "simjoin_prefix",     // prefix-token candidate set under freq ties
-    "sample_weighted")    // priority ties at the k boundary
+    "sample_weighted",    // priority ties at the k boundary
+    "graph_pagerank",     // iterative join+sum rounds (integer-exact)
+    "graph_triangles")    // two self-joins of a checkpointed edge set
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {

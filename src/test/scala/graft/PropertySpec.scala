@@ -194,6 +194,68 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
         "by a clear margin — weighting is the whole point")
   }
 
+  test("dedup_url: canonical groups partition the corpus exactly") {
+    val r = SparkEntry.queries("dedup_url")(spark, sf)
+    val total = r.agg(sum(col("n_dups"))).head.getLong(0)
+    val docs = Tables.documents(spark, sf).count()
+    assert(total == docs, "every document lands in exactly one group")
+    // keep_id must be a member of its own group: doc_id%7 and %23
+    // derive host/path, so keep_id%7 / %23 must reproduce them
+    val bad = r.filter(
+      !col("host").contains(concat(lit("example"),
+        (col("keep_id") % 7).cast("string"))) ||
+        !col("path").endsWith(concat(lit("/"),
+          (col("keep_id") % 23).cast("string")))).count()
+    assert(bad == 0, "keep_id outside its canonical group")
+  }
+
+  test("quality_classify: threshold splits the corpus (both classes " +
+    "non-empty) and the score is the declared linear form") {
+    val r = SparkEntry.queries("quality_classify")(spark, sf).cache()
+    assert(r.filter(col("keep") === 1).count() > 0)
+    assert(r.filter(col("keep") === 0).count() > 0)
+    val bad = r.filter(col("score") =!=
+      lit(3) * col("uniq_pct") + lit(2) * least(col("n_tok"), lit(150))
+        + lit(5) * col("stop_pct")).count()
+    assert(bad == 0)
+    r.unpersist()
+  }
+
+  test("feature_lags: lag1 of row n is the value of row n-1 within " +
+    "each user series") {
+    val rows = SparkEntry.queries("feature_lags")(spark, sf)
+      .filter(col("user_id") < 5)
+      .select("user_id", "rn", "value", "lag1", "roll3_sum")
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getInt(1))
+      seq.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(!cur.isNullAt(3) &&
+            cur.getDouble(3) == prev.getDouble(2), "lag1 != prev value")
+        case _ =>
+      }
+      // frame shorter than 3 → roll3 is NULL (trainer mask rows)
+      assert(seq.take(2).forall(_.isNullAt(4)))
+    }
+  }
+
+  test("text_unigram_nll: per-token surprisal is positive and a doc " +
+    "cannot beat the corpus-best token's surprisal") {
+    val r = SparkEntry.queries("text_unigram_nll")(spark, sf).cache()
+    assert(r.filter(col("nll_sum") <= 0).count() === 0)
+    // avg nll is bounded below by -ln(p_max) over the corpus
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val total = toks.count().toDouble
+    val maxC = toks.groupBy("t").count().agg(max("count"))
+      .head.getLong(0).toDouble
+    val floor = -math.log(maxC / total)
+    assert(r.filter(col("avg_nll") < floor - 1e-9).count() === 0)
+    r.unpersist()
+  }
+
   test("label encoding is a dense 0..k-1 bijection with the label set") {
     val out = SparkEntry.queries("feature_label_encode")(spark, sf)
     val pairs = out.select("source", "code").distinct()

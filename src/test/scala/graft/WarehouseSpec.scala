@@ -292,4 +292,33 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     assert(c.nonEmpty)
     assert(c.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("graph_pagerank: rank mass is conserved up to integer-floor " +
+    "loss (no dangling nodes in the symmetric co-order graph)") {
+    val r = q("graph_pagerank").cache()
+    val n = r.count()
+    assert(n > 0)
+    val total = r.agg(sum("pagerank")).head.getLong(0)
+    val mass = n * 1000000000000L
+    // 3 iterations × per-edge floor loss < 1 unit each; edges per node
+    // are capped by order width × sampled co-orders — 10^6 units is a
+    // generous bound, 10^-6 of one node's rank
+    assert(total <= mass, s"mass grew: $total > $mass")
+    assert(total >= mass - n * 1000000L,
+      s"mass lost beyond floor bound: $total vs $mass")
+    // damping floor: every node keeps at least the teleport share
+    assert(r.filter(col("pagerank") < 150000000000L).count() === 0)
+    r.unpersist()
+  }
+
+  test("graph_triangles: each triangle is seen once per vertex " +
+    "(total divisible by 3) and counts are symmetric-consistent") {
+    val t = q("graph_triangles").cache()
+    assert(t.count() > 0)
+    val total = t.agg(sum("triangles")).head.getLong(0)
+    assert(total > 0 && total % 3 === 0,
+      s"per-vertex counts must sum to 3 × #triangles, got $total")
+    assert(t.filter(col("triangles") <= 0).count() === 0)
+    t.unpersist()
+  }
 }
