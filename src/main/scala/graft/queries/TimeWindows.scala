@@ -402,6 +402,59 @@ object TimeWindows {
         .select(col("event_type"), col("hb"), col("c"),
           mean.as("mean_c"), sd.as("sd_c"))
         .orderBy("event_type", "hb")
+    },
+
+    // Overlapping-interval union (coalesce): each event spawns a
+    // 10-minute interval; per user, overlapping/touching intervals
+    // merge into maximal disjoint spans — the interval form of
+    // gaps-and-islands (calendar coverage, on-call spans, session
+    // stitching over genuine durations rather than point gaps).
+    // Island break = start strictly beyond the running max of all
+    // PRECEDING ends (the strictly-preceding frame makes the running
+    // max self-exclusive); island id = running sum of breaks; the
+    // merged span is then one min/max/count group per island. All
+    // epoch-µs integer arithmetic — exact in both engines — and
+    // everything after the scan rides ONE user-key shuffle: both
+    // windows and the final group share the user partitioning.
+    Decl("interval_merge",
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 600000000 AS en FROM events),
+        |b AS (SELECT user_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NULL THEN 1
+        |    WHEN st > max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |isl AS (SELECT user_id, st, en,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM b)
+        |SELECT user_id, island, MIN(st) AS span_start,
+        |  MAX(en) AS span_end, COUNT(*) AS n_events,
+        |  MAX(en) - MIN(st) AS span_us
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin) { (s, d) =>
+      val wPrev = Window.partitionBy("user_id").orderBy(col("st"), col("en"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id").orderBy(col("st"), col("en"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), epochUs(col("ts")).as("st"),
+          (epochUs(col("ts")) + 600000000L).as("en"))
+        .withColumn("pm", max("en").over(wPrev))
+        .withColumn("brk",
+          when(col("pm").isNull || col("st") > col("pm"), 1).otherwise(0))
+        .withColumn("island", sum("brk").over(wRun))
+        .groupBy("user_id", "island")
+        .agg(min("st").as("span_start"), max("en").as("span_end"),
+          count(lit(1)).as("n_events"),
+          (max("en") - min("st")).as("span_us"))
+        .orderBy("user_id", "island")
     }
   )
 

@@ -491,6 +491,76 @@ object Warehouse {
         .groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("triangles"))
         .orderBy("node")
+    },
+
+    // 2-D skyline (Pareto frontier): suppliers not dominated on
+    // (lineitem count, max single-item price) — both maximized, the
+    // price in exact cents so every comparison is integer (the two
+    // metrics trade off, so the frontier grows with scale instead of
+    // collapsing to the one volume champion). The oracle is the
+    // definitional NOT EXISTS anti-join (quadratic in the point set);
+    // the Spark side is the scalable sort-based formulation: collapse
+    // to one (n, best mx) point per n, then a strictly-preceding
+    // running max over n DESC keeps exactly the points whose mx
+    // exceeds every higher-n point's best — provably the same set
+    // (equal points don't dominate each other, so duplicates of a
+    // frontier point all survive the value join-back). The unpartitioned
+    // window runs over the n-DOMAIN point set (distinct lineitem
+    // counts — hundreds of rows at any scale), never the corpus; the
+    // corpus passes are the two partial+final aggregates.
+    Decl("skyline_2d",
+      """WITH p AS (SELECT l_suppkey, COUNT(*) AS n,
+        |    CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS mx
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT a.l_suppkey, a.n, a.mx FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.n >= a.n AND b.mx >= a.mx
+        |    AND (b.n > a.n OR b.mx > a.mx))
+        |ORDER BY a.n, a.l_suppkey""".stripMargin) { (s, d) =>
+      val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      val p = Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), max(cents).as("mx"))
+        .localCheckpoint(true) // both the domain agg and the join-back read it
+      val byN = p.groupBy("n").agg(max("mx").as("mxmax"))
+      val w = Window.orderBy(col("n").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = byN.withColumn("rm", max("mxmax").over(w))
+        .filter(col("rm").isNull || col("mxmax") > col("rm"))
+        .select(col("n").as("fn"), col("mxmax"))
+      p.join(frontier, col("n") === col("fn") && col("mx") === col("mxmax"))
+        .select(col("l_suppkey"), col("n"), col("mx"))
+        .orderBy("n", "l_suppkey")
+    },
+
+    // First-order Markov transition matrix over each user's event
+    // sequence — the sequence-mining primitive behind next-action
+    // prediction and funnel discovery. Counts are exact integers on
+    // ONE user-key shuffle (lead() inside the user window), and each
+    // transition probability is a single IEEE divide of two
+    // bit-identical longs — no float accumulation anywhere. The
+    // per-source normalizer rides a window over the aggregated
+    // src×dst matrix (event-type-domain cardinality, not corpus).
+    Decl("event_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS src, nxt AS dst, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) /
+        |    SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wSrc = Window.partitionBy("src")
+      Tables.events(s, d)
+        .select(col("event_type"), lead("event_type", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast(DoubleType) / sum("n").over(wSrc))
+        .orderBy("src", "dst")
     }
   )
 

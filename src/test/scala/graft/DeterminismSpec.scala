@@ -58,7 +58,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "simjoin_prefix",     // prefix-token candidate set under freq ties
     "sample_weighted",    // priority ties at the k boundary
     "graph_pagerank",     // iterative join+sum rounds (integer-exact)
-    "graph_triangles")    // two self-joins of a checkpointed edge set
+    "graph_triangles",    // two self-joins of a checkpointed edge set
+    "skyline_2d")         // frontier join-back under (n, mx) ties
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {

@@ -256,6 +256,26 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     r.unpersist()
   }
 
+  test("interval_merge: spans are disjoint (gap > 0 between " +
+    "consecutive spans) and cover every event") {
+    val r = SparkEntry.queries("interval_merge")(spark, sf).cache()
+    val nEvents = r.agg(sum("n_events")).head.getLong(0)
+    assert(nEvents == Tables.events(spark, sf).count())
+    // every span is at least one interval long and starts are ordered
+    assert(r.filter(col("span_us") < 600000000L).count() === 0)
+    val byUser = r.select("user_id", "span_start", "span_end")
+      .collect().groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val spans = rs.map(x => (x.getLong(1), x.getLong(2))).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._1 > a._2, s"overlapping merged spans $a $b")
+        case _ =>
+      }
+    }
+    r.unpersist()
+  }
+
   test("label encoding is a dense 0..k-1 bijection with the label set") {
     val out = SparkEntry.queries("feature_label_encode")(spark, sf)
     val pairs = out.select("source", "code").distinct()

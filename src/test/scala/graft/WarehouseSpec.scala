@@ -293,6 +293,37 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     assert(c.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("skyline_2d: no returned point is dominated, and every " +
+    "non-returned point is dominated (brute-force cross-check)") {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val pts = Tables.lineitem(spark, sf).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), max(cents).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val front = q("skyline_2d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def dominated(a: (Long, Long, Long)) = pts.exists(b =>
+      b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3))
+    assert(front.nonEmpty)
+    front.foreach(p => assert(!dominated(p), s"frontier point $p dominated"))
+    pts.filterNot(front).foreach(p =>
+      assert(dominated(p), s"missed frontier point $p"))
+  }
+
+  test("event_transitions: per-source probabilities sum to 1 and " +
+    "counts account for every non-terminal event") {
+    val t = q("event_transitions").cache()
+    val sums = t.groupBy("src").agg(sum("p").as("sp")).collect()
+    sums.foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12, s"src ${r.get(0)}"))
+    val total = t.agg(sum("n")).head.getLong(0)
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count() // each user's last event
+    assert(total === expected)
+    t.unpersist()
+  }
+
   test("graph_pagerank: rank mass is conserved up to integer-floor " +
     "loss (no dangling nodes in the symmetric co-order graph)") {
     val r = q("graph_pagerank").cache()
