@@ -445,7 +445,10 @@ object Warehouse {
         |         JOIN deg d ON d.x = e.x GROUP BY e.y)
         |SELECT node, r AS pagerank FROM r3 ORDER BY node""".stripMargin) {
       (s, d) =>
-      val edges = supplierEdges(s, d)
+      // pin the edge set FIRST: deg, ed2 AND the rank init all read it,
+      // and without the pin each consumer re-runs the lineitem
+      // co-order self-join (three corpus scans instead of one)
+      val edges = supplierEdges(s, d).localCheckpoint(true)
       val deg = edges.groupBy("x").agg(count(lit(1)).as("dg"))
       // edge ⋈ degree pinned once; every round re-reads this frame
       val ed2 = edges.join(deg, "x").localCheckpoint(true)

@@ -283,6 +283,9 @@ class CatalogSpec extends AnyFunSuite {
         .createTempDirectory("graft_msck").toString
       Seq((1L, "a")).toDF("id", "v").write.parquet(s"$base/p=1")
       spark.sql("CREATE DATABASE IF NOT EXISTS msck_db")
+      // the Derby metastore under target/ persists across JVM runs —
+      // drop any previous run's table so the spec is idempotent
+      spark.sql("DROP TABLE IF EXISTS msck_db.t")
       spark.sql(s"""CREATE TABLE msck_db.t (id BIGINT, v STRING)
         |USING parquet PARTITIONED BY (p INT) LOCATION '$base'""".stripMargin)
       spark.sql("ALTER TABLE msck_db.t ADD PARTITION (p=1)")

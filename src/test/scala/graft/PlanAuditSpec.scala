@@ -34,9 +34,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "event_funnel", // cross of four single-row stage-count frames
     "agg_chi2", // broadcast single-row (n, k) totals cross
     "time_resample_ffill", // distinct-keys × 48-bucket grid cross (tiny)
-    "time_resample_interp") // same grid scaffold
+    "time_resample_interp", // same grid scaffold
+    "text_unigram_nll") // broadcast single-row token-total scalar cross
 
   private val maxShuffles = 6
+
+  /** Iterative algorithms legitimately shuffle per round; their frames
+    * are domain-cardinality (the derived supplier graph), never the
+    * corpus, so the exchanges stay cheap at any scale. */
+  private val shuffleCapOverride = Map(
+    "graph_pagerank" -> 10) // 3 rounds × (join + re-agg) over the graph
 
   /** The sf-proportional dimensions (customer/supplier/part) carry NO
     * broadcast hint — at 100 TB a forced broadcast OOMs every executor.
@@ -70,8 +77,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       // count shuffles only — BroadcastExchange is the cheap kind we
       // *want* (it's how dimensions avoid shuffling the fact side)
       val shuffles = "Exchange (hash|range|Single)".r.findAllIn(plan).size
-      assert(shuffles <= maxShuffles,
-        s"${decl.name} plans $shuffles shuffle exchanges (> $maxShuffles)")
+      val cap = shuffleCapOverride.getOrElse(decl.name, maxShuffles)
+      assert(shuffles <= cap,
+        s"${decl.name} plans $shuffles shuffle exchanges (> $cap)")
     }
   }
 }
