@@ -735,6 +735,55 @@ object Text {
           col("stop_pct"), score.as("score"),
           when(score >= 270, 1).otherwise(0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Count-Min sketch over the token stream — the streaming-frequency
+    // sketch, built as pure dataflow and (unusually) VALUE-LEVEL
+    // ORACLED: because both engines share the sha60 hash family, the
+    // 4×1024 counter array and every estimate are deterministic
+    // integers, so the sketch itself hash-compares exactly (the same
+    // trick that oracles the MinHash/SimHash pipelines). Build = one
+    // partial+final count at (depth × width) = 4096-key cardinality —
+    // THE point of CMS at 100 TB: the shuffle carries a bounded
+    // sketch, never the vocabulary. Probe = the exact top-20 tokens ×
+    // 4 rows joined against the sketch, min over depths; the output
+    // pins the one-sided CMS guarantee est ≥ true per row.
+    Decl("sketch_cms", {
+      import graft.functions.XHash.sqlSha60
+      val h = sqlSha60("'cms' || CAST(t.j AS VARCHAR) || ':' || tok")
+      s"""WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM occ GROUP BY tok),
+         |q AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 20),
+         |cms AS (SELECT t.j, $h % 1024 AS b, COUNT(*) AS c
+         |        FROM occ, range(0, 4) t(j) GROUP BY t.j, b),
+         |qb AS (SELECT q.tok, q.n, t.j, $h % 1024 AS b
+         |       FROM q, range(0, 4) t(j))
+         |SELECT qb.tok, qb.n AS true_n, CAST(MIN(c) AS BIGINT) AS est,
+         |  CASE WHEN MIN(c) >= qb.n THEN 1 ELSE 0 END AS ok
+         |FROM qb JOIN cms ON qb.j = cms.j AND qb.b = cms.b
+         |GROUP BY qb.tok, qb.n ORDER BY qb.tok""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.XHash.sha60
+      def bucket = (sha60(concat(lit("cms"), col("j").cast(StringType),
+        lit(":"), col("tok"))) % 1024).as("b")
+      val occ = Tables.documents(s, d).select(explode(toks).as("tok"))
+      val cnt = occ.groupBy("tok").agg(count(lit(1)).as("n"))
+      val q = cnt.orderBy(desc("n"), col("tok")).limit(20)
+      val cms = occ
+        .select(col("tok"), explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"), bucket)
+        .groupBy("j", "b").agg(count(lit(1)).as("c"))
+      val qb = q
+        .select(col("tok"), col("n"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("tok"), col("n"), col("j"), bucket)
+      qb.join(cms, Seq("j", "b"))
+        .groupBy("tok", "n")
+        .agg(min("c").as("est"))
+        .select(col("tok"), col("n").as("true_n"), col("est"),
+          when(col("est") >= col("n"), 1).otherwise(0).as("ok"))
+        .orderBy("tok")
     }
   )
 }

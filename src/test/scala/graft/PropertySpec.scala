@@ -276,6 +276,20 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     r.unpersist()
   }
 
+  test("sketch_cms: one-sided guarantee holds (est >= true for every " +
+    "probe) and the heavy hitter estimate is collision-tight") {
+    val r = SparkEntry.queries("sketch_cms")(spark, sf).cache()
+    assert(r.count() == 20)
+    assert(r.filter(col("ok") =!= 1).count() === 0, "CMS underestimated")
+    assert(r.filter(col("est") < col("true_n")).count() === 0)
+    // the most frequent token dominates its buckets: collisions can at
+    // most double it (loose; expected collision mass is N/1024 per row)
+    val top = r.orderBy(col("true_n").desc).head
+    assert(top.getLong(2) < 2 * top.getLong(1),
+      s"top-token estimate ${top.getLong(2)} vs true ${top.getLong(1)}")
+    r.unpersist()
+  }
+
   test("label encoding is a dense 0..k-1 bijection with the label set") {
     val out = SparkEntry.queries("feature_label_encode")(spark, sf)
     val pairs = out.select("source", "code").distinct()
