@@ -745,6 +745,39 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_dups"))
         .orderBy("host", "path")
+    },
+
+    // Edit-distance fuzzy join (entity resolution / OCR-noise dedup) —
+    // the metric the token-set dedups can't express: levenshtein over
+    // the 6-token document prefix, candidates CONTENT-blocked on the
+    // first two tokens (never id-adjacency — the r4 lesson). Both
+    // engines share one edit-distance definition (unit-cost
+    // insert/delete/substitute), so pairs are value-level oracled.
+    // Scale: block key cardinality is vocab², block size is corpus/
+    // vocab² — the quadratic-inside-block cost is bounded by blocking
+    // granularity, the standard ER knob; skewed blocks would route
+    // through the same BucketCap guard the LSH pipeline uses.
+    Decl("join_fuzzy",
+      """WITH p AS (SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:6], ' ') AS pre,
+        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  levenshtein(a.pre, b.pre) AS lev
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pre, b.pre) <= 10
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 6), " ").as("pre"),
+          array_join(slice(split(col("text"), " "), 1, 2), " ").as("blk"))
+      p.as("a")
+        .join(p.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          levenshtein(col("a.pre"), col("b.pre")).as("lev"))
+        .filter(col("lev") <= 10)
+        .orderBy("d1", "d2")
     }
   )
 

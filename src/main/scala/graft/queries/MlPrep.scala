@@ -306,6 +306,82 @@ object MlPrep {
           lag("value", 2).over(w)).as("roll3_sum"),
         row_number().over(w).as("rn"))
         .orderBy("user_id", "rn")
+    },
+
+    // Hashing-trick featurization (the fixed-dimension bag-of-words
+    // encoder): token → dim = sha60 % 256, sign = parity of a second
+    // sha60 — collisions cancel in expectation, the signed-sum trick
+    // from Weinberger et al.'s feature hashing. The featurize pass is
+    // map-side (explode + two hashes); the per-(doc,dim) signed count
+    // and the per-dim profile emitted here are ordinary partial+final
+    // aggregates. All-integer → hash-exact cross-engine. Scale: no
+    // vocabulary dictionary exists at all — that is the point of the
+    // hashing trick at 100 TB; dimensionality is fixed up front and no
+    // driver-side vocab broadcast is ever built.
+    Decl("feature_hash", {
+      import graft.functions.XHash.sqlSha60
+      val hd = sqlSha60("'fh:' || tok")
+      val hs = sqlSha60("'fs:' || tok")
+      s"""WITH occ AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |f AS (SELECT doc_id, $hd % 256 AS dim,
+         |    CASE WHEN $hs % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM occ),
+         |v AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS val
+         |      FROM f GROUP BY doc_id, dim)
+         |SELECT dim, COUNT(*) AS n_docs, CAST(SUM(val) AS BIGINT) AS sum_val,
+         |  MIN(val) AS min_val, MAX(val) AS max_val
+         |FROM v GROUP BY dim ORDER BY dim""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.XHash.sha60
+      val hd = (sha60(concat(lit("fh:"), col("tok"))) % 256).as("dim")
+      val hs = when(sha60(concat(lit("fs:"), col("tok"))) % 2 === 0, 1)
+        .otherwise(-1).as("sgn")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), hd, hs)
+        .groupBy("doc_id", "dim")
+        .agg(sum("sgn").as("val"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_docs"), sum("val").as("sum_val"),
+          min("val").as("min_val"), max("val").as("max_val"))
+        .orderBy("dim")
+    },
+
+    // Smoothed mean-target encoding of a categorical feature (priority
+    // → expected order value), m = 10 pseudo-observations of the global
+    // prior — the leakage-resistant categorical encoder. Exactness:
+    // sums are exact integer cents (decimal(18,2)·100), the smoothing
+    // algebra is rearranged to ONE IEEE divide of two integer-valued
+    // doubles: enc = (sum_c·N + m·tot_c) / ((n+m)·N). Numerators stay
+    // < 2^63 as exact BIGINTs; the BIGINT→DOUBLE cast rounds half-even
+    // identically in both engines. Scale: one partial+final aggregate
+    // over the fact table plus a 1-row global side — the map-side
+    // combine means the shuffle carries |categories| rows.
+    Decl("target_encode",
+      """WITH c AS (SELECT o_orderpriority AS cat,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS sum_c
+        |  FROM orders GROUP BY cat),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(sum_c) AS BIGINT) AS tot_c FROM c)
+        |SELECT cat, n, sum_c,
+        |  CAST(sum_c * nn + 10 * tot_c AS DOUBLE) /
+        |    CAST((n + 10) * nn AS DOUBLE) AS enc_cents
+        |FROM c, g ORDER BY cat""".stripMargin) { (s, d) =>
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("cat"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("sum_c"))
+      val g = c.agg(sum("n").as("nn"), sum("sum_c").as("tot_c"))
+      c.crossJoin(broadcast(g))
+        .select(col("cat"), col("n"), col("sum_c"),
+          ((col("sum_c") * col("nn") + lit(10) * col("tot_c"))
+            .cast(DoubleType) /
+            ((col("n") + 10) * col("nn")).cast(DoubleType)).as("enc_cents"))
+        .orderBy("cat")
     }
   )
 }

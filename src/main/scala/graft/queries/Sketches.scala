@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Decl, Tables}
+import graft.functions.XHash.{sha60, sqlSha60}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Probabilistic sketches as pure dataflow — the summaries a 100 TB
+  * pipeline ships instead of raw keys. Like `sketch_cms` (Text.scala),
+  * every sketch here is built on the cross-engine sha60 hash family, so
+  * the sketch CONTENTS are deterministic integers and value-level
+  * oracled in DuckDB — not just property-tested. The estimates derived
+  * from them (HLL cardinality) stay double-free in the query output;
+  * SketchSpec evaluates them Scala-side against exact truth.
+  *
+  * Scale notes:
+  *  - Bloom build aggregates the key stream down to ≤ m distinct bit
+  *    positions (65 536 here) — the whole point: the shuffle carries a
+  *    bounded bitset, never the key set, and the probe side joins
+  *    against a broadcast of at most m rows regardless of data size.
+  *  - HLL registers reduce to exactly 2^p rows (256) via an ordinary
+  *    partial+final MAX — the sketch IS a groupBy, merging for free
+  *    across partitions, executors, or days of a streaming job.
+  */
+object Sketches {
+
+  /** Bloom bits per element-set: m = 2^16, k = 4 hash functions. */
+  private val BloomM = 65536
+  private val BloomK = 4
+
+  /** HLL precision p = 8 → 256 registers; sha60 leaves 52 rho bits. */
+  private val HllRegs = 256
+  private val HllRhoBits = 52
+
+  /** Membership predicate with a real negative class at every sf:
+    * customers holding at least one order above 480 000 (~1/3 of them;
+    * see SketchSpec for the measured false-positive rate). */
+  private val BigOrder = 480000
+
+  def decls: Seq[Decl] = Seq(
+
+    // Bloom filter over "big spender" customer keys, probed with every
+    // customer. One-sided guarantee pinned per row: ok = bf >= truth
+    // (a member never tests negative); sf0.1 also exhibits genuine
+    // false positives (truth=0, bf=1), which SketchSpec bounds.
+    Decl("sketch_bloom", {
+      val hb = sqlSha60(s"'bf' || CAST(t.j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+      s"""WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders
+         |             WHERE o_totalprice > $BigOrder),
+         |bits AS (SELECT DISTINCT $hb % $BloomM AS b
+         |         FROM mem, range(0, $BloomK) t(j)),
+         |probe AS (SELECT c_custkey AS k, t.j, $hb % $BloomM AS b
+         |          FROM customer, range(0, $BloomK) t(j)),
+         |hit AS (SELECT probe.k,
+         |    CASE WHEN COUNT(bits.b) = $BloomK THEN 1 ELSE 0 END AS bf
+         |  FROM probe LEFT JOIN bits ON probe.b = bits.b GROUP BY probe.k)
+         |SELECT hit.k AS c_custkey,
+         |  CASE WHEN mem.k IS NULL THEN 0 ELSE 1 END AS truth, bf,
+         |  CASE WHEN bf >= (CASE WHEN mem.k IS NULL THEN 0 ELSE 1 END)
+         |    THEN 1 ELSE 0 END AS ok
+         |FROM hit LEFT JOIN mem ON hit.k = mem.k
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, d) =>
+      def hb = (sha60(concat(lit("bf"), col("j").cast(StringType), lit(":"),
+        col("k").cast(StringType))) % BloomM).as("b")
+      val js = explode(sequence(lit(0), lit(BloomK - 1))).as("j")
+      val mem = Tables.orders(s, d)
+        .filter(col("o_totalprice") > BigOrder)
+        .select(col("o_custkey").as("k")).distinct()
+      val bits = mem.select(col("k"), js).select(hb).distinct()
+      val probe = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), js).select(col("k"), hb)
+      val hit = probe
+        .join(broadcast(bits.withColumn("present", lit(1))), Seq("b"), "left")
+        .groupBy("k")
+        .agg(when(count(col("present")) === BloomK, 1).otherwise(0).as("bf"))
+      hit.join(broadcast(mem.withColumn("truth", lit(1))), Seq("k"), "left")
+        .select(col("k").as("c_custkey"),
+          coalesce(col("truth"), lit(0)).as("truth"), col("bf"),
+          when(col("bf") >= coalesce(col("truth"), lit(0)), 1).otherwise(0)
+            .as("ok"))
+        .orderBy("c_custkey")
+    },
+
+    // HyperLogLog register file over the order→customer key stream:
+    // register = h mod 256, rho = leading-zero count of the remaining
+    // 52 bits + 1, register value = MAX(rho). bin() (no leading zeros,
+    // identical in Spark and DuckDB) turns rho into exact integer
+    // arithmetic: rho = 52 - length(bin(w)) + 1, w = 0 → 53. The
+    // register file is the whole sketch — SketchSpec runs the standard
+    // bias-corrected estimator (with the linear-counting branch) over
+    // these 256 longs and bounds the error vs exact COUNT(DISTINCT).
+    Decl("sketch_hll_registers", {
+      val h = sqlSha60("'hll:' || CAST(o_custkey AS VARCHAR)")
+      s"""WITH hs AS (SELECT $h AS h FROM orders),
+         |r AS (SELECT h % $HllRegs AS reg, h // $HllRegs AS w FROM hs)
+         |SELECT reg,
+         |  MAX(CASE WHEN w = 0 THEN ${HllRhoBits + 1}
+         |      ELSE $HllRhoBits - length(bin(w)) + 1 END) AS max_rho,
+         |  COUNT(*) AS n_items
+         |FROM r GROUP BY reg ORDER BY reg""".stripMargin
+    }) { (s, d) =>
+      val h = sha60(concat(lit("hll:"), col("o_custkey").cast(StringType)))
+      // h is a non-negative 60-bit long; w = h div 2^8 must stay exact
+      // integer arithmetic (double '/' would round above 2^53).
+      Tables.orders(s, d)
+        .select((h % HllRegs).as("reg"), shiftright(h, 8).as("w"))
+        .groupBy("reg")
+        .agg(max(when(col("w") === 0, HllRhoBits + 1)
+            .otherwise(lit(HllRhoBits) - length(bin(col("w"))) + 1))
+            .as("max_rho"),
+          count(lit(1)).as("n_items"))
+        .orderBy("reg")
+    }
+  )
+}

@@ -784,6 +784,87 @@ object Text {
         .select(col("tok"), col("n").as("true_n"), col("est"),
           when(col("est") >= col("n"), 1).otherwise(0).as("ok"))
         .orderBy("tok")
+    },
+
+    // Pointwise mutual information over document-level token
+    // co-occurrence — the association score behind collocation mining
+    // and word-embedding objectives. Counts (c1, c2, c12, N) are exact
+    // ints; the PMI ratio (c12·N)/(c1·c2) is one IEEE divide of
+    // integer-valued doubles (bit-identical cross-engine) and ln() goes
+    // through the same decimal(20,9) rounding hop agg_entropy pins.
+    // Scale: presence is one distinct on (doc, tok); the pair join is
+    // presence⋈presence on doc_id — vocabulary-bounded fan-out, and the
+    // pair aggregate is partial+final on (t1, t2).
+    Decl("cooccur_pmi",
+      """WITH pres AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+        |df AS (SELECT tok, COUNT(*) AS df FROM pres GROUP BY tok),
+        |pair AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c12
+        |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok)
+        |SELECT t1, t2, c12,
+        |  CAST(CAST(CAST(ln((CAST(c12 AS DOUBLE) * nd) /
+        |      (CAST(d1.df AS DOUBLE) * d2.df)) AS VARCHAR)
+        |    AS DECIMAL(20,9)) AS DOUBLE) AS pmi9
+        |FROM pair, n
+        |JOIN df d1 ON t1 = d1.tok JOIN df d2 ON t2 = d2.tok
+        |WHERE c12 >= 5 ORDER BY t1, t2""".stripMargin) { (s, d) =>
+      // presence feeds a SELF-join plus two aggregates — materialize it
+      // once (the simjoin_prefix lesson: differently-aliased subtrees
+      // get no ReusedExchange and re-execute the scan per side).
+      val pres = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok")).distinct()
+        .localCheckpoint()
+      val nd = Tables.documents(s, d)
+        .agg(countDistinct("doc_id").as("nd"))
+      val df = pres.groupBy("tok").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      val pair = pres.as("a")
+        .join(pres.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      pair.crossJoin(broadcast(nd))
+        .join(broadcast(df.select(col("tok").as("t1"), col("df").as("df1"))),
+          Seq("t1"))
+        .join(broadcast(df.select(col("tok").as("t2"), col("df").as("df2"))),
+          Seq("t2"))
+        .select(col("t1"), col("t2"), col("c12"),
+          log((col("c12").cast(DoubleType) * col("nd")) /
+            (col("df1").cast(DoubleType) * col("df2")))
+            .cast(DecimalType(20, 9)).cast(DoubleType).as("pmi9"))
+        .orderBy("t1", "t2")
+    },
+
+    // Inverted index — token → document-frequency, total occurrences,
+    // and the head of the sorted posting list (first 20 doc ids). The
+    // fixture vocabulary is small and dense, so whole posting lists
+    // would be ~every doc id; pinning the sorted head keeps the output
+    // bounded while still value-checking postings order. Scale: a real
+    // Zipf corpus emits (tok, doc, tf) from one explode+agg, and the
+    // posting list is a collect over the (tok) shuffle — per-token
+    // memory is the posting run, which production engines segment;
+    // the head-slice here is that segmentation's first block.
+    Decl("inverted_index",
+      """WITH occ AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (SELECT tok, doc_id, COUNT(*) AS tf
+        |      FROM occ GROUP BY tok, doc_id)
+        |SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS n_occ,
+        |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20),
+        |    ',') AS postings_head
+        |FROM p GROUP BY tok ORDER BY tok""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("tf").as("n_occ"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+            ",").as("postings_head"))
+        .orderBy("tok")
     }
   )
 }

@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "agg_chi2", // broadcast single-row (n, k) totals cross
     "time_resample_ffill", // distinct-keys × 48-bucket grid cross (tiny)
     "time_resample_interp", // same grid scaffold
-    "text_unigram_nll") // broadcast single-row token-total scalar cross
+    "text_unigram_nll", // broadcast single-row token-total scalar cross
+    "cooccur_pmi", // broadcast single-row doc-count scalar cross
+    "target_encode") // broadcast single-row global-prior scalar cross
 
   private val maxShuffles = 6
 
