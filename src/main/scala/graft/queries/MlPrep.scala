@@ -382,6 +382,35 @@ object MlPrep {
             .cast(DoubleType) /
             ((col("n") + 10) * col("nn")).cast(DoubleType)).as("enc_cents"))
         .orderBy("cat")
+    },
+
+    // Equal-frequency binning (decile bucketing) of a numeric feature —
+    // the discretizer feeding gradient-boosted trees and calibration
+    // curves. ntile over a TOTAL order (price cents, then key — the
+    // tie-break makes bucket membership deterministic), then per-bucket
+    // edges/counts. All integers. Scale: a global ntile is a full sort;
+    // the production path is approx quantile cutpoints + a map-side
+    // bucket lookup — this exact form is the oracle for that path, and
+    // the output (10 rows of edges) is what actually ships.
+    Decl("feature_quantile_bucket",
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    ntile(10) OVER (ORDER BY CAST(CAST(o_totalprice AS
+        |      DECIMAL(18,2)) * 100 AS BIGINT), o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n, MIN(cents) AS lo, MAX(cents) AS hi
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), cents.as("cents"))
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy("cents", "o_orderkey")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"),
+          max("cents").as("hi"))
+        .orderBy("bucket")
     }
   )
 }

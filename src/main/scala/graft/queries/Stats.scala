@@ -485,6 +485,63 @@ object Stats {
               element_at(arr, (n / 2).cast(IntegerType) + 1)) / lit(2.0))
             .as("roll_med"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Two-proportion z-test (A/B experiment readout): variant = user_id
+    // parity, conversion = user ever fired a purchase event. The four
+    // counts are exact integers; z is evaluated with the SAME
+    // left-associative IEEE tree in both engines (each /,*,−,sqrt is
+    // correctly rounded, so mirrored trees are bit-identical — the
+    // agg_moments precedent), then passed through the decimal(20,9)
+    // quantization hop as defense in depth. Scale: one partial+final
+    // per-user aggregate, then a 4-integer reduce — the entire
+    // statistical readout ships 2 rows regardless of corpus size.
+    Decl("ab_test_z",
+      """WITH u AS (SELECT user_id, user_id % 2 AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        |  FROM u)
+        |SELECT n0, n1, c0, c1,
+        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
+        |  CAST(CAST(CAST(
+        |    ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+        |     (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))) /
+        |    sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) END AS z9
+        |FROM g""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("c"))
+        .withColumn("v", col("user_id") % 2)
+      val g = u.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 0, col("c").cast(LongType)).otherwise(0L))
+          .as("c0"),
+        sum(when(col("v") === 1, col("c").cast(LongType)).otherwise(0L))
+          .as("c1"))
+      val dbl = (c: Column) => c.cast(DoubleType)
+      val p = dbl(col("c0") + col("c1")) / dbl(col("n0") + col("n1"))
+      val z = ((dbl(col("c1")) / dbl(col("n1"))) -
+        (dbl(col("c0")) / dbl(col("n0")))) /
+        sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / dbl(col("n0")) + lit(1.0) / dbl(col("n1"))))
+      // degenerate experiment (nobody / everybody converted): se = 0,
+      // z undefined — NULL in both engines, and ANSI mode must never
+      // see the division (hence the guard OUTSIDE the cast chain)
+      g.select(col("n0"), col("n1"), col("c0"), col("c1"),
+        when(col("c0") + col("c1") === 0 ||
+          col("c0") + col("c1") === col("n0") + col("n1"), lit(null))
+          .otherwise(z.cast(DecimalType(20, 9)).cast(DoubleType))
+          .as("z9"))
     }
   )
 }

@@ -496,6 +496,52 @@ object Warehouse {
         .orderBy("node")
     },
 
+    // Jaccard node similarity on the supplier co-order graph — the
+    // link-prediction / entity-matching primitive: for every pair with
+    // at least one shared neighbor, |N(a)∩N(b)| / |N(a)∪N(b)|. The
+    // wedge self-join enumerates only co-neighbor pairs (never all
+    // pairs); the threshold is integer cross-multiplication
+    // (10·common ≥ union ⇔ J ≥ 0.1 — the repo-wide exactness rule), so
+    // every emitted number is an exact integer. Scale: wedge count is
+    // Σ deg², the triangle-counting bound; degree-cap or sampling
+    // guards apply exactly as in graph_triangles.
+    Decl("graph_jaccard",
+      """WITH pe AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 50 = 0),
+        |deg AS (SELECT x, COUNT(*) AS dg FROM pe GROUP BY x),
+        |com AS (SELECT e1.x AS a, e2.x AS b, COUNT(*) AS common
+        |  FROM pe e1 JOIN pe e2 ON e1.y = e2.y AND e1.x < e2.x
+        |  GROUP BY e1.x, e2.x)
+        |SELECT a, b, common, da.dg AS deg_a, db.dg AS deg_b,
+        |  da.dg + db.dg - common AS unions
+        |FROM com JOIN deg da ON da.x = a JOIN deg db ON db.x = b
+        |WHERE 10 * common >= da.dg + db.dg - common
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val ed = supplierEdges(s, d).localCheckpoint(true)
+      // attach each node's degree to its edges ONCE, before the wedge
+      // join — degrees then ride along and the post-aggregation joins
+      // disappear (2 fewer shuffles than the join-back formulation);
+      // deg_a/deg_b are constant per node, so first() under the pair
+      // groupBy is deterministic
+      val deg = ed.groupBy("x").agg(count(lit(1)).as("dg"))
+      val edN = ed.join(deg, "x").localCheckpoint(true)
+      val com = edN
+        .select(col("x").as("a"), col("y"), col("dg").as("deg_a"))
+        .join(edN.select(col("x").as("b"), col("y"), col("dg").as("deg_b")),
+          Seq("y"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common"), first("deg_a").as("deg_a"),
+          first("deg_b").as("deg_b"))
+      com
+        .withColumn("unions", col("deg_a") + col("deg_b") - col("common"))
+        .filter(lit(10) * col("common") >= col("unions"))
+        .select("a", "b", "common", "deg_a", "deg_b", "unions")
+        .orderBy("a", "b")
+    },
+
     // 2-D skyline (Pareto frontier): suppliers not dominated on
     // (lineitem count, max single-item price) — both maximized, the
     // price in exact cents so every comparison is integer (the two

@@ -106,6 +106,33 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Rank-distribution analytics: percent_rank and cume_dist per
+    // priority class over a TOTAL order (price cents, then key). Both
+    // are single IEEE divides of exact integer ranks — (rank−1)/(n−1)
+    // and rank/n — so cross-engine bit-identical without quantization.
+    // Scale: one window shuffle on the partition key, same profile as
+    // every other ranked window here.
+    Decl("window_cume_dist",
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |  o_orderkey)
+        |ORDER BY o_orderpriority, prank, o_orderkey""".stripMargin) {
+      (s, d) =>
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(cents, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderpriority", "prank", "o_orderkey")
+    },
+
     // B21: CUBE over (returnflag, linestatus) — all 4 grouping sets, with
     // a grouping id distinguishing subtotal levels ('(all)' marks rollups).
     Decl("rollup_cube",
