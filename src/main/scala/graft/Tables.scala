@@ -32,18 +32,36 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses
-    * by default (PARQUET_TYPE_ILLEGAL) and DuckDB silently truncates to µs.
-    * Recipe (SURVEY.md §1.4): read nanos as long, integer-divide by 1000
-    * (`DIV`, exact on int64 — a double division would lose precision above
-    * 2^53) and rebuild a µs timestamp. The result is bit-identical to
-    * DuckDB's truncation, so oracle queries can compare on `ts` directly.
-    * The raw nanos value stays available as `ts_ns`.
+  /** `events.ts` has shipped in two parquet encodings across fixture
+    * generations, so the loader normalizes both to a session-tz
+    * `TimestampType` column (all downstream queries and the DuckDB
+    * oracles assume µs-precision epoch semantics, session tz = UTC):
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark 4 refuses it by default
+    *    (PARQUET_TYPE_ILLEGAL) and DuckDB silently truncates to µs.
+    *    Recipe (SURVEY.md §1.4): read nanos as long, integer-divide by
+    *    1000 (`DIV`, exact on int64 — a double division would lose
+    *    precision above 2^53) and rebuild a µs timestamp — bit-identical
+    *    to DuckDB's truncation.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    *    TIMESTAMP_NTZ; cast to TimestampType (session tz is UTC
+    *    everywhere in this repo) so `unix_micros`/`window()` work and
+    *    epoch values match DuckDB's `epoch_us` on the naive timestamp.
+    *
+    * The raw nanos value stays available as `ts_ns` in both cases.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ => // already session-tz TimestampType
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }
