@@ -291,6 +291,30 @@ object CatalogIO {
           sum(size(split(col("text"), " ")).cast(LongType)).as("n_toks"),
           sum(length(col("text")).cast(LongType)).as("n_chars"))
         .orderBy("source")
+    },
+
+    // ORC sink round-trip — the same write→read contract as
+    // sink_parquet on the warehouse's other columnar format (Hive's
+    // default; scan_orc covers the read-only path). The aggregate is
+    // recomputed relationally by the oracle; the round-trip proves the
+    // ORC writer/reader preserve types (incl. the decimal-exact sum
+    // carried as DOUBLE). Scale: columnar + zlib, one file per shuffle
+    // partition of the 3-row aggregate — the memoized write keeps the
+    // bench measuring the read path, like the other sinks.
+    Decl("sink_orc",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        |       AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "sink_orders_orc")
+      Catalog.once(s, d, path) {
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .write.mode("overwrite").format("orc").save(path)
+      }
+      s.read.orc(path).orderBy("o_orderstatus")
     }
   )
 }

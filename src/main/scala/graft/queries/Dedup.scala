@@ -778,6 +778,67 @@ object Dedup {
           levenshtein(col("a.pre"), col("b.pre")).as("lev"))
         .filter(col("lev") <= 10)
         .orderBy("d1", "d2")
+    },
+
+    // Cross-document duplicated-SPAN audit — the C4/CCNet exact
+    // sub-document dedup signal: chunk every doc into consecutive
+    // fixed-length token spans, find spans occurring in >= 2 DISTINCT
+    // docs corpus-wide, and report each doc's duplicated-span fraction
+    // (the "remove spans seen elsewhere" decision input). Span length 3
+    // here because the fixture vocabulary is ~40 words (real pipelines
+    // use 50-100-token spans; the dataflow is identical).
+    // Scale shape: chunking is map-side (one explode), the dup-span set
+    // is ONE hash aggregate on the span key, and the verdict re-joins
+    // spans to that set on the same key — two shuffles total, all keys
+    // content-derived, never O(n²). At 100 TB the span string would be
+    // xxhash64-compressed before the shuffle (halves shuffle bytes);
+    // kept as the raw string here so the DuckDB oracle shares the key.
+    Decl("dedup_span",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |spans AS (SELECT doc_id,
+        |    array_to_string(list_slice(tks, i * 3 + 1, i * 3 + 3), ' ')
+        |      AS span
+        |  FROM toks,
+        |    UNNEST(range(0, CAST(ceil(n / 3.0) AS BIGINT))) AS u(i)),
+        |dup AS (SELECT span FROM spans GROUP BY span
+        |        HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_spans,
+        |  CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS dup_frac
+        |FROM spans s LEFT JOIN dup d ON s.span = d.span
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val SpanTok = 3
+      val spans = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .withColumn("n", size(col("tks")))
+        .select(col("doc_id"), col("tks"),
+          explode(sequence(lit(0L),
+            ceil(col("n") / lit(SpanTok.toDouble)).cast(LongType) - 1))
+            .as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tks"),
+            (col("i") * SpanTok + 1).cast(IntegerType), lit(SpanTok)))
+            .as("span"))
+      // materialize: spans feeds BOTH the dup-set agg and the verdict
+      // join; without it Spark re-runs the chunking scan per side.
+      val sp = spans.localCheckpoint()
+      val dup = sp.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("span"), lit(1).as("is_dup"))
+      sp.join(dup, Seq("span"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("is_dup"), lit(0)).cast(LongType))
+            .as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast(DoubleType) / col("n_spans"))
+            .as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 

@@ -111,6 +111,51 @@ object Sketches {
             .as("max_rho"),
           count(lit(1)).as("n_items"))
         .orderBy("reg")
+    },
+
+    // HLL MERGEABILITY, value-level proved: build one register table
+    // PER GROUP (order status — the per-shard / per-day sketches a
+    // distributed pipeline keeps), merge them with register-wise MAX,
+    // and emit the merged registers next to the registers built
+    // directly over the union. rho_merged = rho_direct on every row —
+    // the algebraic property that lets 1000 executors sketch
+    // independently and combine with a 2^p-row shuffle instead of
+    // re-scanning 100 TB. All integer arithmetic on the shared sha60
+    // hash, so DuckDB replays it exactly.
+    Decl("sketch_hll_merge", {
+      val h = sqlSha60("'hll:' || CAST(o_custkey AS VARCHAR)")
+      s"""WITH hs AS (SELECT o_orderstatus AS g, $h AS h FROM orders),
+         |r AS (SELECT g, h % $HllRegs AS reg, h // $HllRegs AS w FROM hs),
+         |per_g AS (SELECT g, reg,
+         |    MAX(CASE WHEN w = 0 THEN ${HllRhoBits + 1}
+         |        ELSE $HllRhoBits - length(bin(w)) + 1 END) AS rho
+         |  FROM r GROUP BY g, reg),
+         |merged AS (SELECT reg, MAX(rho) AS rho_merged
+         |           FROM per_g GROUP BY reg),
+         |direct AS (SELECT reg,
+         |    MAX(CASE WHEN w = 0 THEN ${HllRhoBits + 1}
+         |        ELSE $HllRhoBits - length(bin(w)) + 1 END) AS rho_direct
+         |  FROM r GROUP BY reg)
+         |SELECT m.reg, rho_merged, rho_direct,
+         |  CAST(rho_merged = rho_direct AS INTEGER) AS agree
+         |FROM merged m JOIN direct d ON m.reg = d.reg
+         |ORDER BY m.reg""".stripMargin
+    }) { (s, d) =>
+      val h = sha60(concat(lit("hll:"), col("o_custkey").cast(StringType)))
+      val rho = max(when(col("w") === 0, HllRhoBits + 1)
+        .otherwise(lit(HllRhoBits) - length(bin(col("w"))) + 1))
+      val r = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("g"),
+          (h % HllRegs).as("reg"), shiftright(h, 8).as("w"))
+        .localCheckpoint() // feeds both the per-group and direct aggs
+      val perG = r.groupBy("g", "reg").agg(rho.as("rho"))
+      val merged = perG.groupBy("reg").agg(max(col("rho")).as("rho_merged"))
+      val direct = r.groupBy("reg").agg(rho.as("rho_direct"))
+      merged.join(direct, "reg")
+        .select(col("reg"), col("rho_merged"), col("rho_direct"),
+          (col("rho_merged") === col("rho_direct")).cast(IntegerType)
+            .as("agree"))
+        .orderBy("reg")
     }
   )
 }

@@ -102,6 +102,27 @@ object StreamingBatch {
           unix_micros(col("window.start")).as("h_us"),
           col("open"), col("high"), col("low"), col("close"), col("n"))
         .orderBy("event_type", "h_us")
+    },
+
+    // Stream-stream interval join, batch-replayed through the SAME
+    // library function the streaming form uses (Streaming.clickErrorJoin;
+    // withWatermark is a no-op on a batch frame): each click joined to
+    // the same user's errors in the following 5 minutes. StreamingSpec
+    // proves the MemoryStream run converges to this answer; this Decl
+    // value-oracles it. Scale: equi-key on user_id carries the shuffle,
+    // the time-range predicate is a post-join filter per user — and on
+    // a real stream the two-sided watermark is what bounds join state.
+    Decl("stream_join",
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+        |FROM events c JOIN events e ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND e.event_type = 'error'
+        |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+        |ORDER BY click_id, error_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.streaming.Streaming.clickErrorJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"))
+        .orderBy("click_id", "error_id")
     }
   )
 }

@@ -865,6 +865,50 @@ object Text {
           array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
             ",").as("postings_head"))
         .orderBy("tok")
+    },
+
+    // Character-level Shannon entropy per document — the gibberish /
+    // encoding-noise filter (low entropy = repeated filler, high =
+    // random bytes; natural text sits in a narrow band). Splitting on
+    // the empty regex yields one element per char in BOTH engines
+    // (Spark split = java.util.regex, DuckDB string_split_regex).
+    // Each p·ln p term is quantized at DECIMAL(20,9) before the exact
+    // decimal sum — the repo's cross-engine idiom for ln() (Spark
+    // StrictMath vs DuckDB libm differ by 1 ulp on some args; the 1e-9
+    // quantum is nine orders above that drift). Scale: explode is
+    // char-count linear (map-side), then two hash aggregates keyed by
+    // (doc_id, char) and doc_id — partial+final, no skew beyond doc
+    // length itself.
+    Decl("text_char_entropy",
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '')) AS c
+        |  FROM documents WHERE text IS NOT NULL),
+        |cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        |       FROM ch GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, CAST(SUM(CAST(k AS BIGINT)) AS DOUBLE) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM cc GROUP BY doc_id)
+        |SELECT cc.doc_id, CAST(n AS BIGINT) AS n_chars, n_distinct,
+        |  -CAST(SUM(CAST(CAST((k / n) * ln(k / n) AS VARCHAR)
+        |    AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+        |FROM cc JOIN n ON cc.doc_id = n.doc_id
+        |GROUP BY cc.doc_id, n, n_distinct
+        |ORDER BY cc.doc_id""".stripMargin) { (s, d) =>
+      val cc = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c")
+        .agg(count(lit(1)).cast(DoubleType).as("k"))
+      val n = cc.groupBy(col("doc_id").as("nd"))
+        .agg(sum(col("k").cast(LongType)).cast(DoubleType).as("n"),
+          count(lit(1)).as("n_distinct"))
+      val p = col("k") / col("n")
+      cc.join(n, col("doc_id") === col("nd"))
+        .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+        .agg((-sum((p * log(p)).cast(DecimalType(20, 9)))
+          .cast(DoubleType)).as("entropy"))
+        .select(col("doc_id"), col("n").cast(LongType).as("n_chars"),
+          col("n_distinct"), col("entropy"))
+        .orderBy("doc_id")
     }
   )
 }
