@@ -443,6 +443,48 @@ object Dedup {
         .crossJoin(broadcast(sizes.agg(max(col("cs")).as("max_cluster"))))
     },
 
+    // Quality-ranked cluster representatives — the dedup policy real
+    // LLM pipelines actually want: within each near-dup cluster keep
+    // the BEST document (here: longest, ties to the smallest id), not
+    // the arbitrary first-seen one. Reuses the same label-propagation
+    // components as dedup_near_keep; the representative pick is one
+    // row_number window over the label key (cluster-cardinality data,
+    // tiny next to the corpus). Oracle re-derives the full closure via
+    // the recursive CTE and picks identically.
+    Decl("dedup_cluster_rep",
+      s"""WITH RECURSIVE $sqlNearDupCtes,
+         |edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.3),
+         |bidir AS (SELECT d1, d2 FROM edges
+         |          UNION SELECT d2, d1 FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT r.src, b.d2 FROM reach r JOIN bidir b ON r.dst = b.d1),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS label
+         |         FROM reach GROUP BY src),
+         |ranked AS (SELECT c.label, c.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.label
+         |      ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY c.label) AS cluster_size
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT label, cluster_size, doc_id AS rep_doc_id,
+         |  n_chars AS rep_n_chars
+         |FROM ranked WHERE rn = 1 AND cluster_size >= 2
+         |ORDER BY label""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labels = nearDupComponents(docs)
+      val w = Window.partitionBy("label")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("label")))
+        .filter(col("rn") === 1 && col("cluster_size") >= 2)
+        .select(col("label"), col("cluster_size"),
+          col("doc_id").as("rep_doc_id"), col("n_chars").as("rep_n_chars"))
+        .orderBy("label")
+    },
+
     // Recency dedup — keep the NEWEST event per (user, hour): the
     // snapshot-compaction primitive (CDC upserts, profile updates,
     // "latest state wins" feeds). One shuffle on the composite key;
