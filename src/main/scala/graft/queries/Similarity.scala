@@ -107,7 +107,7 @@ object Similarity {
       .filter(m => Integer.bitCount(m) <= LshProbeRadius).map(_.toLong)
 
   /** Sign-LSH bucket id: bit i = sign of dot with plane i. */
-  private def lshBucketOf(emb: Column): Column =
+  private[graft] def lshBucketOf(emb: Column): Column =
     lshPlanes.zipWithIndex.map { case (p, i) =>
       when(dotConst(emb, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

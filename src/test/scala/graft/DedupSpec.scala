@@ -233,4 +233,43 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"all ${pairs.length} pairs are id-adjacent — blocking is content-" +
         "keyed, so distant planted dups must surface")
   }
+
+  test("dedup_cluster_rep: representative is the longest doc in its " +
+    "cluster (tie: lowest id), clusters are ≥2 and reps distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val reps = SparkEntry.queries("dedup_cluster_rep")(spark, dir).collect()
+    assert(reps.nonEmpty, "fixture corpus has near-dup clusters at sf0.001")
+    assert(reps.map(_.getLong(2)).distinct.length == reps.length)
+    // recompute cluster membership and check each rep dominates it
+    val labels = Dedup.nearDupComponents(
+      Tables.documents(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nChars = Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps.foreach { r =>
+      val (label, size, repId, repChars) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = labels.filter(_._2 == label).keys.toSeq
+      assert(members.size == size && size >= 2)
+      assert(labels(repId) == label)
+      assert(members.forall(m => nChars(m) < repChars ||
+        (nChars(m) == repChars && m >= repId)),
+        s"rep $repId is not the (n_chars DESC, doc_id ASC) max of $label")
+    }
+  }
+
+  test("dedup_span: duplicated-span fraction is sound (injected " +
+    "cross-doc span is counted on both docs)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dedup_span")(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dup >= 0 && dup <= n)
+      assert(math.abs(frac - dup.toDouble / n) < 1e-12)
+    }
+    // corpus-level: some cross-doc duplication exists in the fixtures
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "3-token spans over a ~40-word vocabulary must collide across docs")
+  }
 }

@@ -159,4 +159,26 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rows.length))
     }
   }
+
+  test("dedup_semantic blocking is sound: per-bucket pair counts equal " +
+    "a direct recount, and an exact duplicate shares its bucket") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val buckets = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.queries.Similarity.lshBucketOf(col("embedding")).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // an identical vector trivially hashes to the same bucket — the
+    // zero-false-negative floor of sign-LSH blocking
+    assert(buckets.nonEmpty)
+    val expected = buckets.toSeq.groupBy(_._2).map { case (b, vs) =>
+      val ids = vs.map(_._1)
+      val probes = ids.filter(_ % 20 == 0)
+      b -> probes.map(p => ids.count(v => v > p)).sum.toLong
+    }.filter(_._2 > 0)
+    val got = SparkEntry.queries("dedup_semantic")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"blocked-join pair counts diverge from recount:\n$got\nvs $expected")
+  }
 }
