@@ -315,6 +315,65 @@ object CatalogIO {
           .write.mode("overwrite").format("orc").save(path)
       }
       s.read.orc(path).orderBy("o_orderstatus")
+    },
+
+    // SCHEMA EVOLUTION read: two parquet batches written under one
+    // root with different schemas (the later batch adds `lang` — the
+    // add-a-column migration every long-lived table goes through),
+    // read back as ONE table via mergeSchema + partition discovery
+    // (batch id from the directory). Early-batch rows surface NULL for
+    // the added column; the oracle rebuilds the same union
+    // relationally. Scale: schema merge touches FOOTERS only (one
+    // task per file), never data pages; the b=… layout is the same
+    // partition-discovery machinery A7-A9 pin.
+    Decl("scan_evolved",
+      """SELECT COALESCE(lang, 'pre-migration') AS lang,
+        |  COUNT(*) AS n, CAST(SUM(len(text)) AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT text, lang FROM documents WHERE doc_id % 2 = 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = Catalog.scratch(d, "scan_evolved_docs")
+      Catalog.once(s, d, path) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$path/b=1")
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(s"$path/b=2")
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("lang"), lit("pre-migration")).as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast(LongType)).as("n_chars"))
+        .orderBy("lang")
+    },
+
+    // Small-file COMPACTION — the table-maintenance pass (OPTIMIZE /
+    // rewrite_data_files) that keeps scan task counts sane: a
+    // 64-way-fragmented copy of documents is rewritten into 2 files,
+    // and the query reads the compacted layout (CatalogSpec pins the
+    // before/after file counts; at 100 TB the repartition target comes
+    // from bytes-per-file, not a constant). Row-for-row content parity
+    // with the source is what the oracle checks.
+    Decl("sink_compact",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val frag = Catalog.scratch(d, "compact_in")
+      val compact = Catalog.scratch(d, "compact_out")
+      Catalog.once(s, d, compact) {
+        Tables.documents(s, d).repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        s.read.parquet(frag).repartition(2)
+          .write.mode("overwrite").parquet(compact)
+      }
+      s.read.parquet(compact)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast(LongType)).as("n_chars"))
+        .orderBy("source")
     }
   )
 }

@@ -123,6 +123,25 @@ object StreamingBatch {
           ev.filter(col("event_type") === "click"),
           ev.filter(col("event_type") === "error"))
         .orderBy("click_id", "error_id")
+    },
+
+    // Stream ⋈ static enrichment through the SAME library function the
+    // MemoryStream spec drives (Streaming.enrichWithDim): every event
+    // tagged with its user's market segment from the customer
+    // dimension (events.user_id lives inside the c_custkey domain).
+    // The static side broadcasts and is re-planned per micro-batch on
+    // a real stream — no join state, no watermark needed; unmatched
+    // users fall back to 'unknown' (exercised by the left join).
+    Decl("stream_enrich",
+      """SELECT e.event_id, e.user_id,
+        |  COALESCE(c.c_mktsegment, 'unknown') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      graft.streaming.Streaming.enrichWithDim(Tables.events(s, d), dim)
+        .orderBy("event_id")
     }
   )
 }

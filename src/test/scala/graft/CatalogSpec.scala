@@ -304,4 +304,5 @@ class CatalogSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
 }

@@ -352,4 +352,18 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     assert(t.filter(col("triangles") <= 0).count() === 0)
     t.unpersist()
   }
+
+  test("sink_compact rewrites the 64-file fragmented copy into 2 files " +
+    "with identical content") {
+    q("sink_compact").collect() // arm the memoized write
+    val frag = graft.Catalog.scratch(sf, "compact_in")
+    val compact = graft.Catalog.scratch(sf, "compact_out")
+    def parquetFiles(p: String): Int =
+      spark.read.parquet(p).inputFiles.length
+    assert(parquetFiles(frag) > 2, "fragmented input must be many files")
+    assert(parquetFiles(compact) == 2)
+    val a = spark.read.parquet(frag).orderBy("doc_id").collect()
+    val b = spark.read.parquet(compact).orderBy("doc_id").collect()
+    assert(a.sameElements(b), "compaction must preserve content")
+  }
 }
