@@ -82,11 +82,14 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
   /** Stream ⋈ static enrichment — the dimension-lookup shape: the
-    * static side is re-planned per micro-batch (broadcast here, since
-    * dimensions are small), and no join state accumulates — unlike
-    * stream-stream joins this needs no watermark at all. */
+    * static side is re-planned per micro-batch and no join state
+    * accumulates — unlike stream-stream joins this needs no watermark
+    * at all. NO broadcast hint: the dimension is sf-proportional
+    * (customer), so the strategy must stay size-driven — the planner
+    * broadcasts it at test scale on its own and demotes to a shuffle
+    * join when the dim outgrows the threshold at 100 TB. */
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), Seq("user_id"), "left")
+    events.join(dim, Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"),
         coalesce(col("segment"), lit("unknown")).as("segment"))
 

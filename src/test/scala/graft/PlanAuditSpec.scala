@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   private val unhintedBroadcastJoins = Seq(
     "join_inner", "join_multi", "join_5way",
     "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q14", "tpch_q18")
+    "tpch_q10", "tpch_q14", "tpch_q18",
+    "stream_enrich") // sf-proportional customer dim, hint-free
 
   unhintedBroadcastJoins.foreach { name =>
     test(s"$name: planner picks broadcast-hash join unhinted at test scale") {
