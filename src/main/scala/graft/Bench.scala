@@ -32,17 +32,25 @@ object Bench {
         broadcast(spark.range(97).select(col("id").as("k"))), "k")
         .orderBy(col("count").desc).limit(5).count()
     }
+    // SPARK_GRAFT_REPEAT=n executes each query n times in this JVM and
+    // reports name, name#2, ... — isolated-profiling aid that separates a
+    // query's one-time costs (first-touch parquet footer reads + codegen
+    // compile land on execution #1) from its steady-state plan cost
+    // (execution #2+). The driver harness leaves it unset (n=1).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      name -> sec
+      .flatMap { case (name, fn) =>
+      (1 to repeat).map { i =>
+        val t0 = System.nanoTime()
+        val sec =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        (if (i == 1) name else s"$name#$i") -> sec
+      }
     }
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
