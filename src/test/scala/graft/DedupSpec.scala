@@ -138,6 +138,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(labels(2L) == 2L, s"unrelated doc must stay its own: $labels")
   }
 
+  test("nearDupComponentsFor memo is keyed per data root (no cross-sf " +
+    "leak) and returns the identical cached frame on a repeat call") {
+    val a = Dedup.nearDupComponentsFor(spark, "/root/testdata/sf0.001")
+    // sf0.1 (5000 docs) vs sf0.001 (500 docs): the corpora differ in
+    // cardinality, so a leaked memo is visible as an equal row count
+    // (sf0.01 also has 500 docs — unusable as the discriminator here)
+    val b = Dedup.nearDupComponentsFor(spark, "/root/testdata/sf0.1")
+    assert(a.count() != b.count(),
+      s"memo leaked across data roots: both ${a.count()} rows")
+    assert(a.count() ==
+      Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // repeat call must be the SAME cached object — reference equality is
+    // the whole point (one label-propagation run per (app, dir))
+    assert(Dedup.nearDupComponentsFor(spark, "/root/testdata/sf0.001") eq a)
+    // and the memoized frame agrees with a fresh unmemoized computation
+    val fresh = Dedup.nearDupComponents(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(a.orderBy("doc_id").collect().toSeq
+      == fresh.orderBy("doc_id").collect().toSeq)
+  }
+
   test("signatures are invariant under repartitioning") {
     def sigOf(np: Int) =
       Dedup.signatures(docsWithDup.repartition(np)).collect()
@@ -181,6 +202,40 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       a <- 0L until n.toLong; b <- (a + 1) until n.toLong
     } yield (a, b)).toSet
     assert(pairs == clique, s"expected full clique of ${clique.size} pairs")
+  }
+
+  test("skewed corpus engages BOTH split branches and completes: " +
+    "2048 replicas of one doc over the real corpus") {
+    import spark.implicits._
+    // the degenerate-corpus shape BucketCap exists for: one document
+    // replicated far past the cap, mixed into the real fixture corpus.
+    // All replica band rows must route to the self-join branch (16
+    // bands × n rows), the untouched corpus must stay on the grouped
+    // branch, and candidate generation must complete with the exact
+    // clique count — n*(n-1)/2 replica pairs plus the corpus's own
+    // candidates — rather than concentrating an O(n²) expansion in one
+    // collect_list row. (The timed 10^4-replica run at sf0.1 lives in
+    // graft.SkewBench; BASELINE.md carries the number.)
+    val n = 2048
+    val rep = spark.range(n).select(
+      (col("id") + 1000000L).as("doc_id"),
+      lit("skew skew skew the same payload replicated many times over")
+        .as("text"))
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val docs = corpus.unionByName(rep)
+    val (small, big) = Dedup.splitBuckets(
+      Dedup.bands(Dedup.sigArray(docs.filter(col("text").isNotNull))),
+      Seq("band", "bhash"))
+    val bigN = big.count()
+    val smallN = small.count()
+    assert(bigN == n.toLong * 16,
+      s"all ${n * 16} replica band rows must route oversized; got $bigN")
+    assert(smallN > 0, "corpus rows must stay on the grouped branch")
+    val corpusPairs = Dedup.candidatePairs(
+      corpus.filter(col("text").isNotNull)).count()
+    val total = Dedup.candidatePairs(docs.filter(col("text").isNotNull)).count()
+    assert(total == corpusPairs + n.toLong * (n - 1) / 2,
+      "skewed run must add exactly the replica clique")
   }
 
   test("jaccard of injected dup pair is 1.0 through the verify stage") {
