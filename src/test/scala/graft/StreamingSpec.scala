@@ -276,6 +276,86 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source readStream over the events fixture: one " +
+    "AvailableNow pass ≡ batch for tumbling / session / dedup (B36-B40 " +
+    "end-to-end, not just MemoryStream)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // the real fixture through the real file source: schema from a batch
+    // footer read (streaming requires an explicit schema), ts normalized
+    // exactly as graft.Tables.events does for both fixture encodings
+    // the file source streams a DIRECTORY; the fixture is a single
+    // parquet file — expose it through a symlink dir under target/
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    val dir = java.nio.file.Paths.get(
+      "/root/repo/target/graft_io/stream_events_" +
+        src.getParent.getFileName.toString)
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    val path = dir.toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchRaw = spark.read.parquet(path)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    val stream = normalize(
+      spark.readStream.schema(batchRaw.schema).parquet(path))
+    assert(stream.isStreaming, "file source must produce a streaming frame")
+    val batch = normalize(batchRaw)
+
+    def runToSet(name: String, q: org.apache.spark.sql.DataFrame,
+        mode: String): Set[String] = {
+      val sq = q.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      spark.table(name).collect()
+        .map(_.mkString("|")).toSet
+    }
+
+    // B36: tumbling counts — complete mode (no watermark: one pass over
+    // a finite source; final complete output is the whole aggregate)
+    val tumbled = runToSet("fs_tumble",
+      Streaming.tumblingCounts(stream)
+        .select(col("window.start").cast("long").as("ws"),
+          col("event_type"), col("n")), "complete")
+    val tumbleBatch = Streaming.tumblingCounts(batch)
+      .select(col("window.start").cast("long").as("ws"),
+        col("event_type"), col("n"))
+      .collect().map(_.mkString("|")).toSet
+    assert(tumbled == tumbleBatch,
+      s"tumbling stream≠batch: ${tumbled.size} vs ${tumbleBatch.size} rows")
+    assert(tumbled.nonEmpty)
+
+    // B38: session windows (30-min gap) per user — same expression both
+    // sides; complete mode so no session is left open in state
+    val sessions = runToSet("fs_session",
+      Streaming.sessionCounts(stream)
+        .select(col("session_window.start").cast("long").as("ss"),
+          col("user_id"), col("n_events")), "complete")
+    val sessionBatch = batch
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").cast("long").as("ss"),
+        col("user_id"), col("n_events"))
+      .collect().map(_.mkString("|")).toSet
+    assert(sessions == sessionBatch,
+      s"session stream≠batch: ${sessions.size} vs ${sessionBatch.size} rows")
+    assert(sessions.nonEmpty)
+
+    // B40: streaming dedup — append mode emits each first-seen event_id
+    val dedup = runToSet("fs_dedup",
+      stream.dropDuplicates("event_id").select(col("event_id")), "append")
+    assert(dedup.size.toLong == batch.dropDuplicates("event_id").count(),
+      "streaming dedup must keep exactly the batch-distinct id count")
+  }
+
   test("batch twin equals streaming final state (B41 oracle linkage)") {
     import spark.implicits._
     // the declared stateful_running_agg query at sf0.001 vs a direct agg
