@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * no driver involvement), and downstream ops are ordinary relational
   * plans over the extracted features.
   *
-  * The decoder itself is a clearly-marked STUB: real image/audio codecs
-  * are not in this container (per the builder brief), so `decodeStub`
-  * derives deterministic pseudo-metadata from the payload bytes. Swapping
-  * in a real codec changes only the body of that one function — the
-  * schema, batching, partitioning and query shapes stay identical.
+  * Decoders come in two tiers. `multimodal_decode_png` is a REAL
+  * binary decode: PNG payloads synthesized with the JDK codec and
+  * parsed back via `javax.imageio` (no external dependency), oracle-
+  * checked per decoded pixel sum. For codecs the JDK does not ship
+  * (video, audio), `decodeStub` is the clearly-marked stand-in deriving
+  * deterministic pseudo-metadata from payload bytes — swapping in a
+  * real codec changes only the body of that one function; the schema,
+  * batching, partitioning and query shapes are identical (the PNG path
+  * proves it).
   *
   * Scale: decode is embarrassingly parallel per partition; payload bytes
   * never pass through a wide transform before feature extraction, so the
@@ -70,6 +74,70 @@ object Multimodal {
       .as(enc)
   }
 
+  final case class PngRow(doc_id: Long, payload: Array[Byte])
+  final case class PngFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, pixel_sum: Long)
+
+  /** Deterministic pixel function for the synthesized PNGs: gray level
+    * of pixel (x, y) of asset `id`. Shared by the encoder below and
+    * (as SQL arithmetic) by the DuckDB oracle. */
+  @inline def pngGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Synthesize a REAL PNG per asset on the executors (width
+    * `id%13+1`, height `id%7+1`, gray = [[pngGray]]) — the binary
+    * payload column a real image table would carry, generated with the
+    * JDK's own codec so no new dependency enters the build. */
+  def pngOf(ids: Dataset[java.lang.Long]): Dataset[PngRow] = {
+    implicit val enc = Encoders.product[PngRow]
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val w = (id % 13 + 1).toInt
+      val h = (id % 7 + 1).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = pngGray(id, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      PngRow(id, bos.toByteArray)
+    })
+  }
+
+  /** REAL image decode — `javax.imageio` parses the PNG container and
+    * inflates the pixel data; width/height/pixel-sum are read from the
+    * decoded raster. This is the true binary-decode operator the
+    * `decodeStub` above stands in for where external codecs (video,
+    * audio) would be needed: same mapPartitions shape, real bytes in,
+    * decoded features out. PNG is lossless and TYPE_INT_RGB get/setRGB
+    * round-trips 8-bit channels exactly, so the decoded values are
+    * bit-identical to the generator arithmetic — which is what lets
+    * the DuckDB oracle check every decoded pixel sum value-for-value. */
+  def decodePng(m: PngRow): PngFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload))
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+        x += 1
+      }
+      y += 1
+    }
+    PngFeatures(m.doc_id, m.payload.length, img.getWidth, img.getHeight, s)
+  }
+
   def decls: Seq[Decl] = Seq(
 
     // Decode + feature-extract through the binary pipeline. Oracle
@@ -85,6 +153,34 @@ object Multimodal {
       mediaOf(Tables.documents(s, d))
         .mapPartitions(_.map(decodeStub))
         .select("doc_id", "n_bytes", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+
+    // REAL binary decode: PNG bytes synthesized per asset on the
+    // executors (JDK codec — see pngOf), then parsed back through
+    // javax.imageio in the same mapPartitions shape the stub decoder
+    // uses. The oracle reproduces width/height/pixel_sum from the
+    // generator arithmetic — exact because PNG is lossless. n_bytes is
+    // intentionally NOT in the result: the encoder's output size is a
+    // codec implementation detail, not decodable arithmetic.
+    Decl("multimodal_decode_png",
+      """WITH xs AS (SELECT doc_id, unnest(range(0, doc_id % 13 + 1)) AS x
+        |            FROM documents),
+        |     ys AS (SELECT doc_id, unnest(range(0, doc_id % 7 + 1)) AS y
+        |            FROM documents)
+        |SELECT xs.doc_id,
+        |  CAST(xs.doc_id % 13 + 1 AS INTEGER) AS width,
+        |  CAST(xs.doc_id % 7 + 1 AS INTEGER) AS height,
+        |  CAST(SUM(3 * ((xs.doc_id * 31 + x * 7 + y * 13) % 256))
+        |    AS BIGINT) AS pixel_sum
+        |FROM xs JOIN ys ON xs.doc_id = ys.doc_id
+        |GROUP BY xs.doc_id ORDER BY xs.doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[PngFeatures]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      pngOf(ids)
+        .mapPartitions(_.map(decodePng))
+        .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"))
         .orderBy("doc_id")
     },
 

@@ -186,4 +186,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(viaSql == viaJoins && viaSql.nonEmpty)
   }
+
+  test("multimodal_decode_png: payload is a genuine PNG container and " +
+    "the imageio round-trip decodes it exactly") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.Encoders
+    val ids = spark.range(0, 50).select(col("id").as("doc_id"))
+      .as(Encoders.LONG)
+    val rows = Multimodal.pngOf(ids).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      // PNG magic: 89 50 4E 47 0D 0A 1A 0A — the payload is a real
+      // container, not pseudo-bytes
+      val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      assert(r.payload.take(8).sameElements(magic),
+        s"doc ${r.doc_id}: not a PNG header")
+      val f = Multimodal.decodePng(r)
+      assert(f.width == (r.doc_id % 13 + 1).toInt)
+      assert(f.height == (r.doc_id % 7 + 1).toInt)
+      val expected = (for {
+        y <- 0 until f.height; x <- 0 until f.width
+      } yield 3L * Multimodal.pngGray(r.doc_id, x, y)).sum
+      assert(f.pixel_sum == expected,
+        s"doc ${r.doc_id}: decoded pixel sum ${f.pixel_sum} != $expected")
+      assert(f.n_bytes == r.payload.length)
+    }
+  }
 }

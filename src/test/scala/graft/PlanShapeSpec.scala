@@ -192,6 +192,72 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("CBO: ANALYZE'd column stats drive star-join reorder + unhinted " +
+    "broadcasts (SURVEY §4.2)") {
+    // temp views carry no catalog stats — ANALYZE needs real catalog
+    // tables, so materialize the five star tables once (sf0.001, tiny)
+    val tabs = Seq("lineitem", "orders", "customer", "nation", "region")
+    tabs.foreach { t =>
+      if (!spark.catalog.tableExists(s"graft_cbo_$t")) {
+        Tables.t(spark, sf, t).write.mode("overwrite")
+          .saveAsTable(s"graft_cbo_$t")
+        spark.sql(s"ANALYZE TABLE graft_cbo_$t COMPUTE STATISTICS " +
+          "FOR ALL COLUMNS")
+      }
+    }
+    // deliberately fact-first literal order: a syntactic planner keeps
+    // it; the cost-based reorder should restructure the tree from the
+    // per-relation row counts the ANALYZE wrote
+    val starSql =
+      """SELECT r_name, count(*) AS n FROM graft_cbo_lineitem l
+        |JOIN graft_cbo_orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_cbo_customer c ON o.o_custkey = c.c_custkey
+        |JOIN graft_cbo_nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN graft_cbo_region r   ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name""".stripMargin
+    def joinTree(cbo: Boolean): String = {
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        keys.foreach(k => spark.conf.set(k, cbo.toString))
+        spark.sql(starSql).queryExecution.optimizedPlan.toString
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val cboTree = joinTree(cbo = true)
+    val syntacticTree = joinTree(cbo = false)
+    assert(cboTree != syntacticTree,
+      "cost-based reorder must restructure the fact-first join tree:\n" +
+        cboTree)
+    // stats actually reached the leaves: every ANALYZE'd relation
+    // reports an exact row count through the CBO stats visitor
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val leaves = spark.sql(starSql).queryExecution.optimizedPlan
+        .collectLeaves()
+      val expected = tabs.map(t =>
+        Tables.t(spark, sf, t).count()).sorted
+      val reported = leaves.flatMap(_.stats.rowCount).map(_.toLong).sorted
+      assert(reported == expected,
+        s"leaf rowCount stats $reported != table counts $expected")
+      // physical: stats (not hints) pick broadcast for every dim — the
+      // fact-side join is the only shuffle join allowed
+      val phys = spark.sql(starSql).queryExecution.executedPlan.toString
+      assert(!starSql.contains("broadcast"), "no hints in the SQL")
+      assert("BroadcastHashJoin".r.findAllIn(phys).size == 4,
+        s"all 4 dims must broadcast:\n$phys")
+      assert("SortMergeJoin".r.findAllIn(phys).size +
+        "ShuffledHashJoin".r.findAllIn(phys).size <= 1, phys)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("cached view scans InMemoryTableScan and uncaches cleanly") {
     val v = "graft_cache_probe"
     Tables.nation(spark, sf).createOrReplaceTempView(v)
