@@ -48,7 +48,9 @@ object Tables {
     *    everywhere in this repo) so `unix_micros`/`window()` work and
     *    epoch values match DuckDB's `epoch_us` on the naive timestamp.
     *
-    * The raw nanos value stays available as `ts_ns` in both cases.
+    * `ts_ns` is nanos-EXACT only for the INT64 NANOS encoding; in the
+    * other branches it is reconstructed as micros×1000 (those encodings
+    * carry only micros, so no precision exists to lose).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

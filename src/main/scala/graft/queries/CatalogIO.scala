@@ -363,7 +363,11 @@ object CatalogIO {
       (s, d) =>
       val frag = Catalog.scratch(d, "compact_in")
       val compact = Catalog.scratch(d, "compact_out")
-      Catalog.once(s, d, compact) {
+      // memo keyed on BOTH outputs: the block writes frag and compact
+      // together, and WarehouseSpec reads frag back — a memo keyed on
+      // compact alone could (under future reordering or scratch
+      // cleanup) mark the pair done without the frag write existing
+      Catalog.once(s, d, s"$frag||$compact") {
         Tables.documents(s, d).repartition(64)
           .write.mode("overwrite").parquet(frag)
         s.read.parquet(frag).repartition(2)

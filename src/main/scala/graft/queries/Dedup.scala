@@ -964,8 +964,12 @@ object Dedup {
         .select(col("doc_id"), split(col("text"), " ").as("tks"))
         .withColumn("n", size(col("tks")))
         .select(col("doc_id"), col("tks"),
-          explode(sequence(lit(0L),
-            ceil(col("n") / lit(SpanTok.toDouble)).cast(LongType) - 1))
+          // greatest(0, ...) guard: split() always yields >= 1 token so
+          // n >= 1 today, but sequence(0, -1) would DESCEND ([0, -1] —
+          // two spurious spans) where DuckDB's range(0, 0) is empty;
+          // pin the agreement by construction, not by fixture shape
+          explode(sequence(lit(0L), greatest(lit(0L),
+            ceil(col("n") / lit(SpanTok.toDouble)).cast(LongType) - 1)))
             .as("i"))
         .select(col("doc_id"),
           concat_ws(" ", slice(col("tks"),

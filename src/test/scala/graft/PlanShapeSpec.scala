@@ -197,14 +197,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     // temp views carry no catalog stats — ANALYZE needs real catalog
     // tables, so materialize the five star tables once (sf0.001, tiny)
     val tabs = Seq("lineitem", "orders", "customer", "nation", "region")
-    tabs.foreach { t =>
-      if (!spark.catalog.tableExists(s"graft_cbo_$t")) {
-        Tables.t(spark, sf, t).write.mode("overwrite")
-          .saveAsTable(s"graft_cbo_$t")
-        spark.sql(s"ANALYZE TABLE graft_cbo_$t COMPUTE STATISTICS " +
-          "FOR ALL COLUMNS")
-      }
+    def dropAll(): Unit = tabs.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cbo_$t")
+      // a previous JVM's managed-table location survives the in-memory
+      // catalog — clear it or saveAsTable fails LOCATION_ALREADY_EXISTS
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), s"graft_cbo_$t")
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
     }
+    dropAll()
+    tabs.foreach { t =>
+      Tables.t(spark, sf, t).write.saveAsTable(s"graft_cbo_$t")
+      spark.sql(s"ANALYZE TABLE graft_cbo_$t COMPUTE STATISTICS " +
+        "FOR ALL COLUMNS")
+    }
+    try {
     // deliberately fact-first literal order: a syntactic planner keeps
     // it; the cost-based reorder should restructure the tree from the
     // per-relation row counts the ANALYZE wrote
@@ -256,6 +265,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
       case None => spark.conf.unset("spark.sql.cbo.enabled")
     }
+    } finally dropAll()
   }
 
   test("cached view scans InMemoryTableScan and uncaches cleanly") {

@@ -361,7 +361,12 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     def parquetFiles(p: String): Int =
       spark.read.parquet(p).inputFiles.length
     assert(parquetFiles(frag) > 2, "fragmented input must be many files")
-    assert(parquetFiles(compact) == 2)
+    // precondition for the file-count bound: repartition(2) only emits
+    // 2 non-empty files when there are >= 2 rows to spread
+    assert(spark.read.parquet(frag).count() >= 2)
+    val nc = parquetFiles(compact)
+    assert(nc <= 2 && nc < parquetFiles(frag),
+      s"compacted layout must collapse the fragmentation, got $nc files")
     val a = spark.read.parquet(frag).orderBy("doc_id").collect()
     val b = spark.read.parquet(compact).orderBy("doc_id").collect()
     assert(a.sameElements(b), "compaction must preserve content")
