@@ -238,6 +238,38 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "skewed run must add exactly the replica clique")
   }
 
+  test("saltedSelfPairs equals the naive bucket self-join: pair set, " +
+    "payload orientation, no self/duplicate pairs") {
+    import spark.implicits._
+    // ids chosen so chunk order (xxhash64 % 16) frequently DISAGREES
+    // with id order — the case a plain d1<d2 filter after the salted
+    // join would silently drop; three buckets of mixed sizes
+    val rows = (0L until 40L).map(i =>
+      (i % 3, s"b${i % 3}", i * 37 + 11, (i * 37 + 11) * 10)) ++
+      Seq((0L, "b0", 5L, 50L), (1L, "b1", 7L, 70L))
+    val big = rows.toDF("band", "bhash", "doc_id", "payload")
+    val salted = Dedup.saltedSelfPairs(
+        big, Seq("band", "bhash"), Seq("doc_id", "payload"))
+      .collect()
+    val saltedPairs = salted
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every pair ordered by doc_id, payload follows its doc
+    saltedPairs.foreach { case (d1, p1, d2, p2) =>
+      assert(d1 < d2, s"unordered pair ($d1, $d2)")
+      assert(p1 == d1 * 10 && p2 == d2 * 10,
+        s"payload must ride with its doc: ($d1,$p1) ($d2,$p2)")
+    }
+    val naive = big.select(col("band"), col("bhash"), col("doc_id").as("da"))
+      .join(big.select(col("band"), col("bhash"), col("doc_id").as("db")),
+        Seq("band", "bhash"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val saltedSet = saltedPairs.map(p => (p._1, p._3)).toSeq
+    assert(saltedSet.sorted == naive.sorted,
+      s"salted (${saltedSet.length}) != naive (${naive.length}) pair bag")
+  }
+
   test("jaccard of injected dup pair is 1.0 through the verify stage") {
     val sh = Dedup.withShingles(docsWithDup).select("doc_id", "sh")
     val j = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
