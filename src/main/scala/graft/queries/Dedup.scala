@@ -166,8 +166,11 @@ object Dedup {
     val kcols = keys.map(col)
     val big = ck.groupBy(kcols: _*).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > BucketCap)
-      .select(kcols: _*)
-    (ck.join(big, keys, "left_anti"), ck.join(big, keys, "left_semi"))
+    // the big side carries `bsz` (inner join instead of semi — same
+    // rows, same exchange count) so saltedSelfPairs can derive its
+    // per-bucket chunk count without re-aggregating bucket sizes
+    (ck.join(big.select(kcols: _*), keys, "left_anti"),
+      ck.join(big, keys))
   }
 
   /** LSH candidate pairs (d1 < d2), distinct — the content-based
@@ -181,22 +184,29 @@ object Dedup {
     * deterministically whatever order collect_list saw the rows in.
     * Returned frame is localCheckpoint'd: every caller reads it at
     * least twice (candIds + the verify join). */
-  /** Chunk count for [[saltedSelfPairs]]: an oversized bucket's rows
-    * are salted into this many chunks, so its O(n²) pair expansion
-    * runs as C(C+1)/2 = 136 chunk-pair tasks per bucket instead of one
-    * join key per band. Before salting, a 10⁴-replica bucket produced
-    * only 16 distinct join keys (one per band) — parallelism capped at
-    * 16 whatever the cluster width, max/mean task time 2.5 measured at
-    * local[4] (see graft.SkewBench + BASELINE.md round-7 note). */
-  private[graft] val SaltChunks = 16
-
   /** All distinct in-bucket pairs of the OVERSIZED bucket rows via a
     * salted self-join: each row gets a chunk id (hash of doc_id — NOT
     * doc_id mod C, which degenerates when ids share a stride), the
     * left side is replicated to chunk keys (ck, cb ≥ ck), the right to
     * (ca ≤ ck, ck), and the join key becomes (bucket, ca, cb) — so one
     * degenerate bucket fans out to C(C+1)/2 independent tasks that AQE
-    * can schedule wide. Each unordered pair {x, y} lands on exactly one
+    * can schedule wide (pre-salting, parallelism was capped at the
+    * band count whatever the cluster width — max/mean task time 2.5
+    * measured at local[4]; see graft.SkewBench + BASELINE.md round-7).
+    *
+    * The chunk count is ADAPTIVE per bucket: C = ⌈√(bsz/BucketCap)⌉
+    * clamped to [4, 256], which pins per-task pair work at roughly
+    * bsz × BucketCap comparisons regardless of how degenerate the
+    * bucket is — a fixed C would under-split a 10⁶-row bucket and
+    * over-split a barely-oversized one. Replication cost is ≤ C+1 per
+    * oversized row (bounded by the clamp). Beyond ~10⁶ identical rows
+    * exact all-pairs is intrinsically quadratic in ANY formulation —
+    * the right upstream answer is exact-dup pre-collapse
+    * (dedup_exact_keep) before MinHash, which a real 100 TB pipeline
+    * runs first; the clamp keeps this path correct (never wrong, just
+    * honest about the quadratic) in the meantime.
+    *
+    * Each unordered pair {x, y} lands on exactly one
     * chunk key: (cx, cy) ordered; same-chunk keys see both orientations
     * plus self-pairs, dropped by the id filter; cross-chunk keys see
     * one arbitrary orientation, normalized via least/greatest (a plain
@@ -205,14 +215,26 @@ object Dedup {
     * `<p>_1`/`<p>_2` ordered by doc_id. */
   private[graft] def saltedSelfPairs(big: DataFrame, keys: Seq[String],
       payload: Seq[String]): DataFrame = {
-    val C = SaltChunks
-    val base = big.select((keys ++ payload).map(col): _*)
-      .withColumn("ck", pmod(xxhash64(col("doc_id")), lit(C.toLong)).cast("int"))
-    val la = base.withColumn("cb", explode(expr(s"sequence(ck, ${C - 1})")))
-      .select(keys.map(col) ++ Seq(col("ck").as("ca"), col("cb")) ++
+    val kcols = keys.map(col)
+    // per-bucket cardinality → chunk count. splitBuckets feeds `bsz`
+    // through on the big side, so no re-aggregation appears in the
+    // plan there (PlanAuditSpec exchange caps); standalone inputs
+    // (tests, direct callers) get sizes computed here.
+    val sized =
+      if (big.columns.contains("bsz")) big
+      else big.join(
+        big.groupBy(kcols: _*).agg(count(lit(1)).as("bsz")), keys)
+    val base = sized.select((keys ++ payload :+ "bsz").map(col): _*)
+      .withColumn("nc", least(greatest(
+        ceil(sqrt(col("bsz") / lit(BucketCap.toDouble))).cast("int"),
+        lit(4)), lit(256)))
+      .withColumn("ck",
+        pmod(xxhash64(col("doc_id")), col("nc").cast("long")).cast("int"))
+    val la = base.withColumn("cb", explode(expr("sequence(ck, nc - 1)")))
+      .select(kcols ++ Seq(col("ck").as("ca"), col("cb")) ++
         payload.map(p => col(p).as(p + "_a")): _*)
-    val rb = base.withColumn("ca", explode(expr(s"sequence(0, ck)")))
-      .select(keys.map(col) ++ Seq(col("ca"), col("ck").as("cb")) ++
+    val rb = base.withColumn("ca", explode(expr("sequence(0, ck)")))
+      .select(kcols ++ Seq(col("ca"), col("ck").as("cb")) ++
         payload.map(p => col(p).as(p + "_b")): _*)
     val aFirst = col("doc_id_a") < col("doc_id_b")
     la.join(rb, keys ++ Seq("ca", "cb"))
