@@ -138,7 +138,116 @@ object Multimodal {
     PngFeatures(m.doc_id, m.payload.length, img.getWidth, img.getHeight, s)
   }
 
+  /** Images with a PLANTED duplicate structure for the perceptual-hash
+    * dedup: the pixel content is a function of `seed = doc_id % 40`, so
+    * every ~12th document carries a pixel-identical image under a
+    * different doc_id — the situation image dedup exists to find. */
+  final case class SeedPng(doc_id: Long, seed: Long, payload: Array[Byte])
+  final case class PhashRow(doc_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Fixed perceptual-hash grid edge (8×8 = 64 hash bits). */
+  private val PhashEdge = 8
+
+  /** Synthesize one real 8×8 gray PNG per (doc_id, seed) on the
+    * executors — same JDK-codec path as [[pngOf]], content keyed by
+    * `seed` (see [[pngGray]]). */
+  def pngOfSeeds(rows: Dataset[(Long, Long)]): Dataset[SeedPng] = {
+    implicit val enc = Encoders.product[SeedPng]
+    rows.mapPartitions(_.map { case (id, seed) =>
+      val img = new java.awt.image.BufferedImage(
+        PhashEdge, PhashEdge, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < PhashEdge) {
+        var x = 0
+        while (x < PhashEdge) {
+          val g = pngGray(seed, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      SeedPng(id, seed, bos.toByteArray)
+    })
+  }
+
+  /** Average-hash over the DECODED pixels: bit(y·8+x) = 1 iff
+    * 64·gray ≥ Σgray (integer compare — no division, no rounding). The
+    * 64 bits are packed into two longs (hi = bits 32-63, lo = 0-31) so
+    * the oracle's power-of-two sums stay inside signed BIGINT. A real
+    * pipeline inserts a downscale-to-8×8 before this (the resize stage
+    * `multimodal_resize` models); the hash itself is what makes image
+    * near-dup detection a plain groupBy. */
+  def avgHashPng(m: SeedPng): PhashRow = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload))
+    val g = new Array[Int](PhashEdge * PhashEdge)
+    var sum = 0L
+    var y = 0
+    while (y < PhashEdge) {
+      var x = 0
+      while (x < PhashEdge) {
+        g(y * PhashEdge + x) = (img.getRGB(x, y) >> 16) & 255
+        sum += g(y * PhashEdge + x)
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < g.length) {
+      if (64L * g(i) >= sum) {
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      }
+      i += 1
+    }
+    PhashRow(m.doc_id, hi, lo)
+  }
+
   def decls: Seq[Decl] = Seq(
+
+    // Image near-dup detection end-to-end: synthesize REAL PNGs (JDK
+    // codec, content keyed by doc_id % 40 so pixel-identical images
+    // recur under different ids), decode them back through
+    // javax.imageio, average-hash the decoded raster, and group by the
+    // 64-bit hash — duplicate clusters out. The heavy binary column
+    // dies immediately after the per-partition hash (column pruning);
+    // only (doc_id, 2 longs) ever reaches the shuffle, which is the
+    // whole scale argument for hash-based image dedup at 100 TB. The
+    // oracle replays generator arithmetic + hash packing relationally
+    // (exact: PNG is lossless, the hash is integer compares).
+    Decl("multimodal_phash",
+      s"""WITH seeds AS (SELECT DISTINCT doc_id % 40 AS seed FROM documents),
+         |g AS (SELECT seed, ty.y * $PhashEdge + tx.x AS idx,
+         |    (seed * 31 + tx.x * 7 + ty.y * 13) % 256 AS gray
+         |  FROM seeds, range(0, $PhashEdge) tx(x), range(0, $PhashEdge) ty(y)),
+         |sums AS (SELECT seed, SUM(gray) AS sg FROM g GROUP BY seed),
+         |h AS (SELECT g.seed,
+         |    CAST(SUM(CASE WHEN idx >= 32 AND 64 * gray >= sg
+         |        THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT)
+         |      AS hash_hi,
+         |    CAST(SUM(CASE WHEN idx < 32 AND 64 * gray >= sg
+         |        THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT)
+         |      AS hash_lo
+         |  FROM g JOIN sums ON g.seed = sums.seed GROUP BY g.seed)
+         |SELECT hash_hi, hash_lo, COUNT(*) AS n_images,
+         |  MIN(doc_id) AS rep_doc_id
+         |FROM (SELECT doc_id, doc_id % 40 AS seed FROM documents) dd
+         |JOIN h ON dd.seed = h.seed
+         |GROUP BY hash_hi, hash_lo
+         |ORDER BY hash_hi, hash_lo""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[PhashRow]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 40).as("seed"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      pngOfSeeds(ids)
+        .mapPartitions(_.map(avgHashPng))
+        .groupBy("hash_hi", "hash_lo")
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_doc_id"))
+        .orderBy("hash_hi", "hash_lo")
+    },
 
     // Decode + feature-extract through the binary pipeline. Oracle
     // reproduces the stub arithmetic from the text length (payload is

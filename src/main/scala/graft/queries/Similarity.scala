@@ -100,6 +100,17 @@ object Similarity {
     Seq.fill(LshNumPlanes)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
   }
 
+  /** Fixed seeded Rademacher (±1) projection matrix for the JL
+    * random-projection operator `embed_project`: 16 rows × 64 cols,
+    * shared by the Spark ConstDot kernels and the DuckDB twin (±1 is
+    * exactly representable, so both sides run the identical IEEE
+    * chain). */
+  private[graft] val RpOutDims = 16
+  private val rpPlanes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(2026)
+    Seq.fill(RpOutDims)(Seq.fill(64)(if (rnd.nextBoolean()) 1f else -1f))
+  }
+
   /** All XOR masks within [[LshProbeRadius]] bit flips — the query-side
     * probe-bucket expansion (compile-time constant, 11 masks at 4/2). */
   private val lshProbeMasks: Seq[Long] =
@@ -488,6 +499,33 @@ object Similarity {
           aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
           array_min(col("qv")).as("q_min"),
           array_max(col("qv")).as("q_max"))
+        .orderBy("vec_id")
+    },
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: x ↦ Rx/√16
+    // with a fixed seeded ±1 (Rademacher) matrix — the dimensionality
+    // reduction that shrinks an embedding corpus 4× while preserving
+    // pairwise distances to ~1/√16 (SimilaritySpec measures and pins the
+    // cosine distortion vs full space). Map-only over the corpus (no
+    // shuffle at all); each output dim is one ConstDot kernel — a fixed
+    // left-associative IEEE chain over the shared constants, so all 16
+    // doubles are bit-identical in DuckDB without decimal arithmetic.
+    // ±1 entries beat Gaussians operationally (Achlioptas 2001): exact
+    // representability makes the op oracle-able, and at 100 TB the
+    // projection fuses into the scan's codegen stage.
+    Decl("embed_project", {
+      val dims = rpPlanes.zipWithIndex.map { case (p, j) =>
+        s"  (${sqlDotConst("embedding", p)}) * 0.25 AS p${j + 1}"
+      }.mkString(",\n")
+      s"""SELECT vec_id,
+         |$dims
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val dims = rpPlanes.zipWithIndex.map { case (p, j) =>
+        (dotConst(col("embedding"), p) * 0.25).as(s"p${j + 1}")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: dims: _*)
         .orderBy("vec_id")
     },
 

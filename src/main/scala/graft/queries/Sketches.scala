@@ -37,7 +37,138 @@ object Sketches {
     * see SketchSpec for the measured false-positive rate). */
   private val BigOrder = 480000
 
+  /** KMV sketch size: the k smallest hash values retained. */
+  private val KmvK = 64
+
   def decls: Seq[Decl] = Seq(
+
+    // KMV (k-minimum-values / bottom-k) distinct sketch over the
+    // order→customer key stream: keep the KmvK smallest sha60 values of
+    // the DISTINCT keys. The sketch CONTENT is the query output —
+    // deterministic integers, value-level oracled — and the classic
+    // estimator  (k-1) · 2^60 / h_k  is evaluated Scala-side in
+    // SketchSpec against exact COUNT(DISTINCT) (same double-free output
+    // contract as sketch_hll_registers). Unlike HLL, KMV also supports
+    // set INTERSECTION estimates (via the Jaccard of two sketches),
+    // which is why real pipelines keep both.
+    //
+    // Scale shape: distinct() is one hash shuffle; the bottom-k is
+    // sort+limit — Spark plans TakeOrderedAndProject, a per-partition
+    // partial top-k with a k-row final merge on one reducer, never a
+    // global sort. The window that assigns ranks runs over the k
+    // surviving rows only (k = 64), so the single-partition window is a
+    // constant-size step by construction, not a data-size sort.
+    Decl("sketch_kmv", {
+      val h = sqlSha60("'kmv:' || CAST(o_custkey AS VARCHAR)")
+      s"""WITH hs AS (SELECT DISTINCT $h AS h FROM orders)
+         |SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank,
+         |  h
+         |FROM hs ORDER BY h LIMIT $KmvK""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = sha60(concat(lit("kmv:"), col("o_custkey").cast(StringType)))
+      val bottomK = Tables.orders(s, d)
+        .select(h.as("h")).distinct()
+        .orderBy("h").limit(KmvK) // TakeOrderedAndProject: distributed top-k
+      bottomK // rank over ≤ k rows — constant-size single partition
+        .withColumn("rank", row_number().over(Window.orderBy("h")).cast(LongType))
+        .select(col("rank"), col("h"))
+        .orderBy("h")
+    },
+
+    // KMV set-algebra — the capability HLL lacks: two sketches support
+    // an INTERSECTION / Jaccard estimate. Sketch the urgent-order and
+    // high-order customer key sets (k smallest sha60 each), take the
+    // bottom-k of the union of the two sketches' VALUES, and flag each
+    // union-sketch member for membership in S_A / S_B. The Jaccard
+    // estimator  |{h ∈ U : h ∈ S_A ∧ h ∈ S_B}| / k  is evaluated in
+    // SketchSpec against the exact Jaccard (double-free output, as
+    // always). Everything after the two distinct()s operates on ≤ 64-row
+    // frames — the membership joins broadcast trivially at any corpus
+    // size, which is exactly why KMV powers cross-shard overlap audits.
+    Decl("sketch_kmv_jaccard", {
+      val h = sqlSha60("'kmv:' || CAST(o_custkey AS VARCHAR)")
+      def sk(name: String, pred: String) =
+        s"""$name AS (SELECT h FROM (
+           |    SELECT DISTINCT $h AS h FROM orders WHERE $pred
+           |    ORDER BY h LIMIT $KmvK))""".stripMargin
+      s"""WITH ${sk("sa", "o_orderpriority = '1-URGENT'")},
+         |${sk("sb", "o_orderpriority = '2-HIGH'")},
+         |u AS (SELECT h FROM (
+         |    SELECT DISTINCT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+         |    ORDER BY h LIMIT $KmvK))
+         |SELECT CAST(row_number() OVER (ORDER BY u.h) AS BIGINT) AS rank,
+         |  u.h,
+         |  CAST(sa.h IS NOT NULL AS INTEGER) AS in_a,
+         |  CAST(sb.h IS NOT NULL AS INTEGER) AS in_b
+         |FROM u LEFT JOIN sa ON u.h = sa.h LEFT JOIN sb ON u.h = sb.h
+         |ORDER BY u.h""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = sha60(concat(lit("kmv:"), col("o_custkey").cast(StringType)))
+      def sk(pred: org.apache.spark.sql.Column) = Tables.orders(s, d).filter(pred)
+        .select(h.as("h")).distinct().orderBy("h").limit(KmvK)
+      val sa = sk(col("o_orderpriority") === "1-URGENT")
+      val sb = sk(col("o_orderpriority") === "2-HIGH")
+      val u = sa.union(sb).distinct().orderBy("h").limit(KmvK)
+      u.join(broadcast(sa.withColumn("ina", lit(1))), Seq("h"), "left")
+        .join(broadcast(sb.withColumn("inb", lit(1))), Seq("h"), "left")
+        .withColumn("rank", row_number().over(Window.orderBy("h")).cast(LongType))
+        .select(col("rank"), col("h"),
+          coalesce(col("ina"), lit(0)).as("in_a"),
+          coalesce(col("inb"), lit(0)).as("in_b"))
+        .orderBy("h")
+    },
+
+    // KMV MERGEABILITY, value-level proved (the sketch_hll_merge
+    // pattern): build one bottom-k sketch PER GROUP (order status — the
+    // per-shard sketches of a distributed pipeline), merge by taking the
+    // bottom-k OF THE SKETCH VALUES' UNION, and emit the merged sketch
+    // next to the sketch built directly over the whole stream. They
+    // agree on every row because the k smallest of a union are always
+    // contained in the union of each side's k smallest — the algebraic
+    // property that lets 1000 executors sketch shards independently and
+    // combine with a (k × shards)-row shuffle instead of re-scanning
+    // the corpus. All integer arithmetic on the shared sha60 hash.
+    Decl("sketch_kmv_merge", {
+      val h = sqlSha60("'kmv:' || CAST(o_custkey AS VARCHAR)")
+      s"""WITH hs AS (SELECT DISTINCT o_orderstatus AS g, $h AS h FROM orders),
+         |per_g AS (SELECT g, h FROM (
+         |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+         |    FROM hs) WHERE r <= $KmvK),
+         |merged AS (SELECT h FROM (
+         |    SELECT DISTINCT h FROM per_g ORDER BY h LIMIT $KmvK)),
+         |direct AS (SELECT h FROM (
+         |    SELECT DISTINCT h FROM hs ORDER BY h LIMIT $KmvK)),
+         |m AS (SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank,
+         |             h AS h_merged FROM merged),
+         |d AS (SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank,
+         |             h AS h_direct FROM direct)
+         |SELECT m.rank, h_merged, h_direct,
+         |  CAST(h_merged = h_direct AS INTEGER) AS agree
+         |FROM m JOIN d ON m.rank = d.rank
+         |ORDER BY m.rank""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = sha60(concat(lit("kmv:"), col("o_custkey").cast(StringType)))
+      val rk = row_number().over(Window.orderBy("h")).cast(LongType)
+      val hs = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("g"), h.as("h")).distinct()
+        .localCheckpoint() // feeds both the per-group and direct sketches
+      val perG = hs
+        .withColumn("r",
+          row_number().over(Window.partitionBy("g").orderBy("h")))
+        .filter(col("r") <= KmvK).select("h")
+      // both bottom-k steps below are TakeOrderedAndProject (k = 64)
+      val merged = perG.distinct().orderBy("h").limit(KmvK)
+        .withColumn("rank", rk).select(col("rank"), col("h").as("h_merged"))
+      val direct = hs.select("h").distinct().orderBy("h").limit(KmvK)
+        .withColumn("rank", rk).select(col("rank"), col("h").as("h_direct"))
+      merged.join(direct, "rank")
+        .select(col("rank"), col("h_merged"), col("h_direct"),
+          (col("h_merged") === col("h_direct")).cast(IntegerType).as("agree"))
+        .orderBy("rank")
+    },
 
     // Bloom filter over "big spender" customer keys, probed with every
     // customer. One-sided guarantee pinned per row: ok = bf >= truth

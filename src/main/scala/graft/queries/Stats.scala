@@ -542,6 +542,73 @@ object Stats {
           col("c0") + col("c1") === col("n0") + col("n1"), lit(null))
           .otherwise(z.cast(DecimalType(20, 9)).cast(DoubleType))
           .as("z9"))
+    },
+
+    // Data profiler — the schema-quality report a pipeline runs before
+    // trusting a new 100 TB drop: per column, row count, null count,
+    // exact distinct count, lexical min/max (numerics via a fixed
+    // DECIMAL(30,6) print so both engines format identically; the
+    // timestamp via epoch-µs). `v_big` is a derived metric column
+    // (value when > 400) so the null-accounting path is exercised by
+    // GENUINE nulls, not a synthetic literal. One scan, one aggregate:
+    // the n column-profiles are 4n agg expressions over a single pass
+    // (Spark plans the multi-distinct via one Expand + one shuffle),
+    // then a constant-size unpivot of the 1-row result — row count
+    // never touches the unpivot, so this is a fixed-cost report at any
+    // data size.
+    Decl("profile_columns", {
+      def num(x: String) = s"CAST(CAST($x AS DECIMAL(30,6)) AS VARCHAR)"
+      def str(x: String) = s"CAST($x AS VARCHAR)"
+      def row(name: String, c: String, print: String => String) =
+        s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  ${print(s"MIN($c)")} AS min_s,
+           |  ${print(s"MAX($c)")} AS max_s FROM ev""".stripMargin
+      s"""WITH ev AS (SELECT *,
+         |    CASE WHEN value > 400 THEN value END AS v_big,
+         |    epoch_us(ts) AS ts_us
+         |  FROM events)
+         |${Seq(
+          row("event_id", "event_id", str),
+          row("event_type", "event_type", identity[String]),
+          row("props", "props", identity[String]),
+          row("ts", "ts_us", str),
+          row("user_id", "user_id", str),
+          row("v_big", "v_big", num),
+          row("value", "value", num)).mkString(
+          "\n", "\nUNION ALL\n", "\n")}ORDER BY col_name""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("v_big", when(col("value") > 400, col("value")))
+        .withColumn("ts_us", Det.epochUs(col("ts")))
+      def numS(c: Column) = c.cast(DecimalType(30, 6)).cast(StringType)
+      def strS(c: Column) = c.cast(StringType)
+      // (value column, post-agg min/max print function) per column
+      val cols: Seq[(String, Column, Column => Column)] = Seq(
+        ("event_id", col("event_id"), strS),
+        ("event_type", col("event_type"), identity[Column]),
+        ("props", col("props"), identity[Column]),
+        ("ts", col("ts_us"), strS),
+        ("user_id", col("user_id"), strS),
+        ("v_big", col("v_big"), numS),
+        ("value", col("value"), numS))
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
+        case (n, c, p) => Seq(
+          count(c).as(s"${n}__nn"), countDistinct(c).as(s"${n}__nd"),
+          p(min(c)).as(s"${n}__min"), p(max(c)).as(s"${n}__max"))
+      }
+      val one = ev.agg(aggs.head, aggs.tail: _*)
+      // constant-size unpivot of the single profile row
+      val entries = cols.map { case (n, _, _) =>
+        struct(lit(n).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"${n}__nn")).as("n_null"),
+          col(s"${n}__nd").as("n_distinct"),
+          col(s"${n}__min").as("min_s"), col(s"${n}__max").as("max_s"))
+      }
+      one.select(explode(array(entries: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
     }
   )
 }

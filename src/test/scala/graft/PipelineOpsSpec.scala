@@ -213,4 +213,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       assert(f.n_bytes == r.payload.length)
     }
   }
+
+  test("multimodal_phash: planted duplicate images land in one cluster " +
+    "and the clustering partitions the corpus") {
+    val sf01 = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("multimodal_phash")(spark, sf01).cache()
+    val nDocs = Tables.documents(spark, sf01).count()
+    // every document lands in exactly one hash cluster
+    assert(r.agg(sum("n_images")).head.getLong(0) === nDocs)
+    // 40 content seeds -> at most 40 clusters; planted replication
+    // (500/40 = 12.5 docs per seed) means every cluster has >= 12 docs
+    assert(r.count() <= 40)
+    assert(r.filter(col("n_images") < 12).count() === 0,
+      "a planted duplicate group fell below its replication count")
+    // representative is a real member: rep ids are distinct
+    assert(r.select("rep_doc_id").distinct().count() === r.count())
+    r.unpersist()
+  }
+
+  test("profile_columns: null accounting and distinct counts are exact " +
+    "on the events fixture") {
+    val sf01 = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("profile_columns")(spark, sf01).cache()
+    val n = Tables.events(spark, sf01).count()
+    assert(r.count() === 7)
+    assert(r.filter(col("n_rows") =!= n).count() === 0)
+    val byCol = r.collect().map(row =>
+      row.getString(0) -> row).toMap
+    // key column: no nulls, all-distinct
+    assert(byCol("event_id").getLong(2) === 0L)
+    assert(byCol("event_id").getLong(3) === n)
+    // derived v_big column: genuine nulls, consistent accounting
+    val vbigNull = byCol("v_big").getLong(2)
+    assert(vbigNull > 0 && vbigNull < n,
+      s"v_big should be partially null, got $vbigNull of $n")
+    // string column min/max are real values
+    assert(byCol("event_type").getString(4) <= byCol("event_type").getString(5))
+    r.unpersist()
+  }
 }

@@ -113,6 +113,38 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       f"$ivf%.3f < 0.8")
   }
 
+  test("embed_project: JL distortion — projected cosine tracks full " +
+    "cosine at the 1/sqrt(16) scale over sampled pairs") {
+    val sf01 = "/root/testdata/sf0.01"
+    val proj = SparkEntry.queries("embed_project")(spark, sf01)
+    val pcols = (1 to 16).map(j => col(s"p$j"))
+    val p = proj.select(col("vec_id"),
+      array(pcols: _*).as("pv"))
+    val full = Tables.embeddings(spark, sf01).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("fv"))
+    val both = p.join(full, "vec_id")
+    // consecutive-id pairs: a deterministic sample of 250 pairs
+    val a = both.withColumn("pid", floor(col("vec_id") / 2))
+      .filter(col("vec_id") % 2 === 0)
+    val b = both.withColumn("pid", floor(col("vec_id") / 2))
+      .filter(col("vec_id") % 2 === 1)
+    def cos(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+      def dot(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        aggregate(zip_with(u, v, (s, t) => s * t), lit(0.0), (acc, z) => acc + z)
+      dot(x, y) / sqrt(dot(x, x) * dot(y, y))
+    }
+    val d = a.join(b.select(col("pid"), col("pv").as("pv2"),
+        col("fv").as("fv2")), "pid")
+      .select(abs(cos(col("pv"), col("pv2")) - cos(col("fv"), col("fv2")))
+        .as("dev"))
+      .agg(avg("dev").as("mean"), max("dev").as("mx")).head()
+    val (mean, mx) = (d.getDouble(0), d.getDouble(1))
+    // E|dev| ~ sqrt(2/pi)/sqrt(16) = 0.20 for near-orthogonal pairs;
+    // bound mean with headroom and the max at 4 sigma
+    assert(mean < 0.25, s"mean cosine distortion $mean too large")
+    assert(mx < 0.85, s"max cosine distortion $mx too large")
+  }
+
   test("knn predictions are valid labels with ≥1 vote") {
     SparkEntry.queries("knn_classify")(spark, sf).collect().foreach { r =>
       assert((0 to 9).contains(r.getAs[Int]("pred_label")))

@@ -51,6 +51,58 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     assert(relErr < 0.15, s"HLL est $est vs truth $truth (relErr $relErr)")
   }
 
+  test("sketch_kmv: bottom-k estimator lands within 2.5 sigma of exact " +
+    "NDV at all three SFs") {
+    for (sf <- Seq("/root/testdata/sf0.001", sf01, "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("sketch_kmv")(spark, sf)
+        .orderBy("rank").collect()
+      val truth = Tables.orders(spark, sf)
+        .agg(countDistinct("o_custkey")).head.getLong(0).toDouble
+      assert(rows.length === 64, s"$sf: sketch must hold k rows (NDV > k)")
+      // classic KMV estimator: (k-1) * 2^60 / h_k, exact via BigInt
+      val hk = rows.last.getLong(1)
+      val est = (BigInt(63) << 60).toDouble / hk.toDouble
+      val relErr = math.abs(est - truth) / truth
+      // stderr ~ 1/sqrt(k-2) = 12.7% at k=64; 2.5 sigma
+      assert(relErr < 0.32, s"$sf: KMV est $est vs $truth (relErr $relErr)")
+      // sketch content sanity: strictly increasing positive hashes
+      assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) < p(1)))
+    }
+  }
+
+  test("sketch_kmv_jaccard: union-sketch estimator lands within 3 sigma " +
+    "of the exact Jaccard at all three SFs") {
+    for (sf <- Seq("/root/testdata/sf0.001", sf01, "/root/testdata/sf0.1")) {
+      val r = SparkEntry.queries("sketch_kmv_jaccard")(spark, sf).cache()
+      val k = r.count().toDouble
+      assert(k === 64.0, s"$sf: union sketch must be full at this corpus")
+      val est = r.filter(col("in_a") === 1 && col("in_b") === 1)
+        .count().toDouble / k
+      val o = Tables.orders(spark, sf)
+      def keys(p: String) = o.filter(col("o_orderpriority") === p)
+        .select("o_custkey").distinct()
+      val a = keys("1-URGENT").cache()
+      val b = keys("2-HIGH").cache()
+      val inter = a.intersect(b).count().toDouble
+      val truth = inter / (a.count() + b.count() - inter)
+      // stderr ~ sqrt(J(1-J)/k) ≈ 0.054 at J≈0.76, k=64; 3 sigma
+      assert(math.abs(est - truth) < 0.17,
+        s"$sf: KMV Jaccard est $est vs exact $truth")
+      Seq(r, a, b).foreach(_.unpersist())
+    }
+  }
+
+  test("sketch_kmv_merge: merged bottom-k equals direct bottom-k on " +
+    "every rank at all three SFs") {
+    for (sf <- Seq("/root/testdata/sf0.001", sf01, "/root/testdata/sf0.1")) {
+      val r = SparkEntry.queries("sketch_kmv_merge")(spark, sf).cache()
+      assert(r.count() === 64)
+      assert(r.filter(col("agree") =!= 1).count() === 0,
+        s"$sf: merged and direct KMV sketches diverge")
+      r.unpersist()
+    }
+  }
+
   test("feature_hash: signed-sum mass balances the token stream " +
     "(sum over dims of sum_val == sum over tokens of sign * count)") {
     import graft.functions.XHash.sha60
