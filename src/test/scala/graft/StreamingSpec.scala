@@ -106,6 +106,43 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("HLL register file maintains itself across micro-batches: " +
+    "streaming groupBy-MAX sketch ≡ batch sketch of the union") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.functions.XHash.sha60
+    // same register/rho formulation as sketch_hll_registers — the
+    // sketch IS a groupBy-MAX, so complete-mode streaming keeps it
+    // current for free: each micro-batch merges into the register file
+    // exactly like executors merge partials at 100 TB.
+    def regs(df: org.apache.spark.sql.DataFrame) = {
+      val h = sha60(concat(lit("hll:"), col("user_id").cast("string")))
+      df.select((h % 256).as("reg"), shiftright(h, 8).as("w"))
+        .groupBy("reg")
+        .agg(max(when(col("w") === 0, 53)
+          .otherwise(lit(52) - length(bin(col("w"))) + 1)).as("max_rho"))
+    }
+    val batch1 = (1 to 40).map(i => Ev(i, ts(i % 60), "click", i % 17, 1.0))
+    val batch2 = (41 to 80).map(i =>
+      Ev(i, ts(i % 60), "view", i % 29 + 100, 1.0))
+    val input = MemoryStream[Ev]
+    val q = regs(input.toDF()).writeStream.format("memory")
+      .queryName("hllregs").outputMode("complete").start()
+    try {
+      def snap() = spark.table("hllregs").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      def batchOf(rows: Seq[Ev]) = regs(rows.toDF()).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(snap() == batchOf(batch1), "mid-stream sketch != batch1 sketch")
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(snap() == batchOf(batch1 ++ batch2),
+        "final sketch != batch sketch of the union")
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than the delay (B39)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
