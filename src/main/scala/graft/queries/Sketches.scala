@@ -40,6 +40,47 @@ object Sketches {
   /** KMV sketch size: the k smallest hash values retained. */
   private val KmvK = 64
 
+  /** Bounded-state KMV accumulator: the k smallest DISTINCT values as a
+    * true Spark aggregate. The obvious formulation — `distinct()` then
+    * sort+limit — ships the entire distinct key set through the shuffle
+    * (ScaleAudit measured it input-linear, 9.8× bytes at 10× rows);
+    * this buffer holds ≤ k longs, so map-side partial aggregation sends
+    * AT MOST k rows per partition to the single merge — the shuffle is
+    * output-bounded at any corpus size, which is the entire point of
+    * carrying a sketch instead of the keys. Insert keeps the buffer
+    * sorted ascending and drops duplicates, so merge is associative and
+    * commutative and `finish` emits the sketch already in rank order. */
+  class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Seq[Long], Seq[Long]] {
+    private def insert(buf: Seq[Long], h: Long): Seq[Long] = {
+      val i = buf.indexWhere(_ >= h)
+      if (i < 0) { if (buf.size < k) buf :+ h else buf }
+      else if (buf(i) == h) buf
+      else ((buf.take(i) :+ h) ++ buf.drop(i)).take(k)
+    }
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+    def merge(l: Seq[Long], r: Seq[Long]): Seq[Long] = r.foldLeft(l)(insert)
+    def finish(b: Seq[Long]): Seq[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** The `KmvAgg(KmvK)` UDAF column, shared by the KMV queries. */
+  private def kmvOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udaf(new KmvAgg(KmvK), org.apache.spark.sql.Encoders.scalaLong)(c)
+
+  /** Sketch array → (rank, h) rows. The array is sorted by
+    * construction, so rank = position + 1; everything after the
+    * aggregate operates on ≤ k rows. */
+  private def unrollSketch(df: org.apache.spark.sql.DataFrame,
+      sk: String): org.apache.spark.sql.DataFrame =
+    df.select(posexplode(col(sk)).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast(LongType).as("rank"), col("h"))
+
   def decls: Seq[Decl] = Seq(
 
     // KMV (k-minimum-values / bottom-k) distinct sketch over the
@@ -52,12 +93,12 @@ object Sketches {
     // set INTERSECTION estimates (via the Jaccard of two sketches),
     // which is why real pipelines keep both.
     //
-    // Scale shape: distinct() is one hash shuffle; the bottom-k is
-    // sort+limit — Spark plans TakeOrderedAndProject, a per-partition
-    // partial top-k with a k-row final merge on one reducer, never a
-    // global sort. The window that assigns ranks runs over the k
-    // surviving rows only (k = 64), so the single-partition window is a
-    // constant-size step by construction, not a data-size sort.
+    // Scale shape: the whole query is ONE aggregate over the [[KmvAgg]]
+    // bounded buffer — partial aggregation ships ≤ k longs per
+    // partition (ScaleAudit: shuffle bytes FLAT at 10× rows, vs the
+    // naive distinct-then-sort formulation's input-linear 9.8×), the
+    // merge is a k-element sorted-set union, and everything after the
+    // aggregate touches exactly k rows.
     Decl("sketch_kmv", {
       val h = sqlSha60("'kmv:' || CAST(o_custkey AS VARCHAR)")
       s"""WITH hs AS (SELECT DISTINCT $h AS h FROM orders)
@@ -65,14 +106,9 @@ object Sketches {
          |  h
          |FROM hs ORDER BY h LIMIT $KmvK""".stripMargin
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val h = sha60(concat(lit("kmv:"), col("o_custkey").cast(StringType)))
-      val bottomK = Tables.orders(s, d)
-        .select(h.as("h")).distinct()
-        .orderBy("h").limit(KmvK) // TakeOrderedAndProject: distributed top-k
-      bottomK // rank over ≤ k rows — constant-size single partition
-        .withColumn("rank", row_number().over(Window.orderBy("h")).cast(LongType))
-        .select(col("rank"), col("h"))
+      unrollSketch(
+        Tables.orders(s, d).agg(kmvOf(h).as("sk")), "sk")
         .orderBy("h")
     },
 
@@ -83,9 +119,10 @@ object Sketches {
     // union-sketch member for membership in S_A / S_B. The Jaccard
     // estimator  |{h ∈ U : h ∈ S_A ∧ h ∈ S_B}| / k  is evaluated in
     // SketchSpec against the exact Jaccard (double-free output, as
-    // always). Everything after the two distinct()s operates on ≤ 64-row
-    // frames — the membership joins broadcast trivially at any corpus
-    // size, which is exactly why KMV powers cross-shard overlap audits.
+    // always). Each set sketch is one bounded [[KmvAgg]] pass; beyond
+    // the aggregates everything operates on ≤ 64-row frames — the
+    // membership joins broadcast trivially at any corpus size, which is
+    // exactly why KMV powers cross-shard overlap audits.
     Decl("sketch_kmv_jaccard", {
       val h = sqlSha60("'kmv:' || CAST(o_custkey AS VARCHAR)")
       def sk(name: String, pred: String) =
@@ -104,16 +141,21 @@ object Sketches {
          |FROM u LEFT JOIN sa ON u.h = sa.h LEFT JOIN sb ON u.h = sb.h
          |ORDER BY u.h""".stripMargin
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val h = sha60(concat(lit("kmv:"), col("o_custkey").cast(StringType)))
-      def sk(pred: org.apache.spark.sql.Column) = Tables.orders(s, d).filter(pred)
-        .select(h.as("h")).distinct().orderBy("h").limit(KmvK)
-      val sa = sk(col("o_orderpriority") === "1-URGENT")
-      val sb = sk(col("o_orderpriority") === "2-HIGH")
-      val u = sa.union(sb).distinct().orderBy("h").limit(KmvK)
-      u.join(broadcast(sa.withColumn("ina", lit(1))), Seq("h"), "left")
-        .join(broadcast(sb.withColumn("inb", lit(1))), Seq("h"), "left")
-        .withColumn("rank", row_number().over(Window.orderBy("h")).cast(LongType))
+      // one bounded-buffer aggregate pass per set sketch (the filter
+      // prunes at the scan; shuffle is ≤ k longs per partition each)
+      def rows(pri: String, flag: String) = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === pri)
+        .agg(kmvOf(h).as("sk"))
+        .select(explode(col("sk")).as("h"), lit(1).as(flag))
+      val sa = rows("1-URGENT", "ina")
+      val sb = rows("2-HIGH", "inb")
+      // union sketch = KmvAgg over the two sketches' 128 values
+      val u = unrollSketch(
+        sa.select("h").union(sb.select("h")).agg(kmvOf(col("h")).as("sk")),
+        "sk")
+      u.join(broadcast(sa), Seq("h"), "left")
+        .join(broadcast(sb), Seq("h"), "left")
         .select(col("rank"), col("h"),
           coalesce(col("ina"), lit(0)).as("in_a"),
           coalesce(col("inb"), lit(0)).as("in_b"))
@@ -149,21 +191,20 @@ object Sketches {
          |FROM m JOIN d ON m.rank = d.rank
          |ORDER BY m.rank""".stripMargin
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val h = sha60(concat(lit("kmv:"), col("o_custkey").cast(StringType)))
-      val rk = row_number().over(Window.orderBy("h")).cast(LongType)
-      val hs = Tables.orders(s, d)
-        .select(col("o_orderstatus").as("g"), h.as("h")).distinct()
-        .localCheckpoint() // feeds both the per-group and direct sketches
-      val perG = hs
-        .withColumn("r",
-          row_number().over(Window.partitionBy("g").orderBy("h")))
-        .filter(col("r") <= KmvK).select("h")
-      // both bottom-k steps below are TakeOrderedAndProject (k = 64)
-      val merged = perG.distinct().orderBy("h").limit(KmvK)
-        .withColumn("rank", rk).select(col("rank"), col("h").as("h_merged"))
-      val direct = hs.select("h").distinct().orderBy("h").limit(KmvK)
-        .withColumn("rank", rk).select(col("rank"), col("h").as("h_direct"))
+      val o = Tables.orders(s, d)
+      // per-shard sketches: one bounded aggregate per group (≤ k longs
+      // per (partition, group) reach the shuffle)
+      val perG = o.groupBy(col("o_orderstatus").as("g"))
+        .agg(kmvOf(h).as("sk"))
+      // merged = KmvAgg over the per-group sketches' values (≤ k·G rows)
+      val merged = unrollSketch(
+        perG.select(explode(col("sk")).as("h"))
+          .agg(kmvOf(col("h")).as("sk")), "sk")
+        .select(col("rank"), col("h").as("h_merged"))
+      // direct = one bounded aggregate over the whole stream
+      val direct = unrollSketch(o.agg(kmvOf(h).as("sk")), "sk")
+        .select(col("rank"), col("h").as("h_direct"))
       merged.join(direct, "rank")
         .select(col("rank"), col("h_merged"), col("h_direct"),
           (col("h_merged") === col("h_direct")).cast(IntegerType).as("agree"))
