@@ -249,6 +249,87 @@ object Multimodal {
         .orderBy("hash_hi", "hash_lo")
     },
 
+    // NEAR-duplicate images (not just pixel-identical): band the 64-bit
+    // average-hash into 4×16-bit slices and self-join hash clusters on
+    // any equal band — the Hamming-space analogue of MinHash-LSH text
+    // dedup (any pair within Hamming ≤ 3 is guaranteed a clean band by
+    // pigeonhole; beyond that, banded recall, and the oracle replays
+    // the SAME band-candidate logic so results match exactly). Verify =
+    // popcount of the XOR ≤ 6, all integer. Scale shape: the expensive
+    // decode+hash runs once per image (partition-local, from
+    // multimodal_phash's pipeline); banding and the self-join operate
+    // on DISTINCT HASH CLUSTERS — corpus-cardinality never enters the
+    // pair space, and each band bucket is equi-joined, never crossed.
+    Decl("multimodal_phash_near",
+      s"""WITH seeds AS (SELECT DISTINCT doc_id % 40 AS seed FROM documents),
+         |g AS (SELECT seed, ty.y * $PhashEdge + tx.x AS idx,
+         |    (seed * 31 + tx.x * 7 + ty.y * 13) % 256 AS gray
+         |  FROM seeds, range(0, $PhashEdge) tx(x), range(0, $PhashEdge) ty(y)),
+         |sums AS (SELECT seed, SUM(gray) AS sg FROM g GROUP BY seed),
+         |h AS (SELECT g.seed,
+         |    CAST(SUM(CASE WHEN idx >= 32 AND 64 * gray >= sg
+         |        THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT)
+         |      AS hi,
+         |    CAST(SUM(CASE WHEN idx < 32 AND 64 * gray >= sg
+         |        THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS lo
+         |  FROM g JOIN sums ON g.seed = sums.seed GROUP BY g.seed),
+         |cl AS (SELECT hi, lo, COUNT(*) AS n
+         |  FROM (SELECT doc_id, doc_id % 40 AS seed FROM documents) dd
+         |  JOIN h ON dd.seed = h.seed GROUP BY hi, lo),
+         |bands AS (SELECT hi, lo, b,
+         |    CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+         |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+         |  FROM cl, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.hi AS h1_hi, a.lo AS h1_lo,
+         |    c.hi AS h2_hi, c.lo AS h2_lo
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+         |  WHERE (a.hi, a.lo) < (c.hi, c.lo))
+         |SELECT h1_hi, h1_lo, h2_hi, h2_lo,
+         |  CAST(bit_count(xor(h1_hi, h2_hi)) + bit_count(xor(h1_lo, h2_lo))
+         |    AS INTEGER) AS hamming,
+         |  n1.n AS n1, n2.n AS n2
+         |FROM cand
+         |JOIN cl n1 ON n1.hi = h1_hi AND n1.lo = h1_lo
+         |JOIN cl n2 ON n2.hi = h2_hi AND n2.lo = h2_lo
+         |WHERE bit_count(xor(h1_hi, h2_hi)) + bit_count(xor(h1_lo, h2_lo)) <= 6
+         |ORDER BY h1_hi, h1_lo, h2_hi, h2_lo""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[PhashRow]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 40).as("seed"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      // decode + hash per image, then collapse to distinct hash clusters
+      val cl = pngOfSeeds(ids).mapPartitions(_.map(avgHashPng))
+        .groupBy(col("hash_hi").as("hi"), col("hash_lo").as("lo"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds bands + both count lookups
+      val bands = cl.select(col("hi"), col("lo"),
+          explode(array((0 until 4).map(lit(_)): _*)).as("b"))
+        .withColumn("bv",
+          when(col("b") === 0, col("lo").bitwiseAND(65535))
+            .when(col("b") === 1, shiftright(col("lo"), 16).bitwiseAND(65535))
+            .when(col("b") === 2, col("hi").bitwiseAND(65535))
+            .otherwise(shiftright(col("hi"), 16).bitwiseAND(65535)))
+      val a = bands.select(col("b"), col("bv"),
+        col("hi").as("h1_hi"), col("lo").as("h1_lo"))
+      val c = bands.select(col("b"), col("bv"),
+        col("hi").as("h2_hi"), col("lo").as("h2_lo"))
+      val ham = (bit_count(col("h1_hi").bitwiseXOR(col("h2_hi"))) +
+        bit_count(col("h1_lo").bitwiseXOR(col("h2_lo")))).cast("int")
+      a.join(c, Seq("b", "bv"))
+        .filter(struct(col("h1_hi"), col("h1_lo")) <
+          struct(col("h2_hi"), col("h2_lo")))
+        .select("h1_hi", "h1_lo", "h2_hi", "h2_lo").distinct()
+        .withColumn("hamming", ham)
+        .filter(col("hamming") <= 6)
+        .join(cl.select(col("hi").as("h1_hi"), col("lo").as("h1_lo"),
+          col("n").as("n1")), Seq("h1_hi", "h1_lo"))
+        .join(cl.select(col("hi").as("h2_hi"), col("lo").as("h2_lo"),
+          col("n").as("n2")), Seq("h2_hi", "h2_lo"))
+        .select(col("h1_hi"), col("h1_lo"), col("h2_hi"), col("h2_lo"),
+          col("hamming"), col("n1"), col("n2"))
+        .orderBy("h1_hi", "h1_lo", "h2_hi", "h2_lo")
+    },
+
     // Decode + feature-extract through the binary pipeline. Oracle
     // reproduces the stub arithmetic from the text length (payload is
     // the UTF-8 encoding of all-ASCII text ⇒ n_bytes = n_chars).

@@ -529,6 +529,52 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // Two-stage retrieval on the JL projection — the pattern that makes
+    // random projection PAY at scale: stage 1 scores the WHOLE corpus
+    // in 16-dim projected space (16 fused ConstDots per row — 4× less
+    // arithmetic and 4× less memory traffic than full-space scoring)
+    // and keeps the top 50 via TakeOrdered; stage 2 re-ranks only those
+    // 50 candidates with the exact 64-dim cosine. Both stages are
+    // deterministic (ConstDot chains + the decimal-dot contract), so
+    // the oracle replays candidate selection AND re-ranking exactly.
+    // SimilarityTextSpec pins stage-1 recall vs the brute-force top-10.
+    Decl("sim_topk_projected", {
+      def pj(a: String) = rpPlanes
+        .map(p => s"((${sqlDotConst(a, p)}) * 0.25)")
+        .mkString("[", ", ", "]")
+      def cosL(a: String, b: String) =
+        s"${sqlDotList(a, b)} / (sqrt(${sqlDotList(a, a)}) * " +
+          s"sqrt(${sqlDotList(b, b)}))"
+      s"""WITH q AS (SELECT embedding AS qv, ${pj("embedding")} AS pq
+         |           FROM embeddings WHERE vec_id = 0),
+         |p AS (SELECT e.vec_id, e.embedding, q.qv,
+         |        ${pj("e.embedding")} AS pe, q.pq
+         |      FROM embeddings e, q),
+         |c AS (SELECT vec_id, embedding, qv,
+         |        ${cosL("pe", "pq")} AS sim_proj
+         |      FROM p ORDER BY sim_proj DESC, vec_id LIMIT 50)
+         |SELECT vec_id, sim_proj, ${cosL("embedding", "qv")} AS sim
+         |FROM c ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val projArr = (c: Column) =>
+        array(rpPlanes.map(p => dotConst(c, p) * 0.25): _*)
+      val q = broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), norm2(col("embedding")).as("qn2"),
+          projArr(col("embedding")).as("pq")))
+      val cosP = (a: Column, b: Column) =>
+        dotDeclarative(a, b) /
+          (sqrt(dotDeclarative(a, a)) * sqrt(dotDeclarative(b, b)))
+      val stage1 = Tables.embeddings(s, d).crossJoin(q)
+        .select(col("vec_id"), col("embedding"), col("qv"), col("qn2"),
+          cosP(projArr(col("embedding")), col("pq")).as("sim_proj"))
+        .orderBy(col("sim_proj").desc, col("vec_id")).limit(50)
+      stage1
+        .select(col("vec_id"), col("sim_proj"),
+          cosineWithNorms(col("embedding"), col("qv"),
+            norm2(col("embedding")), col("qn2")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    },
+
     // SemDeDup-shaped semantic dedup: near-duplicate embedding pairs
     // blocked by the sign-LSH bucket — a CONTENT-derived key, unlike
     // dedup_embedding's label blocking (labels are metadata a real

@@ -231,6 +231,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     r.unpersist()
   }
 
+  test("multimodal_phash_near: banded Hamming candidates are sound — " +
+    "every pair within threshold, ordered, and nontrivial") {
+    val sf01 = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("multimodal_phash_near")(spark, sf01).cache()
+    assert(r.count() > 0, "expected near-dup image cluster pairs")
+    // verify bound holds and pairs are canonically ordered
+    assert(r.filter(col("hamming") > 6).count() === 0)
+    assert(r.filter(col("hamming") <= 0).count() === 0,
+      "identical hashes must have collapsed in the exact phash step")
+    assert(r.filter(struct(col("h1_hi"), col("h1_lo")) >=
+      struct(col("h2_hi"), col("h2_lo"))).count() === 0)
+    // cluster sizes are real image counts
+    assert(r.filter(col("n1") < 1 || col("n2") < 1).count() === 0)
+    r.unpersist()
+  }
+
   test("profile_columns: null accounting and distinct counts are exact " +
     "on the events fixture") {
     val sf01 = "/root/testdata/sf0.01"

@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   private val bnljAllowed = Set(
     "cross_join", "sim_topk_cosine", "sim_range_search",
     "sim_ann_lsh", "sim_ann_ivf",
+    "sim_topk_projected", // broadcast single-row query vector cross
     "multimodal_join", "multimodal_embed", "knn_classify", "watermark_late",
     "streaming_dedup",
     "text_tfidf", "null_handling",

@@ -145,6 +145,34 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     assert(mx < 0.85, s"max cosine distortion $mx too large")
   }
 
+  test("sim_topk_projected: the 50-candidate JL prefilter recalls most " +
+    "of the exact brute-force top-10") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_topk_cosine")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val twoStage = SparkEntry.queries("sim_topk_projected")(spark, sf01)
+      .collect()
+    val got = twoStage.map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // This corpus is uniform random vectors — the WORST case for JL
+    // ranking: true neighbor cosines sit ~1σ (σ=1/√64≈0.13) above the
+    // bulk while 16-dim projection adds ~1/√16≈0.25 ranking noise, so
+    // margins drown. Even so the prefilter must beat chance decisively:
+    // a random 50-of-500 candidate set recalls 10% in expectation; pin
+    // ≥ 3× that. (On a clustered real corpus the neighbor margin is
+    // large vs the JL noise and recall approaches 1 — same reasoning
+    // as the LSH/IVF recall notes above.)
+    assert(recall >= 0.3, s"two-stage recall $recall < 3x chance (0.3)")
+    // exact sims of the returned rows are true cosines: spot-check one
+    // against sim_topk_cosine's value for a shared id
+    val exactSims = SparkEntry.queries("sim_topk_cosine")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    twoStage.filter(r => exactSims.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(2) == exactSims(r.getLong(0)),
+        s"re-ranked sim differs from brute force for vec ${r.getLong(0)}")
+    }
+  }
+
   test("knn predictions are valid labels with ≥1 vote") {
     SparkEntry.queries("knn_classify")(spark, sf).collect().foreach { r =>
       assert((0 to 9).contains(r.getAs[Int]("pred_label")))

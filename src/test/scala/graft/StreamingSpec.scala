@@ -143,6 +143,36 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("KMV bottom-k sketch maintains itself across micro-batches " +
+    "(bounded-buffer aggregate ≡ batch sketch of the union)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.functions.XHash.sha60
+    def sk(df: org.apache.spark.sql.DataFrame) = {
+      val kmv = udaf(new graft.queries.Sketches.KmvAgg(16),
+        org.apache.spark.sql.Encoders.scalaLong)
+      df.select(sha60(concat(lit("skmv:"), col("user_id").cast("string")))
+          .as("h"))
+        .agg(kmv(col("h")).as("sk"))
+    }
+    val batch1 = (1 to 30).map(i => Ev(i, ts(i % 60), "click", i * 3, 1.0))
+    val batch2 = (31 to 60).map(i => Ev(i, ts(i % 60), "view", i * 7, 1.0))
+    val input = MemoryStream[Ev]
+    val q = sk(input.toDF()).writeStream.format("memory")
+      .queryName("kmvsk").outputMode("complete").start()
+    try {
+      def snap() = spark.table("kmvsk").head.getSeq[Long](0)
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(snap() == sk(batch1.toDF()).head.getSeq[Long](0))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(snap() == sk((batch1 ++ batch2).toDF()).head.getSeq[Long](0),
+        "streamed KMV sketch != batch sketch of the union")
+      assert(snap().length === 16, "sketch must be full at 50+ keys")
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than the delay (B39)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
