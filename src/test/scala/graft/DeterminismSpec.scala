@@ -59,7 +59,13 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "sample_weighted",    // priority ties at the k boundary
     "graph_pagerank",     // iterative join+sum rounds (integer-exact)
     "graph_triangles",    // two self-joins of a checkpointed edge set
-    "skyline_2d")         // frontier join-back under (n, mx) ties
+    "skyline_2d",         // frontier join-back under (n, mx) ties
+    // round 7
+    "sketch_kmv",         // bounded-buffer insert/merge order
+    "sketch_kmv_merge",   // per-group sketch union vs direct
+    "sketch_kmv_jaccard", // membership joins over sketch frames
+    "sim_topk_projected", // candidate-boundary ties at the 50 cut
+    "multimodal_phash_near") // band-candidate dedup + hamming gate
 
   risky.foreach { name =>
     test(s"$name: two executions yield identical results") {

@@ -58,6 +58,28 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("KmvAgg laws: any split-and-merge equals the whole-stream sketch, " +
+    "which is the k smallest distinct values (arbitrary inputs)") {
+    val k = 8
+    val agg = new queries.Sketches.KmvAgg(k)
+    def sk(xs: Seq[Long]): Seq[Long] = xs.foldLeft(agg.zero)(agg.reduce)
+    val gens = Seq(
+      Gen.listOf(Gen.choose(0L, 40L)), // dense: many duplicates
+      Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))) // sparse
+    for (g <- gens; xs <- samples(g, 20)) {
+      val whole = sk(xs)
+      // the sketch IS the k smallest distinct values, in order
+      assert(whole == xs.distinct.sorted.take(k))
+      // partition the stream anywhere: merged partials == whole
+      samples(Gen.choose(0, xs.length), 5).foreach { cut =>
+        val (a, b) = xs.splitAt(cut)
+        assert(agg.merge(sk(a), sk(b)) == whole, s"cut=$cut xs=$xs")
+      }
+      // merge is idempotent (re-delivered partials are harmless)
+      assert(agg.merge(whole, whole) == whole)
+    }
+  }
+
   test("dedup is idempotent and bounded for arbitrary column subsets") {
     val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
     val li = Tables.lineitem(spark, sf).select(cols.map(col): _*).cache()
