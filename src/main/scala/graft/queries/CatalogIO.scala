@@ -184,16 +184,20 @@ object CatalogIO {
       """SELECT DISTINCT year(o_orderdate) AS o_year FROM orders
         |ORDER BY o_year""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
+      val byYear = Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
       Catalog.once(s, d, path) {
         // repartition on the partition column first: without it every
         // task writes a sliver into every year directory (tasks × years
         // small files — the classic partitioned-write mistake at scale)
-        Tables.orders(s, d)
-          .withColumn("o_year", year(col("o_orderdate")))
-          .repartition(col("o_year"))
+        byYear.repartition(col("o_year"))
           .write.mode("overwrite").partitionBy("o_year").parquet(path)
       }
-      s.read.parquet(path).select("o_year").distinct().orderBy("o_year")
+      // read back under the WRITER's schema: a possibly-empty
+      // partitioned path has no footer to infer from (day-zero tables
+      // at scale), and the producer always knows what it wrote
+      s.read.schema(byYear.schema).parquet(path)
+        .select("o_year").distinct().orderBy("o_year")
     },
 
     // A8: partition-pruned scan — the year filter hits only one
@@ -202,16 +206,17 @@ object CatalogIO {
       s"""SELECT COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
          |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "orders_by_year")
+      val byYear = Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
       Catalog.once(s, d, path) {
         // repartition on the partition column first: without it every
         // task writes a sliver into every year directory (tasks × years
         // small files — the classic partitioned-write mistake at scale)
-        Tables.orders(s, d)
-          .withColumn("o_year", year(col("o_orderdate")))
-          .repartition(col("o_year"))
+        byYear.repartition(col("o_year"))
           .write.mode("overwrite").partitionBy("o_year").parquet(path)
       }
-      s.read.parquet(path)
+      // writer-schema read (see show_partitions): empty-safe
+      s.read.schema(byYear.schema).parquet(path)
         .filter(col("o_year") === 1996)
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
     },
@@ -248,13 +253,15 @@ object CatalogIO {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, d) =>
       val path = Catalog.scratch(d, "sink_orders_part")
+      val orders = Tables.orders(s, d)
       Catalog.once(s, d, path) {
-        Tables.orders(s, d)
-          .repartition(col("o_orderstatus"))
+        orders.repartition(col("o_orderstatus"))
           .write.mode("overwrite").partitionBy("o_orderstatus")
           .parquet(path)
       }
-      s.read.parquet(path)
+      // writer-schema read (see show_partitions): empty-safe; the
+      // partition column still comes back injected from the path
+      s.read.schema(orders.schema).parquet(path)
         .filter(col("o_orderstatus") === "O")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))

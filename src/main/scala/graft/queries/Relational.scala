@@ -593,11 +593,18 @@ object Relational {
          |WHERE o_totalprice > 300000
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       val ord = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
-      val bf = ord.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-      val bfBc = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfBc.value.mightContain(k))
-      Tables.lineitem(s, d)
-        .filter(mightContain(col("l_orderkey")))
+      // Spark's bloomFilter NPEs on a zero-row build side; an empty
+      // build set means the prefilter passes nothing — same semantics,
+      // no sketch (an empty shard/day-zero table must not crash)
+      val pre =
+        if (ord.isEmpty) Tables.lineitem(s, d).filter(lit(false))
+        else {
+          val bf = ord.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+          val bfBc = s.sparkContext.broadcast(bf)
+          val mightContain = udf((k: Long) => bfBc.value.mightContain(k))
+          Tables.lineitem(s, d).filter(mightContain(col("l_orderkey")))
+        }
+      pre
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))

@@ -376,8 +376,12 @@ object Warehouse {
       var labels = edges.select(col("x").as("node")).distinct()
         .select(col("node"), col("node").as("comp"))
         .localCheckpoint(true)
+      // coalesce: SUM over an empty label set is NULL (an empty or
+      // fully-filtered partition must converge in 0 rounds, not NPE)
+      def labelSum = labels.agg(coalesce(sum("comp"), lit(0L)))
+        .head.getLong(0)
       var sumPrev = -1L
-      var sumCur = labels.agg(sum("comp")).head.getLong(0)
+      var sumCur = labelSum
       var rounds = 0
       // min-label propagation: comp is componentwise nonincreasing and
       // integral, so the label sum strictly decreases until fixpoint —
@@ -390,7 +394,7 @@ object Warehouse {
           .groupBy("node").agg(min("comp").as("comp"))
           .localCheckpoint(true)
         sumPrev = sumCur
-        sumCur = labels.agg(sum("comp")).head.getLong(0)
+        sumCur = labelSum
         rounds += 1
       }
       // Exhausting the cap without reaching the fixpoint must be an
