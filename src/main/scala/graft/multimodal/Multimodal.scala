@@ -66,10 +66,14 @@ object Multimodal {
     })
 
   /** documents → media assets (payload = text bytes, mime routed by
-    * language as a stand-in for a real mime column). */
+    * language as a stand-in for a real mime column). Assets with a
+    * missing payload are dropped at the source — the standard media-
+    * pipeline contract (a null blob cannot be decoded); every consumer
+    * query's oracle carries the matching `WHERE text IS NOT NULL`. */
   private def mediaOf(docs: org.apache.spark.sql.DataFrame): Dataset[MediaRow] = {
     val enc = Encoders.product[MediaRow]
-    docs.select(col("doc_id"), lit("text/plain").as("mime"),
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), lit("text/plain").as("mime"),
         encode(col("text"), "UTF-8").as("payload"))
       .as(enc)
   }
@@ -338,7 +342,7 @@ object Multimodal {
         |  octet_length(encode(text)) % 640 AS width,
         |  octet_length(encode(text)) % 480 AS height,
         |  octet_length(encode(text)) % 30 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[MediaFeatures]
       mediaOf(Tables.documents(s, d))
         .mapPartitions(_.map(decodeStub))
@@ -390,7 +394,7 @@ object Multimodal {
         |    least(224.0 / greatest(octet_length(encode(text)) % 640, 1),
         |          224.0 / greatest(octet_length(encode(text)) % 480, 1),
         |          1.0) AS scale
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[MediaFeatures]
       mediaOf(Tables.documents(s, d))
@@ -411,7 +415,8 @@ object Multimodal {
         |    AS BIGINT) AS frame_idx,
         |  CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1)) AS DOUBLE)
         |    / 30.0 AS frame_ts
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+        |FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[MediaFeatures]
       mediaOf(Tables.documents(s, d).filter(col("doc_id") < 100))
         .mapPartitions(_.map(decodeStub))
@@ -437,7 +442,8 @@ object Multimodal {
       def dotL(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, 9), k -> " +
           s"CAST(($a)[k] * ($b)[k] AS DECIMAL(26,12)))) AS DOUBLE)"
-      s"""WITH e AS (SELECT doc_id, $vec AS emb FROM documents),
+      s"""WITH e AS (SELECT doc_id, $vec AS emb FROM documents
+         |       WHERE text IS NOT NULL),
          |q AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
          |SELECT doc_id,
          |  ${dotL("emb", "qe")} /

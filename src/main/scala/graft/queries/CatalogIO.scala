@@ -124,7 +124,8 @@ object CatalogIO {
     // A6: JSON-lines scan.
     Decl("scan_jsonl",
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "documents_json")
       Catalog.once(s, d, path) {
         Tables.documents(s, d)

@@ -445,7 +445,8 @@ object Dedup {
       """SELECT lang, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT sha256(text)) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dups
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .withColumn("h", sha2(col("text"), 256))
         .groupBy("lang")

@@ -249,7 +249,7 @@ object Scalars {
         |WHERE (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
         |       AS BIGINT) % 1000) <
         |  CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500 ELSE 1000 END
-        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       import graft.functions.XHash.sha60
       val rate = when(col("lang") === "en", 250)
         .when(col("lang") === "de", 500).otherwise(1000)
@@ -271,7 +271,7 @@ object Scalars {
          |  SELECT lang, doc_id, row_number() OVER (
          |      PARTITION BY lang ORDER BY $h, doc_id) AS rk
          |  FROM documents)
-         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+         |WHERE rk <= 20 ORDER BY lang NULLS FIRST, rk""".stripMargin
     }) { (s, d) =>
       import graft.functions.XHash.sha60
       val w = Window.partitionBy("lang")
@@ -326,7 +326,8 @@ object Scalars {
         |  FROM documents)
         |SELECT lang, split, COUNT(*) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM tagged GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, d) =>
+        |FROM tagged GROUP BY lang, split
+        |ORDER BY lang NULLS FIRST, split""".stripMargin) { (s, d) =>
       import graft.functions.XHash.sha60
       val gate = sha60(concat(lit("split"), col("doc_id").cast(StringType))) % 100
       Tables.documents(s, d)

@@ -414,8 +414,11 @@ object Similarity {
     // k-means iteration scales. Exact decimal means keep the 512-row
     // output bit-identical to the DuckDB replay.
     Decl("sim_ivf_fit",
+      // null vectors carry no coordinates — a k-means update ignores
+      // them on both engines (DuckDB would otherwise still cross the
+      // row with the dim range and count NULL coordinates into n)
       s"""WITH a AS (SELECT vec_id, embedding, $ivfCellSql AS cell
-         |           FROM embeddings),
+         |           FROM embeddings WHERE embedding IS NOT NULL),
          |d AS (SELECT cell, k AS dim,
          |        CAST(embedding[k] AS DOUBLE) AS x
          |      FROM a, UNNEST(range(1, 65)) AS u(k))
@@ -436,6 +439,7 @@ object Similarity {
       // Spark's Cast exactly. (Product terms — VectorOps — never tie:
       // a float×float product carries ~50 fraction bits.)
       Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull) // see oracle note
         .withColumn("cell", ivfCellOf(col("embedding")))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")

@@ -460,13 +460,18 @@ object Stats {
     // first ramp-up rows) average two elements — one IEEE division of
     // identical doubles, so cross-engine exact.
     Decl("window_rolling_median",
+      // median of the NON-NULL values in the frame (missing
+      // measurements don't vote); an all-null frame yields NULL —
+      // matching Spark's collect_list, which skips nulls natively
       """WITH a AS (SELECT user_id, event_id, value,
-        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |    list_filter(list_sort(list(value) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id
-        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |      x -> x IS NOT NULL) AS arr
         |  FROM events)
         |SELECT user_id, event_id, value,
-        |  CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+        |  CASE WHEN len(arr) = 0 THEN NULL
+        |       WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
         |       ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
         |  END AS roll_med
         |FROM a ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
@@ -478,9 +483,12 @@ object Stats {
         .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
         .select(col("user_id"), col("event_id"), col("value"),
           // Column `/` is double division — cast back for the index
-          // (values are small positive ints, truncation == floor)
-          when(n % 2 === 1,
-            element_at(arr, ((n + 1) / 2).cast(IntegerType)))
+          // (values are small positive ints, truncation == floor).
+          // collect_list skips nulls, so an all-null frame is empty:
+          // guard it to NULL before any element_at(…, 0) can throw.
+          when(n === 0, lit(null))
+            .when(n % 2 === 1,
+              element_at(arr, ((n + 1) / 2).cast(IntegerType)))
             .otherwise((element_at(arr, (n / 2).cast(IntegerType)) +
               element_at(arr, (n / 2).cast(IntegerType) + 1)) / lit(2.0))
             .as("roll_med"))

@@ -53,11 +53,16 @@ object StreamingBatch {
     // quantizes each value to scale 6 (BigDecimal) — the exact analogue
     // of Det.dsum, so the fold order cannot perturb the oracle match.
     Decl("stateful_running_agg",
+      // null measurements are dropped before the typed fold (the
+      // UserEvent value field is a primitive Double); the oracle's
+      // COUNT must see the same filtered stream
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  ${sqlSum("value")} AS sum_value
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
         .as[UserEvent]
       ev.groupByKey(_.user_id)

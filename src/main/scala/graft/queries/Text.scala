@@ -32,7 +32,8 @@ object Text {
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
         |    AS avg_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
@@ -345,7 +346,10 @@ object Text {
       Tables.documents(s, d)
         .select(col("doc_id"), size(toks).as("n_tokens"),
           size(kept).as("n_kept"),
-          concat_ws(" ", slice(kept, 1, 8)).as("head"))
+          // concat_ws swallows a null array to '' — null text must stay
+          // null (DuckDB's array_to_string is null-in-null-out)
+          when(col("text").isNotNull,
+            concat_ws(" ", slice(kept, 1, 8))).as("head"))
         .orderBy("doc_id")
     },
 

@@ -87,7 +87,9 @@ object Udx {
 
     // B33: scalar UDF — whitespace token count per document.
     Decl("udf_token_count",
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      // the UDF defines token_count(NULL) = 0 (a missing doc has no
+      // tokens) — the oracle COALESCEs DuckDB's NULL-in-NULL-out to match
+      """SELECT doc_id, COALESCE(len(string_split(text, ' ')), 0) AS n_tok
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val nTok = udf((t: String) =>
         if (t == null || t.isEmpty) 0 else t.split(" ", -1).length)
@@ -100,7 +102,8 @@ object Udx {
     Decl("udaf_mean_square",
       """SELECT lang, CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*)
         |  AS mean_sq_chars, COUNT(*) AS n
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       val ms = udaf(MeanSquare, Encoders.scalaLong)
       Tables.documents(s, d)
         .groupBy("lang")
@@ -150,11 +153,14 @@ object Udx {
     Decl("udtf_tokens",
       """SELECT lang, COUNT(*) AS n_tokens FROM (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
         .select(col("lang"), col("text")).as[(String, String)]
-        .flatMap { case (lang, text) => text.split(" ", -1).map(t => (lang, t)) }
+        // null text generates no rows — same as unnest(NULL) in the oracle
+        .flatMap { case (lang, text) =>
+          if (text == null) Nil
+          else text.split(" ", -1).map(t => (lang, t)).toSeq }
         .toDF("lang", "tok")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"))

@@ -242,7 +242,8 @@ object Windows {
         |  unnest(arr) AS val
         |FROM src WHERE len(arr) > 0
         |UNION ALL
-        |SELECT vec_id, NULL, NULL FROM src WHERE len(arr) = 0
+        |SELECT vec_id, NULL, NULL FROM src
+        |WHERE arr IS NULL OR len(arr) = 0
         |ORDER BY vec_id, pos NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.embeddings(s, d)
         .filter(col("vec_id") < 30)
