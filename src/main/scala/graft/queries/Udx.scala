@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Tables}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -165,6 +166,48 @@ object Udx {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"))
         .orderBy("lang")
+    },
+
+    // B: cogroup — dask/pandas' align-two-frames-per-key with arbitrary
+    // logic over BOTH groups at once (`KeyValueGroupedDataset.cogroup`):
+    // per customer, the order iterator and a high-value-order iterator
+    // arrive together and the closure reconciles them — here an audit
+    // counting orders, flagged orders, and flagged value share. Scale
+    // contract mirrors group_apply: both sides hash-shuffle on the key,
+    // each KEY's groups (not partitions) must fit in memory. The oracle
+    // proves the closure reproducible as a full-outer relational agg.
+    Decl("cogroup_apply",
+      """WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR)
+        |      AS total_s
+        |  FROM orders GROUP BY o_custkey),
+        |f AS (SELECT o_custkey AS k, COUNT(*) AS n_flagged
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |SELECT o.k AS c_custkey, o.n_orders,
+        |  COALESCE(f.n_flagged, 0) AS n_flagged,
+        |  CAST(total_s AS DOUBLE) AS total_price
+        |FROM o LEFT JOIN f ON o.k = f.k
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Double)]
+      val all = base.groupByKey(_._1)
+      val flagged = base.filter(_._2 > 400000).groupByKey(_._1)
+      all.cogroup(flagged) { (k, os, fs) =>
+        var n = 0L
+        var acc = JBigDecimal.ZERO
+        os.foreach { o =>
+          n += 1
+          acc = acc.add(JBigDecimal.valueOf(o._2)
+            .setScale(6, RoundingMode.HALF_UP))
+        }
+        // a key with no base orders never appears (flagged ⊆ all)
+        if (n == 0) Iterator.empty
+        else Iterator((k, n, fs.size.toLong, acc.doubleValue()))
+      }
+        .toDF("c_custkey", "n_orders", "n_flagged", "total_price")
+        .orderBy("c_custkey")
     }
   )
 }
