@@ -54,10 +54,16 @@ object Sketches {
       extends org.apache.spark.sql.expressions.Aggregator[
         Long, Seq[Long], Seq[Long]] {
     private def insert(buf: Seq[Long], h: Long): Seq[Long] = {
-      val i = buf.indexWhere(_ >= h)
-      if (i < 0) { if (buf.size < k) buf :+ h else buf }
-      else if (buf(i) == h) buf
-      else ((buf.take(i) :+ h) ++ buf.drop(i)).take(k)
+      // hot-path reject: once full, almost every row hashes above the
+      // k-th minimum — one comparison, no O(k) scan (h == last is a
+      // duplicate of the k-th value, h > last overflows; both keep buf)
+      if (buf.size == k && h >= buf(k - 1)) buf
+      else {
+        val i = buf.indexWhere(_ >= h)
+        if (i < 0) { if (buf.size < k) buf :+ h else buf }
+        else if (buf(i) == h) buf
+        else ((buf.take(i) :+ h) ++ buf.drop(i)).take(k)
+      }
     }
     def zero: Seq[Long] = Vector.empty
     def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)

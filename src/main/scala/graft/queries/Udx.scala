@@ -89,11 +89,13 @@ object Udx {
     // B33: scalar UDF — whitespace token count per document.
     Decl("udf_token_count",
       // the UDF defines token_count(NULL) = 0 (a missing doc has no
-      // tokens) — the oracle COALESCEs DuckDB's NULL-in-NULL-out to match
+      // tokens) — the oracle COALESCEs DuckDB's NULL-in-NULL-out to
+      // match. Non-null text follows split semantics exactly (both
+      // engines give '' -> [''] -> 1), no special empty-string case.
       """SELECT doc_id, COALESCE(len(string_split(text, ' ')), 0) AS n_tok
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val nTok = udf((t: String) =>
-        if (t == null || t.isEmpty) 0 else t.split(" ", -1).length)
+        if (t == null) 0 else t.split(" ", -1).length)
       Tables.documents(s, d)
         .select(col("doc_id"), nTok(col("text")).as("n_tok"))
         .orderBy("doc_id")

@@ -25,18 +25,21 @@ class ConcurrencySpec extends AnyFunSuite with SparkSuite {
       "sink_parquet", "scan_csv", "tpch_q11", "tpch_q2", "cogroup_apply")
     def run(n: String): Seq[Seq[Any]] =
       SparkEntry.queries(n)(spark, sf01).collect().map(_.toSeq).toSeq
-    val sequential = qs.map(n => n -> run(n)).toMap
+    // concurrent waves run FIRST: wave 1 is the cold concurrent
+    // first-touch that actually races the once/memo guards (a
+    // sequential warm-up beforehand would leave both waves on the warm
+    // path and the race untested); the sequential baseline follows.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      for (wave <- 1 to 2) {
-        val got = Await.result(
+    val waves = try {
+      (1 to 2).map { wave =>
+        wave -> Await.result(
           Future.traverse(qs)(n => Future(n -> run(n))), 10.minutes).toMap
-        qs.foreach { n =>
-          assert(got(n) == sequential(n),
-            s"wave $wave: $n diverged under concurrent execution")
-        }
       }
     } finally pool.shutdown()
+    val sequential = qs.map(n => n -> run(n)).toMap
+    for ((wave, got) <- waves; n <- qs)
+      assert(got(n) == sequential(n),
+        s"wave $wave: $n diverged under concurrent execution")
   }
 }

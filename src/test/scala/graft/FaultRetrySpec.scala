@@ -18,13 +18,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * restores a clean slate, CatalogSpec-style. */
 class FaultRetrySpec extends AnyFunSuite {
 
-  /** Identity on longs that throws on the FIRST attempt of the chosen
-    * partition — attempt 1 (the retry) then succeeds. */
+  /** Identity on longs that throws on the FIRST attempt of EVERY task
+    * that evaluates it — attempt 1 (the retry) then succeeds. Failing
+    * all partitions (not one chosen id) guarantees the injection fires
+    * regardless of how groups hash into partitions. */
   private def flakyId = udf { (x: Long) =>
     val tc = TaskContext.get()
-    if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 1)
+    if (tc != null && tc.attemptNumber() == 0)
       throw new RuntimeException("injected first-attempt failure")
     x
+  }
+
+  /** Counts failed-then-retried tasks so the test can prove the
+    * injection actually fired (a vacuous pass is otherwise possible). */
+  private class FailureTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val failures = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      t.reason match {
+        case _: org.apache.spark.TaskFailedReason => failures.incrementAndGet()
+        case _ =>
+      }
   }
 
   test("map-side and reduce-side task retries reproduce the clean result " +
@@ -38,6 +53,8 @@ class FaultRetrySpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    val tally = new FailureTally
+    spark.sparkContext.addSparkListener(tally)
     try {
       val sf = "/root/testdata/sf0.001"
       def agg(flaky: Boolean) = {
@@ -50,7 +67,13 @@ class FaultRetrySpec extends AnyFunSuite {
           .orderBy("o_orderpriority")
           .collect().map(_.toSeq).toSeq
       }
-      assert(agg(flaky = true) == agg(flaky = false),
+      val mapFlaky = agg(flaky = true)
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 30000)
+      val mapFailures = tally.failures.get()
+      assert(mapFailures >= 1,
+        "injection never fired on the map side — the pin is vacuous")
+      assert(mapFlaky == agg(flaky = false),
         "map-side retry changed the aggregate")
 
       // post-shuffle (reduce-stage) retry: the flaky map runs AFTER the
@@ -64,9 +87,16 @@ class FaultRetrySpec extends AnyFunSuite {
           .orderBy("o_orderpriority")
           .collect().map(_.toSeq).toSeq
       }
-      assert(reduceSide(flaky = true) == reduceSide(flaky = false),
+      val before = tally.failures.get()
+      val redFlaky = reduceSide(flaky = true)
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 30000)
+      assert(tally.failures.get() > before,
+        "injection never fired on the reduce side — the pin is vacuous")
+      assert(redFlaky == reduceSide(flaky = false),
         "reduce-side retry changed the result")
     } finally {
+      spark.sparkContext.removeSparkListener(tally)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -15,7 +15,11 @@ import pyarrow.parquet as pq
 
 # (table, key column driving the deterministic gate, columns to null)
 PLAN = {
-    "documents": ("doc_id", ["text", "lang"]),
+    # offset 3 keeps doc_id 0 non-null: multimodal_embed's query-vector
+    # anchor (doc_id = 0 after the media source's text IS NOT NULL
+    # filter) — nulling it would make that query empty on both engines
+    # and pass the gate vacuously. Same reasoning as embeddings below.
+    "documents": ("doc_id", ["text", "lang"], 3),
     "events": ("event_id", ["value", "props"]),
     "orders": ("o_orderkey", ["o_comment"]),
     # gate offset 7 keeps vec_id 0 non-null: the similarity queries'
