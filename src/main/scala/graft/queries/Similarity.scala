@@ -565,12 +565,16 @@ object Similarity {
       val q = broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), norm2(col("embedding")).as("qn2"),
           projArr(col("embedding")).as("pq")))
-      val cosP = (a: Column, b: Column) =>
-        dotDeclarative(a, b) /
-          (sqrt(dotDeclarative(a, a)) * sqrt(dotDeclarative(b, b)))
+        // query-side projected norm computed ONCE in the broadcast
+        // frame — same double as recomputing per row (deterministic
+        // kernel, identical inputs), one 16-dim decimal dot per corpus
+        // row saved
+        .withColumn("pqn", sqrt(dotDeclarative(col("pq"), col("pq"))))
       val stage1 = Tables.embeddings(s, d).crossJoin(q)
         .select(col("vec_id"), col("embedding"), col("qv"), col("qn2"),
-          cosP(projArr(col("embedding")), col("pq")).as("sim_proj"))
+          { val pv = projArr(col("embedding"))
+            (dotDeclarative(pv, col("pq")) /
+              (sqrt(dotDeclarative(pv, pv)) * col("pqn"))).as("sim_proj") })
         .orderBy(col("sim_proj").desc, col("vec_id")).limit(50)
       stage1
         .select(col("vec_id"), col("sim_proj"),

@@ -10,4 +10,11 @@ import org.apache.spark.SparkContext
 object ListenerBridge {
   def waitUntilEmpty(sc: SparkContext, timeoutMs: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Stop whatever SparkContext is live (`SparkContext.getActive` is
+    * `private[spark]`): used by suites that must rebuild the context
+    * with creation-time settings (task maxFailures) — stopping only the
+    * session would let getOrCreate silently reuse the old context and
+    * ignore the new master string. */
+  def stopActiveContext(): Unit = SparkContext.getActive.foreach(_.stop())
 }

@@ -44,7 +44,13 @@ class FaultRetrySpec extends AnyFunSuite {
 
   test("map-side and reduce-side task retries reproduce the clean result " +
     "bit-for-bit (local[4,3], injected first-attempt failures)") {
+    // stop the CONTEXT, not just the thread-local active session:
+    // getOrCreate reuses any live SparkContext and silently ignores the
+    // master string — mid-suite that left maxFailures at 1 and the
+    // injected failure killed the job instead of retrying
     SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    org.apache.spark.graftbridge.ListenerBridge.stopActiveContext()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
