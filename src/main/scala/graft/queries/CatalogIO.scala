@@ -236,6 +236,38 @@ object CatalogIO {
       s.read.parquet(path).orderBy("l_returnflag")
     },
 
+    // A10c: compression-codec matrix — the same aggregate written as
+    // snappy, zstd and gzip parquet and read back, one row-set per
+    // codec tagged and unioned. Codec choice is a pure storage knob:
+    // every codec must round-trip to identical bytes-of-result, which
+    // the oracle pins by crossing the codec names with the aggregate
+    // computed once. (zstd is the 100 TB default — ~2× smaller than
+    // snappy at similar scan cost; the matrix proves switching is a
+    // config change, not a correctness event.)
+    Decl("sink_codecs", {
+      val agg = s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")}
+        | AS revenue FROM lineitem GROUP BY l_returnflag""".stripMargin
+      s"""SELECT codec, l_returnflag, revenue
+         |FROM (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec),
+         |     ($agg)
+         |ORDER BY codec, l_returnflag""".stripMargin
+    }) { (s, d) =>
+      val codecs = Seq("gzip", "snappy", "zstd")
+      val frames = codecs.map { c =>
+        val path = Catalog.scratch(d, s"sink_codec_$c")
+        Catalog.once(s, d, path) {
+          Tables.lineitem(s, d)
+            .groupBy("l_returnflag")
+            .agg(dsum(col("l_extendedprice")).as("revenue"))
+            .write.mode("overwrite").option("compression", c).parquet(path)
+        }
+        s.read.parquet(path).withColumn("codec", lit(c))
+      }
+      frames.reduce(_.unionAll(_))
+        .select(col("codec"), col("l_returnflag"), col("revenue"))
+        .orderBy("codec", "l_returnflag")
+    },
+
     // A10b: HIVE-PARTITIONED sink — `partitionBy` write, the layout
     // every downstream partition-pruned read depends on. The round-trip
     // read filters one partition value: the directory layout (not a
