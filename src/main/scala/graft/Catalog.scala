@@ -52,7 +52,14 @@ object Catalog {
     }
 
   /** Scratch dir for materialized formats (csv/json/partitioned parquet),
-    * keyed by scale-factor name so sfs don't clobber each other. */
+    * keyed by scale-factor name so sfs don't clobber each other, and by
+    * PROCESS so two concurrently-running harnesses (a verify dump and a
+    * test suite, say) never overwrite each other's materializations —
+    * the one interleaving the in-JVM once() guard cannot serialize: one
+    * JVM's mode("overwrite") delete window is another JVM's footer
+    * read. Each JVM rewrites its scratch on first touch anyway (the
+    * memo is per-appId), so per-process paths cost nothing extra. */
+  private val procTag = java.lang.ProcessHandle.current().pid().toString
   def scratch(dir: String, kind: String): String = {
     // basename for readability PLUS a full-dir fingerprint: two data
     // roots with the same basename must get distinct on-disk paths,
@@ -60,6 +67,6 @@ object Catalog {
     // the other's queries
     val sf = dir.replaceAll(".*/", "")
     val fp = f"${dir.hashCode & 0xffffff}%06x"
-    s"/root/repo/target/graft_io/$sf-$fp/$kind"
+    s"/root/repo/target/graft_io/p$procTag/$sf-$fp/$kind"
   }
 }

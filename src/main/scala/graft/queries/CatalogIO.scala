@@ -227,13 +227,14 @@ object CatalogIO {
       s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")} AS revenue
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val path = Catalog.scratch(d, "sink_revenue")
+      val agg = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
       Catalog.once(s, d, path) {
-        Tables.lineitem(s, d)
-          .groupBy("l_returnflag")
-          .agg(dsum(col("l_extendedprice")).as("revenue"))
-          .write.mode("overwrite").parquet(path)
+        agg.write.mode("overwrite").parquet(path)
       }
-      s.read.parquet(path).orderBy("l_returnflag")
+      // writer-schema read (see TpcH.partsupp): no footer inference
+      s.read.schema(agg.schema).parquet(path).orderBy("l_returnflag")
     },
 
     // A10c: compression-codec matrix — the same aggregate written as

@@ -761,20 +761,24 @@ object TpcH {
     * parquet bit-exactly, so the oracle twin is unaffected). */
   private[graft] def partsupp(s: SparkSession, d: String): DataFrame = {
     val path = graft.Catalog.scratch(d, "partsupp")
+    val derived = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("h", graft.functions.XHash.sha60(
+        concat_ws("_", col("ps_partkey"), col("ps_suppkey"))))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (col("h") % 10000 + 1).as("ps_availqty"),
+        (expr("h div 7 % 100000").cast("double") / 100.0 + 1.0)
+          .as("ps_supplycost"))
     graft.Catalog.once(s, d, path) {
-      Tables.lineitem(s, d)
-        .select(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"))
-        .distinct()
-        .withColumn("h", graft.functions.XHash.sha60(
-          concat_ws("_", col("ps_partkey"), col("ps_suppkey"))))
-        .select(col("ps_partkey"), col("ps_suppkey"),
-          (col("h") % 10000 + 1).as("ps_availqty"),
-          (expr("h div 7 % 100000").cast("double") / 100.0 + 1.0)
-            .as("ps_supplycost"))
-        .write.mode("overwrite").parquet(path)
+      derived.write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    // writer-schema read: scratch readbacks never depend on footer
+    // inference (the producer knows what it wrote; inference can race
+    // an overwrite's delete window under concurrent sessions/queries
+    // and is the one failure mode a schema-explicit read removes)
+    s.read.schema(derived.schema).parquet(path)
   }
 
   /** DuckDB twin of [[partsupp]] as a WITH-clause entry. */

@@ -24,7 +24,10 @@ class ConcurrencySpec extends AnyFunSuite with SparkSuite {
       "sim_topk_cosine", "dedup_near_keep", "dedup_cluster_rep",
       "sink_parquet", "scan_csv", "tpch_q11", "tpch_q2", "cogroup_apply")
     def run(n: String): Seq[Seq[Any]] =
-      SparkEntry.queries(n)(spark, sf01).collect().map(_.toSeq).toSeq
+      try SparkEntry.queries(n)(spark, sf01).collect().map(_.toSeq).toSeq
+      catch { case e: Throwable =>
+        throw new RuntimeException(s"query $n failed: ${e.getMessage}", e)
+      }
     // concurrent waves run FIRST: wave 1 is the cold concurrent
     // first-touch that actually races the once/memo guards (a
     // sequential warm-up beforehand would leave both waves on the warm
