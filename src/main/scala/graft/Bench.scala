@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Accumulates executor task wall-time and JVM GC time across all tasks.
+  * Snapshot deltas around a query give its TRUE compute cost next to
+  * driver-observed wall time, which makes in-suite load artifacts
+  * self-diagnosing (VERDICT r7 item 1): on a 32-thread local session a
+  * healthy query has task_sec ≈ wall × utilized-cores; an externally
+  * loaded box shows wall ≫ task_sec/cpus with low gc — the
+  * tpch_q17/q20-class anomaly becomes a one-glance diagnosis instead of
+  * an after-the-fact isolated re-run. */
+private final class TaskClock extends SparkListener {
+  val runMs = new AtomicLong(0L)
+  val gcMs = new AtomicLong(0L)
+  val cpuNs = new AtomicLong(0L)
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      runMs.addAndGet(m.executorRunTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
+  def snap: (Long, Long, Long) = (runMs.get, gcMs.get, cpuNs.get)
+}
+
 object Bench {
+  /** 1-minute load average sampled from /proc — the box-load witness
+    * requested by the r7 verdict (task-time ≪ wall ⇒ external load,
+    * and load1 names the culprit). */
+  private def load1: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +45,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val clock = new TaskClock
+    spark.sparkContext.addSparkListener(clock)
     // a failed query must read as -1, not as a (misleadingly fast)
     // elapsed time — exceptions can fire in milliseconds.
     // sorted order: map iteration order is hash-random, which would move
@@ -38,10 +74,14 @@ object Bench {
     // compile land on execution #1) from its steady-state plan cost
     // (execution #2+). The driver harness leaves it unset (n=1).
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // name -> (wall_sec, task_sec, gc_sec, cpu_sec, load1-at-start)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        val ld = load1
+        val (r0, g0, c0) = clock.snap
         val t0 = System.nanoTime()
         val sec =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -49,16 +89,32 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
           }
-        (if (i == 1) name else s"$name#$i") -> sec
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        val (r1, g1, c1) = clock.snap
+        (if (i == 1) name else s"$name#$i") ->
+          (sec, (r1 - r0) / 1e3, (g1 - g0) / 1e3, (c1 - c0) / 1e9, ld)
       }
     }
+    def jnum(v: Double): String = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      rs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    // Full per-query detail first (humans / full-log consumers) ...
-    println(s"""{"metric":"per_query_full","unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+    def jdiag(rs: Seq[(String, (Double, Double, Double, Double, Double))])
+        : String =
+      rs.map { case (k, (w, t, g, c, l)) =>
+        "\"" + k + "\":{\"wall\":" + jnum(w) + ",\"task_sec\":" + jnum(t) +
+          ",\"gc_sec\":" + jnum(g) + ",\"cpu_sec\":" + jnum(c) +
+          ",\"load1\":" + jnum(l) + "}"
+      }.mkString("{", ",", "}")
+    val walls = results.map { case (k, v) => k -> v._1 }
+    val total = walls.map(_._2).filter(_ >= 0).sum
+    val failed = walls.count(_._2 < 0)
+    // Full per-query detail first (humans / full-log consumers): wall
+    // time plus the attribution triple (executor task-time, GC, process
+    // CPU) and the load average sampled as the query started.
+    val fullLine =
+      s"""{"metric":"per_query_full","unit":"sec","queries":${jmap(walls)},"diag":${jdiag(results)},"cpus":$cpus,"sf":"$sfDir"}"""
+    println(fullLine)
     // ... then a COMPACT headline line LAST. The driver harness keeps only
     // the final ~2000 chars of output and scans them for a parseable JSON
     // line; the full map above exceeds that window (it did in rounds 1-2:
@@ -68,9 +124,9 @@ object Bench {
       "window_frame", "rollup_cube", "agg_distinct", "topk", "set_ops",
       "scalar_json", "time_tumbling", "text_stats", "dedup_exact",
       "sim_topk_cosine")
-    val subset = results.filter(r => baseline14.contains(r._1))
+    val subset = walls.filter(r => baseline14.contains(r._1))
     val subTotal = subset.map(_._2).filter(_ >= 0).sum
-    val headline = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"baseline14_total":${f"$subTotal%.3f"},"baseline14_ref_sec":14.78}"""
+    val headline = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${walls.size},"n_failed":$failed,"baseline14_total":${jnum(subTotal)},"baseline14_ref_sec":14.78,"load1_max":${jnum(results.map(_._2._5).foldLeft(-1.0)(math.max))}}"""
     println(headline)
     // Belt and braces: sbt prefixes every stdout line with "[info] ", so
     // a strict per-line JSON parse of the captured tail can still fail —
@@ -79,8 +135,7 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_SELF.json"), headline + "\n")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_SELF_FULL.json"),
-        s"""{"metric":"per_query_full","unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
+        java.nio.file.Paths.get("BENCH_SELF_FULL.json"), fullLine + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -60,7 +60,40 @@ object Catalog {
     * read. Each JVM rewrites its scratch on first touch anyway (the
     * memo is per-appId), so per-process paths cost nothing extra. */
   private val procTag = java.lang.ProcessHandle.current().pid().toString
+
+  /** One-shot reap of sibling p<pid> scratch trees whose owner process
+    * is gone: per-process paths protect live concurrent harnesses from
+    * each other's overwrite windows, but without this the orphaned
+    * trees of every finished run would accumulate unbounded under
+    * target/graft_io. Deleting only dead-pid dirs keeps the
+    * live-concurrency guarantee intact (a recycled pid at worst SPARES
+    * a dir — never deletes a live one). Failures are swallowed: reaping
+    * is hygiene, not correctness. */
+  private lazy val reapOrphans: Unit = {
+    val root = new java.io.File("/root/repo/target/graft_io")
+    val kids = Option(root.listFiles()).getOrElse(Array.empty)
+    kids.iterator
+      .filter(f => f.isDirectory && f.getName.startsWith("p"))
+      .filter(_.getName != s"p$procTag")
+      .foreach { f =>
+        // forall: an unparseable name (not ours) is left alone too
+        val alive: Boolean = f.getName.drop(1).toLongOption.forall { pid =>
+          scala.util.Try {
+            val h = java.lang.ProcessHandle.of(pid)
+            h.isPresent && h.get.isAlive
+          }.getOrElse(true) // unsure ⇒ assume alive, never delete
+        }
+        if (!alive) scala.util.Try {
+          import java.nio.file._
+          import scala.jdk.CollectionConverters._
+          Files.walk(f.toPath).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      }
+  }
+
   def scratch(dir: String, kind: String): String = {
+    reapOrphans
     // basename for readability PLUS a full-dir fingerprint: two data
     // roots with the same basename must get distinct on-disk paths,
     // or the once() memo could serve one root's materialization for

@@ -254,15 +254,16 @@ object CatalogIO {
          |ORDER BY codec, l_returnflag""".stripMargin
     }) { (s, d) =>
       val codecs = Seq("gzip", "snappy", "zstd")
+      val agg = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
       val frames = codecs.map { c =>
         val path = Catalog.scratch(d, s"sink_codec_$c")
         Catalog.once(s, d, path) {
-          Tables.lineitem(s, d)
-            .groupBy("l_returnflag")
-            .agg(dsum(col("l_extendedprice")).as("revenue"))
-            .write.mode("overwrite").option("compression", c).parquet(path)
+          agg.write.mode("overwrite").option("compression", c).parquet(path)
         }
-        s.read.parquet(path).withColumn("codec", lit(c))
+        // writer-schema read (see sink_parquet): no footer inference
+        s.read.schema(agg.schema).parquet(path).withColumn("codec", lit(c))
       }
       frames.reduce(_.unionAll(_))
         .select(col("codec"), col("l_returnflag"), col("revenue"))

@@ -593,13 +593,20 @@ object Relational {
          |WHERE o_totalprice > 300000
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       val ord = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Spark's bloomFilter NPEs on a zero-row build side; an empty
       // build set means the prefilter passes nothing — same semantics,
-      // no sketch (an empty shard/day-zero table must not crash)
+      // no sketch (an empty shard/day-zero table must not crash).
+      // The build side is persisted so the guard count, the bloom
+      // build, and the final join all read ONE materialization of the
+      // filtered orders instead of three scans (the cache is keyed by
+      // analyzed plan, so repeat invocations reuse it too); the count
+      // also sizes the sketch to the actual key population.
+      val nBuild = ord.count()
       val pre =
-        if (ord.isEmpty) Tables.lineitem(s, d).filter(lit(false))
+        if (nBuild == 0L) Tables.lineitem(s, d).filter(lit(false))
         else {
-          val bf = ord.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+          val bf = ord.stat.bloomFilter("o_orderkey", math.max(nBuild, 1L), 0.01)
           val bfBc = s.sparkContext.broadcast(bf)
           val mightContain = udf((k: Long) => bfBc.value.mightContain(k))
           Tables.lineitem(s, d).filter(mightContain(col("l_orderkey")))
