@@ -617,6 +617,52 @@ object Stats {
       one.select(explode(array(entries: _*)).as("p"))
         .select(col("p.*"))
         .orderBy("col_name")
+    },
+
+    // Sketch-backed profiler twin — the 100 TB form of profile_columns.
+    // The exact profiler's COUNT(DISTINCT) per column is the one
+    // NDV-linear operator left in the registry (SCALING.md r7: 7.5×
+    // shuffle bytes at 10× rows — Spark plans multi-distinct via an
+    // Expand that ships every distinct value); here each NDV is an
+    // HLL++ register set (approx_count_distinct, rsd = 1%), so every
+    // partial aggregate ships a FIXED-size sketch per column and the
+    // shuffle is output-bounded at any corpus size. Everything else
+    // (row/null counts, min/max prints) is identical to the exact
+    // profiler, which serves as its oracle at test scale:
+    // declared-approximate (SURVEY §2 rule 4 — no DuckDB oracle),
+    // StatsApproxSpec pins every column's estimate within ±5% of exact
+    // at all three SFs, and ScaleAudit records the flattened shuffle
+    // fingerprint next to the exact profiler's.
+    Decl.noOracle("profile_columns_approx") { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("v_big", when(col("value") > 400, col("value")))
+        .withColumn("ts_us", Det.epochUs(col("ts")))
+      def numS(c: Column) = c.cast(DecimalType(30, 6)).cast(StringType)
+      def strS(c: Column) = c.cast(StringType)
+      val cols: Seq[(String, Column, Column => Column)] = Seq(
+        ("event_id", col("event_id"), strS),
+        ("event_type", col("event_type"), identity[Column]),
+        ("props", col("props"), identity[Column]),
+        ("ts", col("ts_us"), strS),
+        ("user_id", col("user_id"), strS),
+        ("v_big", col("v_big"), numS),
+        ("value", col("value"), numS))
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
+        case (n, c, p) => Seq(
+          count(c).as(s"${n}__nn"),
+          approx_count_distinct(c, 0.01).as(s"${n}__nd"),
+          p(min(c)).as(s"${n}__min"), p(max(c)).as(s"${n}__max"))
+      }
+      val one = ev.agg(aggs.head, aggs.tail: _*)
+      val entries = cols.map { case (n, _, _) =>
+        struct(lit(n).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"${n}__nn")).as("n_null"),
+          col(s"${n}__nd").as("n_distinct_est"),
+          col(s"${n}__min").as("min_s"), col(s"${n}__max").as("max_s"))
+      }
+      one.select(explode(array(entries: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
     }
   )
 }

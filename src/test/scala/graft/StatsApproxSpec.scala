@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error bound for the sketch-backed profiler twin: declared-approximate
+  * (no DuckDB oracle — SURVEY §2 rule 4), so like B4 the check is a
+  * value-level property against its exact sibling at every scale the
+  * driver exercises. Everything that is NOT an estimate (row counts,
+  * null counts, min/max prints) must match the exact profiler
+  * bit-for-bit — the twin may only relax the NDV column. */
+class StatsApproxSpec extends AnyFunSuite with SparkSuite {
+
+  test("profile_columns_approx: NDV within 5% of exact, all other " +
+      "profile fields identical, at all three SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("profile_columns")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5))).toMap
+      val approx = SparkEntry.queries("profile_columns_approx")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5))).toMap
+      assert(exact.keySet == approx.keySet)
+      exact.foreach { case (col, (nRows, nNull, nd, minS, maxS)) =>
+        val (aRows, aNull, aNd, aMin, aMax) = approx(col)
+        assert(aRows == nRows && aNull == nNull &&
+          aMin == minS && aMax == maxS,
+          s"$dir $col: non-estimate fields diverged")
+        assert(math.abs(aNd - nd).toDouble / math.max(nd, 1L) <= 0.05,
+          s"$dir $col: ndv est=$aNd exact=$nd")
+      }
+    }
+  }
+}
