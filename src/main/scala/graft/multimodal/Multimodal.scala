@@ -14,15 +14,19 @@ import org.apache.spark.sql.functions._
   * no driver involvement), and downstream ops are ordinary relational
   * plans over the extracted features.
   *
-  * Decoders come in two tiers. `multimodal_decode_png` is a REAL
-  * binary decode: PNG payloads synthesized with the JDK codec and
-  * parsed back via `javax.imageio` (no external dependency), oracle-
-  * checked per decoded pixel sum. For codecs the JDK does not ship
-  * (video, audio), `decodeStub` is the clearly-marked stand-in deriving
-  * deterministic pseudo-metadata from payload bytes — swapping in a
-  * real codec changes only the body of that one function; the schema,
-  * batching, partitioning and query shapes are identical (the PNG path
-  * proves it).
+  * Decoders come in two tiers. Still images are REAL binary decodes
+  * through `javax.imageio` (no external dependency): PNG
+  * (`multimodal_decode_png`, lossless — oracle-checked per decoded
+  * pixel sum), JPEG (`multimodal_decode`, lossy — dimensions oracled
+  * exactly, reconstruction error property-bounded), and the
+  * decode→downscale stage (`multimodal_resize`, integer area-average
+  * over the decoded raster, oracled including the resampled pixel
+  * sum). Only the genuinely codec-/model-bound steps remain stubs:
+  * video frame extraction (`decodeStub` → `multimodal_frames`; no
+  * video codec exists in this zero-egress sandbox) and the embedding
+  * model (`embedStub` → `multimodal_embed`; inference needs model
+  * weights) — swapping in the real thing changes only those function
+  * bodies; schema, batching, partitioning and query shapes hold.
   *
   * Scale: decode is embarrassingly parallel per partition; payload bytes
   * never pass through a wide transform before feature extraction, so the
@@ -41,9 +45,12 @@ object Multimodal {
       doc_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — stands in for an image/video codec (`???` in spirit):
-    * deterministic pseudo-metadata derived from payload length. A real
-    * implementation would parse the container header here. */
+  /** STUB decoder — stands in ONLY for codecs the JDK does not ship
+    * (video containers): deterministic pseudo-metadata derived from
+    * payload length. Still images go through the REAL decoders below
+    * ([[decodePng]], [[decodeJpeg]]); the one remaining consumer is
+    * `multimodal_frames`, whose frame extraction is genuinely
+    * codec-bound (no video codec exists offline in this sandbox). */
   def decodeStub(m: MediaRow): MediaFeatures = {
     val n = m.payload.length
     MediaFeatures(m.doc_id, m.mime, n, n % 640, n % 480, n % 30 + 1)
@@ -140,6 +147,112 @@ object Multimodal {
       y += 1
     }
     PngFeatures(m.doc_id, m.payload.length, img.getWidth, img.getHeight, s)
+  }
+
+  /** Synthesize a REAL JPEG per asset on the executors — same generator
+    * arithmetic as [[pngOf]] but through the JDK's JPEG writer at
+    * explicit quality 1.0. Unlike PNG this is a LOSSY container: the
+    * decoded pixels are within ±1 gray level of the generator values
+    * (measured over the full seed space — MultimodalCodecSpec pins the
+    * bound), so the oracle checks the EXACT parts (dimensions, from the
+    * JFIF frame header) and the spec bounds the lossy part, which is
+    * the honest contract any real JPEG pipeline lives with. */
+  def jpegOf(ids: Dataset[java.lang.Long]): Dataset[PngRow] = {
+    implicit val enc = Encoders.product[PngRow]
+    ids.mapPartitions { it =>
+      // writer instances are not thread-safe and not serializable:
+      // one per partition, reused across the batch (the expensive part
+      // is codec setup, not the per-image write)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val w = (id % 13 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = pngGray(id, x, y)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        ios.close()
+        PngRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL JPEG decode — `javax.imageio` parses the JFIF container,
+    * Huffman-decodes and runs the IDCT. Dimensions come from the frame
+    * header (exact); the pixel raster is the lossy reconstruction, so
+    * `pixel_sum` here is REPORTED (and bounded in MultimodalCodecSpec)
+    * but deliberately not part of the oracled projection. */
+  def decodeJpeg(m: PngRow): PngFeatures = decodePng(m)
+
+  /** Aspect-preserving integer target box: images larger than
+    * `edge` on either side shrink by the SAME integer-ratio factor
+    * (out = dim·edge / maxdim, floored, min 1); smaller images pass
+    * through. All-integer so both engines agree exactly. */
+  @inline def fitBox(w: Int, h: Int, edge: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= edge) (w, h)
+    else (math.max(1, w * edge / m), math.max(1, h * edge / m))
+  }
+
+  final case class ResizedFeatures(
+      doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, out_pixel_sum: Long)
+
+  /** Resize target edge for `multimodal_resize` (thumbnail box). */
+  val ResizeEdge = 4
+
+  /** REAL downscale over the DECODED raster: integer area-average —
+    * source pixel (x,y) lands in output cell (x·out_w/w, y·out_h/h)
+    * (integer division), each cell emits floor(mean gray). Real pixel
+    * work on real decoded bytes, and exactly replayable in SQL.
+    *
+    * Why not `Graphics2D.drawImage` with NEAREST_NEIGHBOUR: measured
+    * on this JDK, its blit loops round the inverse-mapped coordinate
+    * differently depending on the scale ratio (13×7→6×3 follows
+    * floor((2x+1)·sw/2dw), 10×6→4×3 does not), so its output cannot
+    * be replayed by engine-independent arithmetic — a correctness
+    * trap for any cross-engine contract. The explicit resampler is
+    * the same per-pixel cost and pins its own semantics. */
+  def resizeAvg(m: PngRow): ResizedFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val (ow, oh) = fitBox(w, h, ResizeEdge)
+    val sums = new Array[Long](ow * oh)
+    val cnts = new Array[Long](ow * oh)
+    var y = 0
+    while (y < h) {
+      val j = y * oh / h
+      var x = 0
+      while (x < w) {
+        val i = x * ow / w
+        sums(j * ow + i) += (img.getRGB(x, y) >> 16) & 255
+        cnts(j * ow + i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var s = 0L
+    var k = 0
+    while (k < sums.length) { s += sums(k) / cnts(k); k += 1 }
+    ResizedFeatures(m.doc_id, w, h, ow, oh, s)
   }
 
   /** Images with a PLANTED duplicate structure for the perceptual-hash
@@ -334,19 +447,24 @@ object Multimodal {
         .orderBy("h1_hi", "h1_lo", "h2_hi", "h2_lo")
     },
 
-    // Decode + feature-extract through the binary pipeline. Oracle
-    // reproduces the stub arithmetic from the text length (payload is
-    // the UTF-8 encoding of all-ASCII text ⇒ n_bytes = n_chars).
+    // REAL JPEG decode — the second still-image codec the JDK ships:
+    // real JPEGs synthesized per asset (quality 1.0, see jpegOf),
+    // parsed back through javax.imageio (JFIF header + Huffman + IDCT)
+    // in the same mapPartitions shape as the PNG path. JPEG is LOSSY,
+    // so the oracle pins exactly what IS exact — the frame-header
+    // dimensions — and MultimodalCodecSpec bounds the reconstruction
+    // error (±1 gray level measured across the full seed space). The
+    // binary payload dies at feature extraction as everywhere else.
     Decl("multimodal_decode",
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) % 640 AS width,
-        |  octet_length(encode(text)) % 480 AS height,
-        |  octet_length(encode(text)) % 30 + 1 AS n_frames
-        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin) { (s, d) =>
-      implicit val enc = Encoders.product[MediaFeatures]
-      mediaOf(Tables.documents(s, d))
-        .mapPartitions(_.map(decodeStub))
-        .select("doc_id", "n_bytes", "width", "height", "n_frames")
+      """SELECT doc_id, CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[PngFeatures]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      jpegOf(ids)
+        .mapPartitions(_.map(decodeJpeg))
+        .select(col("doc_id"), col("width"), col("height"))
         .orderBy("doc_id")
     },
 
@@ -378,33 +496,48 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Resize/normalize stage: clamp decoded dimensions to a target box
-    // preserving aspect ratio — the feature-normalization step between
-    // decode and model input. Arithmetic-only on the decoded metadata
-    // (the pixel work would live in the same mapPartitions as the
-    // decoder), so it is oracle-checkable end-to-end.
-    Decl("multimodal_resize",
-      """SELECT doc_id, width, height,
-        |  CAST(floor(width * scale) AS INTEGER) AS out_w,
-        |  CAST(floor(height * scale) AS INTEGER) AS out_h
-        |FROM (
-        |  SELECT doc_id,
-        |    octet_length(encode(text)) % 640 AS width,
-        |    octet_length(encode(text)) % 480 AS height,
-        |    least(224.0 / greatest(octet_length(encode(text)) % 640, 1),
-        |          224.0 / greatest(octet_length(encode(text)) % 480, 1),
-        |          1.0) AS scale
-        |  FROM documents WHERE text IS NOT NULL)
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      implicit val enc = Encoders.product[MediaFeatures]
-      mediaOf(Tables.documents(s, d))
-        .mapPartitions(_.map(decodeStub))
-        .withColumn("scale",
-          least(lit(224.0) / greatest(col("width"), lit(1)),
-            lit(224.0) / greatest(col("height"), lit(1)), lit(1.0)))
+    // REAL resize: decode the synthesized PNG raster and downscale it
+    // with the explicit integer area-average resampler ([[resizeAvg]] —
+    // see its scaladoc for why Graphics2D's scale-dependent rounding
+    // was rejected). The aspect-preserving target box is all-integer
+    // (fitBox), and every output value — dimensions AND the downscaled
+    // pixel sum — is replayed exactly by the oracle from generator
+    // arithmetic, because PNG is lossless and the resampler is integer
+    // division end-to-end. This is the decode→resize pipeline stage a
+    // vision-model feeder runs, with the binary column pruned after
+    // the per-partition pixel work.
+    Decl("multimodal_resize", {
+      val e = ResizeEdge
+      s"""WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 1 AS BIGINT) AS w,
+         |      CAST(doc_id % 7 + 1 AS BIGINT) AS h FROM documents),
+         |dims AS (SELECT doc_id, w, h,
+         |    CASE WHEN greatest(w, h) <= $e THEN w
+         |         ELSE greatest(1, w * $e // greatest(w, h)) END AS ow,
+         |    CASE WHEN greatest(w, h) <= $e THEN h
+         |         ELSE greatest(1, h * $e // greatest(w, h)) END AS oh
+         |  FROM d),
+         |px AS (SELECT doc_id, w, h, ow, oh, tx.x AS x, ty.y AS y,
+         |    (doc_id * 31 + tx.x * 7 + ty.y * 13) % 256 AS gray
+         |  FROM dims, range(0, 13) tx(x), range(0, 7) ty(y)
+         |  WHERE tx.x < w AND ty.y < h),
+         |cells AS (SELECT doc_id, w, h, ow, oh,
+         |    (x * ow) // w AS ci, (y * oh) // h AS cj,
+         |    SUM(gray) // COUNT(*) AS cgray
+         |  FROM px GROUP BY doc_id, w, h, ow, oh, ci, cj)
+         |SELECT doc_id, CAST(w AS INTEGER) AS width,
+         |  CAST(h AS INTEGER) AS height,
+         |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+         |  CAST(SUM(cgray) AS BIGINT) AS out_pixel_sum
+         |FROM cells GROUP BY doc_id, w, h, ow, oh
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      implicit val enc = Encoders.product[ResizedFeatures]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      pngOf(ids)
+        .mapPartitions(_.map(resizeAvg))
         .select(col("doc_id"), col("width"), col("height"),
-          floor(col("width") * col("scale")).cast("int").as("out_w"),
-          floor(col("height") * col("scale")).cast("int").as("out_h"))
+          col("out_w"), col("out_h"), col("out_pixel_sum"))
         .orderBy("doc_id")
     },
 
