@@ -111,11 +111,25 @@ object Similarity {
     Seq.fill(RpOutDims)(Seq.fill(64)(if (rnd.nextBoolean()) 1f else -1f))
   }
 
-  /** All XOR masks within [[LshProbeRadius]] bit flips — the query-side
-    * probe-bucket expansion (compile-time constant, 11 masks at 4/2). */
-  private val lshProbeMasks: Seq[Long] =
+  /** All XOR masks within `radius` bit flips — the query-side
+    * probe-bucket expansion (compile-time constant). */
+  private def lshMasksOf(radius: Int): Seq[Long] =
     (0 until (1 << LshNumPlanes))
-      .filter(m => Integer.bitCount(m) <= LshProbeRadius).map(_.toLong)
+      .filter(m => Integer.bitCount(m) <= radius).map(_.toLong)
+
+  /** Masks at [[LshProbeRadius]] (11 masks at 4/2) — the top-k path. */
+  private val lshProbeMasks: Seq[Long] = lshMasksOf(LshProbeRadius)
+
+  /** The CLASSIFIER's probe radius is wider (3 of 4 planes): a top-k
+    * overlap of ~0.85 is fine for retrieval but not for a 10-vote
+    * MAJORITY on this uniform-random corpus (labels uncorrelated with
+    * geometry ⇒ vote margins are razor-thin, and every missed true
+    * neighbor substitutes an arbitrary label — measured agreement 0.66
+    * at radius 2 vs ≥ 0.9 at radius 3). Radius is the recall knob
+    * exactly as documented for the ANN params above; on a clustered
+    * real corpus the same agreement needs far fewer probes. */
+  private[graft] val KnnClassifyRadius = 3
+  private val knnProbeMasks: Seq[Long] = lshMasksOf(KnnClassifyRadius)
 
   /** Sign-LSH bucket id: bit i = sign of dot with plane i. */
   private[graft] def lshBucketOf(emb: Column): Column =
@@ -200,6 +214,77 @@ object Similarity {
       .select(col("vec_id"), simCol.as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** DuckDB twin of [[lshBucketOf]] (plane literals as exact decimals). */
+  private def lshBucketSql: String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${sqlDotConst("embedding", p)} >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB list literal of [[lshProbeMasks]]. */
+  private def lshMasksSql: String = lshProbeMasks.mkString("[", ", ", "]")
+
+  /** DuckDB list literal of [[knnProbeMasks]]. */
+  private def knnMasksSql: String = knnProbeMasks.mkString("[", ", ", "]")
+
+  /** Top-10 majority-label vote over a (qid, vec_id, label, sim)
+    * candidate frame — the shared back half of both k-NN classifiers.
+    * Ties break deterministically: rank by (sim desc, vec_id), vote by
+    * (n_votes desc, label) — both mirrored in the oracles. */
+  private def knnVote(cand: DataFrame): DataFrame = {
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wVote = Window.partitionBy("qid")
+      .orderBy(col("n_votes").desc, col("label"))
+    cand
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .groupBy("qid", "label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy("qid")
+  }
+
+  /** Brute-force k-NN classifier (probes = vec_id < nProbes, corpus =
+    * the rest): broadcast probe set × corpus scan — exact, by declared
+    * intent the small-probe-set formulation. Parameterized so the
+    * agreement spec can run it over many probes. */
+  private[graft] def knnClassifyBrute(
+      s: SparkSession, d: String, nProbes: Long): DataFrame = {
+    val e = withN2(Tables.embeddings(s, d))
+    val probe = broadcast(e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("n2").as("qn2")))
+    knnVote(e.filter(col("vec_id") >= nProbes).crossJoin(probe)
+      .select(col("qid"), col("vec_id"), col("label"), simCol.as("sim")))
+  }
+
+  /** ANN k-NN classifier — the same vote routed through the sign-LSH
+    * multi-probe buckets instead of the full corpus: each probe's
+    * candidates are the corpus rows whose bucket lies within
+    * [[KnnClassifyRadius]] of the probe's own signature (equi-join on the
+    * bucket key against a broadcast probe×mask expansion — the
+    * [[annLshTopK]] shape with a classification head). At 100 TB each
+    * probe touches ~|masks|/2^planes of the corpus instead of all of
+    * it; deterministic given the fixed planes, so fully oracled, and
+    * SimilarityTextSpec pins label agreement ≥ 0.9 vs brute force
+    * over 50 probes at sf0.1. */
+  private[graft] def knnClassifyAnn(
+      s: SparkSession, d: String, nProbes: Long): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", lshBucketOf(col("embedding")))
+    val probes = broadcast(e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("qn2"),
+        explode(array(knnProbeMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket")))
+    knnVote(withN2(e.filter(col("vec_id") >= nProbes))
+      .join(probes, col("bucket") === col("pbucket"))
+      .select(col("qid"), col("vec_id"), col("label"), simCol.as("sim")))
   }
 
   /** Exact brute-force top-k twin of the ANN pipelines (scan +
@@ -303,23 +388,38 @@ object Similarity {
          |  SELECT qid, label, n_votes, row_number() OVER (
          |    PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
          |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
-      val e = withN2(Tables.embeddings(s, d))
-      val probe = broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("n2").as("qn2")))
-      val cand = e.filter(col("vec_id") >= 5).crossJoin(probe)
-      val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-      val wVote = Window.partitionBy("qid")
-        .orderBy(col("n_votes").desc, col("label"))
-      cand.select(col("qid"), col("vec_id"), col("label"), simCol.as("sim"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= 10)
-        .groupBy("qid", "label")
-        .agg(count(lit(1)).as("n_votes"))
-        .withColumn("vr", row_number().over(wVote))
-        .filter(col("vr") === 1)
-        .select(col("qid"), col("label").as("pred_label"), col("n_votes"))
-        .orderBy("qid")
+      knnClassifyBrute(s, d, 5)
+    },
+
+    // C5-scale: ANN k-NN classification — the knn_classify vote with
+    // candidates from the sign-LSH multi-probe buckets instead of the
+    // full corpus (see knnClassifyAnn). Deterministic fixed planes ⇒
+    // the oracle replays the exact bucketing + vote; agreement vs
+    // brute force pinned ≥ 0.9 over 50 probes in SimilarityTextSpec.
+    Decl("knn_classify_ann",
+      s"""WITH b AS (SELECT vec_id, label, embedding, $lshBucketSql AS bucket
+         |           FROM embeddings),
+         |probe AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+         |          FROM b WHERE vec_id < 5),
+         |pr AS (SELECT qid, qv, xor(qbucket, m) AS pbucket
+         |       FROM probe, UNNEST($knnMasksSql) AS u(m)),
+         |cand AS (SELECT qid, b.vec_id, b.label,
+         |    ${sqlDotList("embedding", "qv")} AS dot,
+         |    ${sqlDotList("embedding", "embedding")} AS nx,
+         |    ${sqlDotList("qv", "qv")} AS ny
+         |  FROM b JOIN pr ON b.bucket = pr.pbucket WHERE b.vec_id >= 5),
+         |ranked AS (SELECT qid, vec_id, label,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id)
+         |               AS rn
+         |           FROM cand),
+         |votes AS (SELECT qid, label, COUNT(*) AS n_votes
+         |          FROM ranked WHERE rn <= 10 GROUP BY qid, label)
+         |SELECT qid, label AS pred_label, n_votes FROM (
+         |  SELECT qid, label, n_votes, row_number() OVER (
+         |    PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      knnClassifyAnn(s, d, 5)
     },
 
     // C10: multimodal join — text table ⋈ vector table on id, filtered by
@@ -351,11 +451,8 @@ object Similarity {
     // exact decimals); SimilarityTextSpec pins recall@10 ≥ 0.8 vs
     // brute force at sf0.1.
     {
-      val bucketSql = lshPlanes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN ${sqlDotConst("embedding", p)} >= 0 " +
-          s"THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
-      val masksSql = lshProbeMasks.mkString("[", ", ", "]")
+      val bucketSql = lshBucketSql
+      val masksSql = lshMasksSql
       Decl("sim_ann_lsh",
         s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
            |           FROM embeddings),

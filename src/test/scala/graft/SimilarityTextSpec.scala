@@ -86,6 +86,27 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       brute.get(id).foreach(bs => assert(math.abs(bs - s) < 1e-12)) }
   }
 
+  test("knn_classify_ann label agreement vs brute force ≥ 0.9 over " +
+      "50 probes at sf0.1") {
+    // Deterministic like the recall bound: fixed planes, fixed corpus,
+    // the first 50 vec_ids as probes. The vote head is shared between
+    // the two classifiers, so any disagreement is purely candidate
+    // recall — this pins that the multi-probe buckets keep enough of
+    // the true top-10 to preserve the MAJORITY label even where the
+    // exact neighbor set differs.
+    import graft.queries.Similarity
+    val d = "/root/testdata/sf0.1"
+    val brute = Similarity.knnClassifyBrute(spark, d, 50).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val ann = Similarity.knnClassifyAnn(spark, d, 50).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(brute.nonEmpty)
+    val agree = brute.keysIterator
+      .count(q => ann.get(q).contains(brute(q))).toDouble / brute.size
+    info(f"knn ann-vs-brute label agreement: $agree%.3f over ${brute.size} probes")
+    assert(agree >= 0.9, f"agreement $agree%.3f < 0.9")
+  }
+
   test("ANN recall@10 vs brute force ≥ 0.8 at sf0.1 (LSH and IVF)") {
     // Deterministic measurement: fixed planes/centroids, fixed corpus,
     // 20 fixed query ids — the recall is a constant of the code+data,
