@@ -385,6 +385,31 @@ object Stats {
         .orderBy("o_orderpriority")
     },
 
+    // The 100 TB MAD: both medians via percentile_approx (Greenwald-
+    // Khanna style quantile sketch, accuracy 10⁴) instead of the exact
+    // window sorts above — two hash aggregates with BOUNDED per-group
+    // sketch state and no global sort, so per-partition partials merge
+    // map-side and the shuffle carries sketches, not rows. The exact
+    // agg_mad stays as the oracle shape at test scale; this twin is
+    // declared-approximate (SURVEY §2 rule 4: no DuckDB oracle — the
+    // sketch's merge order is engine-specific), and StatsApproxSpec
+    // pins med and mad within ±5% of exact at all three SFs.
+    Decl.noOracle("agg_mad_approx") { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val med = orders.groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("med"))
+      // med is 5 rows — AQE broadcasts this join; dev never shuffles
+      orders.join(med.withColumnRenamed("o_orderpriority", "mp"),
+          col("o_orderpriority") === col("mp"))
+        .select(col("o_orderpriority"), col("med"),
+          abs(col("o_totalprice") - col("med")).as("dev"))
+        .groupBy("o_orderpriority")
+        .agg(max(col("med")).as("med"),
+          percentile_approx(col("dev"), lit(0.5), lit(10000)).as("mad"))
+        .orderBy("o_orderpriority")
+    },
+
     // 5%-trimmed mean per priority: drop the n/20 smallest and largest
     // by exact integer rank bounds, exact-decimal mean of the kept
     // middle — the outlier-robust center estimate.

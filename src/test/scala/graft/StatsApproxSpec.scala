@@ -33,4 +33,25 @@ class StatsApproxSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("agg_mad_approx: med and mad within 5% of the exact window-sort " +
+      "MAD at all three SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("agg_mad")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2))).toMap
+      val approx = SparkEntry.queries("agg_mad_approx")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2))).toMap
+      assert(exact.keySet == approx.keySet)
+      exact.foreach { case (k, (medE, madE)) =>
+        val (medA, madA) = approx(k)
+        assert(math.abs(medA - medE) / medE <= 0.05,
+          s"$dir $k: med approx=$medA exact=$medE")
+        assert(math.abs(madA - madE) / madE <= 0.05,
+          s"$dir $k: mad approx=$madA exact=$madE")
+      }
+    }
+  }
 }
