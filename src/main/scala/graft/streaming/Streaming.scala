@@ -69,6 +69,30 @@ object Streaming {
         col("e.event_id").as("error_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickErrorJoin]] with
+    * null-emission semantics: every click emits; matched clicks emit
+    * per matching error as they arrive, and an UNMATCHED click emits
+    * exactly once with a NULL error_id — but only after the watermark
+    * passes the end of its join window (click.ts + window + delay),
+    * because until then a matching error could still arrive. That
+    * deferred null emission IS the state-eviction moment: the click
+    * row leaves the join state store and the null row rides out in the
+    * same micro-batch, which is what bounds left-side state on a
+    * 100 TB/day stream (StreamingSpec witnesses both the deferral and
+    * the exactly-once emission). */
+  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame,
+      delay: String = "10 minutes", window: String = "5 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay).alias("c")
+    val e = errors.withWatermark("ts", delay).alias("e")
+    c.join(e, expr(
+      s"""c.user_id = e.user_id AND
+         |e.ts >= c.ts AND e.ts <= c.ts + interval $window""".stripMargin),
+      "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("e.event_id").as("error_id"))
+  }
+
   /** B38 streaming twin: session windows (30-min inactivity gap) per
     * user. On a stream the watermark is what closes a session — a
     * session stays open state until event time passes its end + delay;

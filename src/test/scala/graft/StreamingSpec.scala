@@ -226,6 +226,51 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched click's null " +
+      "row is deferred until the watermark passes, then emitted exactly " +
+      "once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val cIn = MemoryStream[Ev]
+    val eIn = MemoryStream[Ev]
+    val q = Streaming.clickErrorLeftJoin(cIn.toDF(), eIn.toDF())
+      .writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").start()
+    try {
+      // click 1 matches error 10; click 2 (ts 10:20) has NO error in
+      // its 5-minute window
+      cIn.addData(Ev(1, ts(5), "click", 1, 1.0), Ev(2, ts(20), "click", 1, 1.0))
+      eIn.addData(Ev(10, ts(7), "error", 1, 1.0))
+      q.processAllAvailable()
+      val early = spark.table("ssleft").collect().map(_.toSeq)
+      assert(early.toSet == Set(Seq(1L, 1L, 10L)),
+        s"inner match only — the null row must NOT emit while click 2's " +
+          s"window (ends 10:25 + 10m delay) is still open: " +
+          s"${early.mkString(",")}")
+      // advance BOTH watermarks (stream-stream watermark = min of the
+      // sides) past 10:35 = click2.ts + window + delay → click 2's
+      // state evicts and its null row emits
+      val far = Timestamp.valueOf("2024-01-01 12:00:00")
+      cIn.addData(Ev(90, far, "click", 9, 1.0))
+      eIn.addData(Ev(91, far, "error", 9, 1.0))
+      q.processAllAvailable()
+      // one more empty-ish cycle so the post-advance batch runs even if
+      // the null emission lands a micro-batch behind the data batch
+      val far2 = Timestamp.valueOf("2024-01-01 13:00:00")
+      cIn.addData(Ev(92, far2, "click", 9, 1.0))
+      eIn.addData(Ev(93, far2, "error", 9, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("ssleft").collect().map(_.toSeq)
+      val nullRows = out.filter(r => r(1) == 2L)
+      assert(nullRows.length == 1,
+        s"unmatched click must emit EXACTLY once: ${nullRows.mkString(",")}")
+      assert(nullRows.head == Seq(1L, 2L, null),
+        s"late-side columns must be null: ${nullRows.head}")
+      // and the matched row was never duplicated by the outer pass
+      assert(out.count(r => r(1) == 1L) == 1)
+    } finally q.stop()
+  }
+
   test("stream-static dimension join enriches without join state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
