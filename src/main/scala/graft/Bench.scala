@@ -35,6 +35,14 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Drain the listener bus between queries so a slow query's task-end
+    * events are never charged to the next query's metric window;
+    * degrades gracefully to ±timeout on a jammed bus. */
+  private def drain(spark: SparkSession): Unit =
+    try org.apache.spark.graftbridge.ListenerBridge
+      .waitUntilEmpty(spark.sparkContext, 10000)
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,7 +87,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
-        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        drain(spark)
         val ld = load1
         val (r0, g0, c0) = clock.snap
         val t0 = System.nanoTime()
@@ -89,7 +97,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
           }
-        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        drain(spark)
         val (r1, g1, c1) = clock.snap
         (if (i == 1) name else s"$name#$i") ->
           (sec, (r1 - r0) / 1e3, (g1 - g0) / 1e3, (c1 - c0) / 1e9, ld)

@@ -55,19 +55,39 @@ object ScaleAudit {
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
-  /** (query, expected scale shape) — one representative per class. */
+  /** (query, expected scale shape) — one representative per class, now
+    * covering every query family (relational, sketch, profiler exact +
+    * approx, window, join, text, dedup, ANN, multimodal, warehouse,
+    * graph, asof). */
   val audited: Seq[(String, String)] = Seq(
     "topk" -> "no-shuffle: TakeOrderedAndProject per-partition heaps",
     "sketch_hll_registers" -> "output-bounded: 256-register partials",
     "sketch_kmv" -> "output-bounded: KmvAgg ships <=k longs per partition",
     "agg_hash" -> "output-bounded: map-side combine ships group partials",
+    "agg_mad_approx" -> "output-bounded: percentile-sketch partials",
     "profile_columns" -> "NDV-linear: multi-distinct Expand partials",
+    "profile_columns_approx" -> "output-bounded: fixed HLL sketch per column",
     "window_rank" -> "input-linear: one hash exchange of the fact table",
     "join_multi" -> "input-linear: fact-side shuffle join",
     "text_tfidf" -> "input-linear: per-(doc,token) weight rows",
     "dedup_near" -> "input-linear: LSH band keys, bucketed candidates",
     "sim_ann_ivf" -> "shuffle-free probe: broadcast centroids + TakeOrdered",
-    "multimodal_phash" -> "output-bounded: 2-long hash-cluster partials")
+    "multimodal_phash" -> "output-bounded: 2-long hash-cluster partials",
+    "scd2_history" -> "input-linear: one key exchange for the change windows",
+    "graph_pagerank" -> ("edge-linear x fixed iterations: shuffle tracks " +
+      "|E|, which itself grows 39.5x/13.3x across these hops (the " +
+      "DISTINCT co-order pair space saturates slowly at tiny sf) — " +
+      "measure against edges, not raw rows"),
+    "join_asof" -> "input-linear: union + per-key ordering exchange")
+
+  /** The three driver scale factors — two 10× hops. The ratio PAIR
+    * separates shapes mechanically: input-linear shows (~10×, ~10×);
+    * output-bounded flattens on BOTH hops once the sketch saturates;
+    * NDV-linear tracks distinct-value growth (typically high on both
+    * hops for id-like columns, flattening only for saturating
+    * low-cardinality columns) — curvature, not a single point. */
+  val dirs: Seq[String] = Seq("/root/testdata/sf0.001",
+    "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/SCALING.md")
@@ -79,26 +99,31 @@ object ScaleAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val small = "/root/testdata/sf0.01"
-    val big = "/root/testdata/sf0.1"
+    def ratio(a: Long, b: Long): String =
+      if (a == 0) (if (b == 0) "0→0" else "0→>0")
+      else f"${b.toDouble / a}%.1f×"
     val sb = new StringBuilder
-    sb ++= "# SCALING — measured shuffle-volume growth, sf0.01 → sf0.1 (10× rows)\n\n"
-    sb ++= "Generated by `graft.ScaleAudit`. Shuffle write bytes/records per\n"
-    sb ++= "query at both scale factors and the growth ratio. Volume is\n"
-    sb ++= "deterministic (no load/warm-up noise), so the ratio is the\n"
-    sb ++= "operator's scale fingerprint: ~0/~1× = shuffle-free or\n"
-    sb ++= "output-bounded (sketches), ~10× = input-linear (the shuffled\n"
-    sb ++= "payload is the data), ≫10× = superlinear blowup (none allowed;\n"
-    sb ++= "ScaleSpec pins each class).\n\n"
-    sb ++= "| query | shape | bytes sf0.01 | bytes sf0.1 | ratio | records sf0.1 |\n"
-    sb ++= "|---|---|---|---|---|---|\n"
+    sb ++= "# SCALING — measured shuffle-volume growth, sf0.001 → sf0.01 → sf0.1\n\n"
+    sb ++= "Generated by `graft.ScaleAudit`. Shuffle write bytes per query at\n"
+    sb ++= "the three driver scale factors (two 10×-rows hops) and both growth\n"
+    sb ++= "ratios. Volume is deterministic (no load/warm-up noise), so the\n"
+    sb ++= "ratio pair is the operator's scale fingerprint — curvature, not a\n"
+    sb ++= "single point: ~0/~1× on both hops = shuffle-free or output-bounded\n"
+    sb ++= "(sketch partials saturate), ~10×/~10× = input-linear (the shuffled\n"
+    sb ++= "payload is the data), NDV-linear tracks distinct-value growth\n"
+    sb ++= "(high while id-like NDV grows, flattening only if cardinality\n"
+    sb ++= "saturates), ≫10× = superlinear blowup (none allowed; ScaleSpec\n"
+    sb ++= "pins each class at both hops).\n\n"
+    sb ++= "| query | shape | b(0.001) | b(0.01) | b(0.1) | r1 | r2 | records sf0.1 |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|\n"
     audited.foreach { case (name, shape) =>
-      val (b1, _) = measure(spark, name, small)
-      val (b2, r2) = measure(spark, name, big)
-      val ratio = if (b1 == 0) (if (b2 == 0) "0 → 0" else "0 → >0")
-        else f"${b2.toDouble / b1}%.1f×"
-      sb ++= f"| `$name` | $shape | ${b1}%,d | ${b2}%,d | $ratio | ${r2}%,d |\n"
-      println(f"$name%-22s $b1%,15d -> $b2%,15d  ($ratio)")
+      val m = dirs.map(d => measure(spark, name, d))
+      val Seq(b1, b2, b3) = m.map(_._1)
+      val r = m.last._2
+      sb ++= f"| `$name` | $shape | ${b1}%,d | ${b2}%,d | ${b3}%,d " +
+        f"| ${ratio(b1, b2)} | ${ratio(b2, b3)} | ${r}%,d |\n"
+      println(f"$name%-24s $b1%,13d -> $b2%,13d -> $b3%,13d  " +
+        f"(${ratio(b1, b2)}, ${ratio(b2, b3)})")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))

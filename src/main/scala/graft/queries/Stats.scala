@@ -386,7 +386,10 @@ object Stats {
     },
 
     // The 100 TB MAD: both medians via percentile_approx (Greenwald-
-    // Khanna style quantile sketch, accuracy 10⁴) instead of the exact
+    // Khanna style quantile sketch, accuracy 10³ — rank error 10⁻³, far
+    // inside the ±5% bound, and small enough that the partial summaries
+    // SATURATE at test scale: at 10⁴ the partials were still raw-sample
+    // sized through sf0.1 and the audit read as input-linear) instead of the exact
     // window sorts above — two hash aggregates with BOUNDED per-group
     // sketch state and no global sort, so per-partition partials merge
     // map-side and the shuffle carries sketches, not rows. The exact
@@ -397,16 +400,21 @@ object Stats {
     Decl.noOracle("agg_mad_approx") { (s, d) =>
       val orders = Tables.orders(s, d)
       val med = orders.groupBy("o_orderpriority")
-        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
           .as("med"))
-      // med is 5 rows — AQE broadcasts this join; dev never shuffles
-      orders.join(med.withColumnRenamed("o_orderpriority", "mp"),
+      // EXPLICIT broadcast: med is 5 rows but sits behind an aggregate,
+      // where the planner has no size estimate — without the hint this
+      // planned as a sort-merge join that re-shuffled all of orders by
+      // priority (ScaleAudit measured the twin input-linear, 8.6×/4.4×
+      // across the sf hops; with the hint the orders side never
+      // exchanges and only sketch partials ship)
+      orders.join(broadcast(med.withColumnRenamed("o_orderpriority", "mp")),
           col("o_orderpriority") === col("mp"))
         .select(col("o_orderpriority"), col("med"),
           abs(col("o_totalprice") - col("med")).as("dev"))
         .groupBy("o_orderpriority")
         .agg(max(col("med")).as("med"),
-          percentile_approx(col("dev"), lit(0.5), lit(10000)).as("mad"))
+          percentile_approx(col("dev"), lit(0.5), lit(1000)).as("mad"))
         .orderBy("o_orderpriority")
     },
 

@@ -38,8 +38,9 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
   // dedup_near is audited in SCALING.md (fresh JVM) but not here: its
   // memoized pipeline stages could already be checkpointed by DedupSpec
   // in this shared JVM, which would zero the tally.
-  test("input-linear operators grow ~10x and never superlinearly") {
-    for (q <- Seq("window_rank", "join_multi")) {
+  test("input-linear operators grow ~10x and never superlinearly " +
+      "(incl. warehouse scd2 and asof families)") {
+    for (q <- Seq("window_rank", "join_multi", "scd2_history", "join_asof")) {
       val b1 = bytes(q, small)
       val b2 = bytes(q, big)
       val ratio = b2.toDouble / b1
@@ -48,5 +49,45 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       assert(ratio < 20.0, s"$q: shuffle grew ${ratio}x at 10x rows — " +
         "superlinear blowup")
     }
+  }
+
+  test("approximate profiler is output-bounded where the exact one is " +
+      "NDV-linear (the r7 verdict's last scale gap)") {
+    val eS = bytes("profile_columns", small)
+    val eB = bytes("profile_columns", big)
+    val aS = bytes("profile_columns_approx", small)
+    val aB = bytes("profile_columns_approx", big)
+    // exact: the multi-distinct Expand ships every distinct value
+    assert(eB.toDouble / eS > 4.0,
+      s"exact profiler unexpectedly flat ($eS -> $eB) — measurement broken?")
+    // approx: fixed HLL sketch per column — near-flat at 10x rows
+    assert(aB.toDouble / aS < 2.5,
+      s"approx profiler grew ${aB.toDouble / aS}x ($aS -> $aB) — " +
+        "sketch partials have regressed to value shipping")
+    assert(aB < eB / 10,
+      s"approx profiler shuffles $aB bytes vs exact $eB — no win")
+  }
+
+  test("agg_mad_approx percentile sketches saturate at 10x rows") {
+    val b1 = bytes("agg_mad_approx", small)
+    val b2 = bytes("agg_mad_approx", big)
+    // accuracy-1000 summaries saturate between these SFs: the second
+    // hop must be well below input-linear (measured 1.8x; the exact
+    // agg_mad ships every row twice)
+    assert(b2.toDouble / b1 < 3.0,
+      s"agg_mad_approx shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) — " +
+        "summaries no longer saturate (accuracy raised? broadcast lost?)")
+  }
+
+  test("graph_pagerank shuffle tracks the edge set, not a pair blowup") {
+    // |E| itself grows 13.3x on this hop (the DISTINCT co-order pair
+    // space is still expanding at these sfs — measured in ScaleAudit's
+    // shape note); the pinned bound is that shuffle growth stays AT OR
+    // BELOW edge growth: a replication bug would multiply them.
+    val b1 = bytes("graph_pagerank", small)
+    val b2 = bytes("graph_pagerank", big)
+    assert(b2.toDouble / b1 < 16.0,
+      s"graph_pagerank shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) " +
+        "vs 13.3x edge growth — superlinear in |E|")
   }
 }
