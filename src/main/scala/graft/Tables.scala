@@ -19,8 +19,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo, keyed like Catalog.once by (appId, path): the first
+    * touch of a table infers its schema from the parquet footer (a
+    * small driver job); every later `t()` passes the cached schema
+    * explicitly, so ResolveDataSource never schedules another
+    * inference job. Measured: schema re-inference was the single
+    * largest Catalyst cost in the dedup family's first-touch profile
+    * (1.7 s of ResolveDataSource across re-created sources at sf0.1),
+    * and every one of the 250 queries re-created its sources per call.
+    * The fixtures are immutable per run, so a cached schema can never
+    * go stale within an application. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}@$path",
+      _ => s.read.parquet(path).schema)
+    s.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.TypeBridge.AbstractType
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass signature kernels for the hash-family dedup operators.
   *
@@ -196,11 +197,74 @@ object LshBandKeys {
   }
 }
 
+/** text → sha60 bases of its DISTINCT 3-token shingles, one node.
+  * Fuses the declarative chain
+  * `transform(array_distinct(transform(sequence(...), i -> concat_ws(
+  * ' ', element_at(tks,i), ...))), s -> sha60(s))` over
+  * `tks = split(text, ' ')` into a single expression. The values are
+  * identical (HashSigSpec pins kernel ≡ declarative over the corpus
+  * plus adversarial strings — including multi-space runs, where
+  * split's regex keeps empty tokens, and the short-doc least()
+  * clamp); what the fusion buys is ANALYSIS cost, not just runtime:
+  * the nested higher-order-function tree was re-walked by every
+  * analyzer/optimizer pass of every dedup plan, the dominant driver
+  * cost of the family's first touch (r7 verdict item 6). Duplicate
+  * shingles are dropped exactly like array_distinct; downstream
+  * consumers (MinHashSig min-fold) are duplicate-insensitive anyway. */
+case class ShingleBases(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleBases.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleBases.eval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleBases =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_bases"
+}
+
+object ShingleBases {
+  /** Shared by interpreted eval and generated code. Split semantics =
+    * Spark's `split(text, " ")` = Java `split(" ", -1)`: empty tokens
+    * from consecutive spaces are kept. 1-indexed i ∈ [1, max(n−2, 1)]
+    * with least()-clamped lookahead, exactly the declarative twin. */
+  def eval(text: UTF8String): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val m = math.max(n - 2, 1)
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var i = 0
+    while (i < m) {
+      seen.add(toks(i) + " " + toks(math.min(i + 1, n - 1)) + " " +
+        toks(math.min(i + 2, n - 1)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = Sha60.hashBytes(
+        it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object HashSig {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def minhashSig(bases: Column, a: Array[Long], b: Array[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(bases), a, b))
+
+  def shingleBases(text: Column): Column =
+    ColumnBridge.column(ShingleBases(ColumnBridge.expression(text)))
 
   def simhash60(hashes: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(hashes)))

@@ -60,21 +60,27 @@ object Dedup {
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows // 16
 
-  /** (doc_id, sig array<long>[64]), computed entirely per-row: one
-    * sha60 base per distinct shingle *string*, then all 64 affine
-    * variants (a_i·h + b_i over Z/2^64 — built-in arithmetic can't wrap
-    * under ANSI mode) reduced to their minima in a single fused loop by
-    * the custom MinHashSig codegen expression (graft.functions.HashSig)
-    * instead of 64 transform+array_min passes. No explode, no shuffle —
-    * at 100 TB the signature stage is a pure map, and only the narrow
-    * (doc_id, bands) rows ever hit the wire. (Alternatives measured at
-    * sf0.1: 64 min-aggregates over an exploded shingle table = 9.2s; 64
-    * transform+array_min passes = 6.2s; fused = see BENCH.) */
+  /** (doc_id, sig array<long>[64]), computed entirely per-row: the
+    * fused ShingleBases kernel tokenizes, shingles and sha60-hashes in
+    * one expression (one sha60 base per distinct shingle *string* —
+    * kernel ≡ the declarative [[shinglesOfTks]] chain, pinned in
+    * HashSigSpec), then all 64 affine variants (a_i·h + b_i over
+    * Z/2^64 — built-in arithmetic can't wrap under ANSI mode) reduce
+    * to their minima in the fused MinHashSig loop
+    * (graft.functions.HashSig) instead of 64 transform+array_min
+    * passes. No explode, no shuffle — at 100 TB the signature stage is
+    * a pure map, and only the narrow (doc_id, bands) rows ever hit the
+    * wire. (Alternatives measured at sf0.1: 64 min-aggregates over an
+    * exploded shingle table = 9.2s; 64 transform+array_min passes =
+    * 6.2s; fused = see BENCH. The two-node plan also collapses the
+    * higher-order-function tree every analyzer pass previously
+    * re-walked — the dominant driver cost of the dedup family's first
+    * touch.) */
   private[graft] def sigArray(docs: DataFrame): DataFrame =
-    docs.withColumn("tks", toks)
-      .select(col("doc_id"),
-        graft.functions.HashSig.minhashSig(
-          transform(shinglesOfTks, s => sha60(s)), affA, affB).as("sig"))
+    docs.select(col("doc_id"),
+      graft.functions.HashSig.minhashSig(
+        graft.functions.HashSig.shingleBases(col("text")), affA, affB)
+        .as("sig"))
 
   /** [[sigArray]] widened to (doc_id, h0..h63) columns — the
     * spec-friendly view DedupSpec asserts against. */
@@ -162,7 +168,12 @@ object Dedup {
     * the key set actually is small. */
   private[graft] def splitBuckets(
       banded: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = {
-    val ck = banded.localCheckpoint()
+    // LAZY: three consumers (size agg, anti side, inner side) all read
+    // the checkpointed blocks, but the first real action materializes
+    // them inside its own job — the eager form ran a dedicated
+    // materialization pass first (measured 4.2 s of the dedup family's
+    // first-touch wall at sf0.1, the single largest stage)
+    val ck = banded.localCheckpoint(false)
     val kcols = keys.map(col)
     val big = ck.groupBy(kcols: _*).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > BucketCap)
@@ -259,7 +270,11 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
     val bigPairs = saltedSelfPairs(big, Seq("band", "bhash"), Seq("doc_id"))
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"))
-    smallPairs.unionByName(bigPairs).distinct().localCheckpoint()
+    // LAZY checkpoint: every consumer runs a full scan (joins/aggs),
+    // so the first one materializes the blocks in ITS job instead of
+    // paying a separate eager-materialization job here (the dedup
+    // family's first-touch wall time is job-count-bound — r7 item 6)
+    smallPairs.unionByName(bigPairs).distinct().localCheckpoint(false)
   }
 
   /** Candidate near-dup pairs with exact shingle Jaccard:
@@ -288,7 +303,7 @@ object Dedup {
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     val sh = withShingles(docs).select("doc_id", "sh")
       .join(candIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy — see candidatePairs
     cand
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
@@ -364,22 +379,41 @@ object Dedup {
       .select(col("d1"), col("d2"))
     val bidir = edges.unionByName(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // Only EDGE ENDPOINTS ride the propagation loop: a doc with no
+    // near-dup edge keeps label = doc_id by definition, so hauling the
+    // whole corpus through every round is pure waste (on a real corpus
+    // near-dup clusters are a small fraction of documents; here it
+    // also cuts the per-round row count ~10×). Singletons rejoin via
+    // the coalesce below — identical output, pinned by DedupSpec's
+    // transitivity/closure checks.
+    var labels = bidir.select(col("d1").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(false)
     var converged = false
     var rounds = 0
     val maxRounds = 50
     while (!converged && rounds < maxRounds) {
-      val step = propagateStep(labels, bidir).localCheckpoint()
-      converged = step.filter(col("label") =!= col("old_label")).isEmpty
+      // LAZY checkpoint + one count: the count action materializes the
+      // round's checkpoint AND evaluates convergence in a single Spark
+      // job — the eager-checkpoint-then-isEmpty form ran two jobs per
+      // round, and with tiny per-round frames the wall cost of this
+      // loop is job overhead, not data (r7 verdict item 6).
+      val step = propagateStep(labels, bidir).localCheckpoint(false)
+      converged =
+        step.filter(col("label") =!= col("old_label")).count() == 0L
       labels = step.select("doc_id", "label")
       rounds += 1
     }
     require(converged,
       s"label propagation did not converge in $maxRounds rounds — " +
         "component diameter exceeds the cap; raise maxRounds")
-    labels
+    // singletons (no edges) rejoin with their self-label
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "vid"),
+        col("doc_id") === col("vid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   /** Session-scoped memo of the shared dedup pipeline stages over the
@@ -425,7 +459,7 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val cand = candidatePairsFor(s, d)
     memoFrame(s, d, "nearDupPairs")(
-      nearDupPairsFrom(docsOf(s, d), cand).localCheckpoint())
+      nearDupPairsFrom(docsOf(s, d), cand).localCheckpoint(false))
   }
 
   /** Memoized [[nearDupComponents]] over the documents table.

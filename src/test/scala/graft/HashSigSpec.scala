@@ -105,4 +105,30 @@ class HashSigSpec extends AnyFunSuite with SparkSuite {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
     }
   }
+
+  test("ShingleBases equals the declarative tokenize→shingle→distinct→" +
+      "sha60 chain on the real corpus and adversarial strings") {
+    import graft.functions.XHash.sha60
+    import spark.implicits._
+    // adversarial shapes: empty string, single token, two tokens
+    // (least() clamp), multi-space runs (split keeps empty tokens),
+    // leading/trailing spaces, repeated text (array_distinct)
+    val tricky = Seq("", "one", "two tokens", "a  b   c", " lead",
+      "trail ", "x x x x x", "a b c a b c a b c").zipWithIndex
+      .map { case (t, i) => (10000L + i, t) }.toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("doc_id", "text")
+    for (df <- Seq(tricky, corpus)) {
+      val fused = df.select(col("doc_id"),
+          HashSig.shingleBases(col("text")).as("bs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val decl = df.withColumn("tks", queries.Dedup.toks)
+        .withColumn("sh", queries.Dedup.shinglesOfTks)
+        .select(col("doc_id"), transform(col("sh"), s => sha60(s)).as("bs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused.keySet == decl.keySet)
+      fused.foreach { case (k, v) =>
+        assert(v == decl(k), s"doc $k: kernel diverges from declarative") }
+    }
+  }
 }

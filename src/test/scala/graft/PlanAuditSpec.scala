@@ -46,7 +46,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     * are domain-cardinality (the derived supplier graph), never the
     * corpus, so the exchanges stay cheap at any scale. */
   private val shuffleCapOverride = Map(
-    "graph_pagerank" -> 10) // 3 rounds × (join + re-agg) over the graph
+    "graph_pagerank" -> 10, // 3 rounds × (join + re-agg) over the graph
+    // the vertex-restricted component loop added the singleton-rejoin
+    // (corpus ⋈ label-cardinality frame, AQE-broadcastable — exchanges
+    // over graph-vertex data, never corpus text)
+    "dedup_near_keep" -> 8)
 
   /** The sf-proportional dimensions (customer/supplier/part) carry NO
     * broadcast hint — at 100 TB a forced broadcast OOMs every executor.
