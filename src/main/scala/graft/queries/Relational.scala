@@ -592,16 +592,20 @@ object Relational {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 300000
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // localCheckpoint, NOT persist: both materialize once for the
+      // three consumers (guard count, bloom build, final join), but
+      // persist registers the fragment in the session-wide cache
+      // manager, which then substitutes an InMemoryRelation into ANY
+      // other query containing the same filtered-orders subplan — a
+      // global side effect that (measured) blocks InjectRuntimeFilter
+      // from seeing the selective filter elsewhere. The checkpoint is
+      // private to this frame; the count also sizes the sketch to the
+      // actual key population.
       val ord = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       // Spark's bloomFilter NPEs on a zero-row build side; an empty
       // build set means the prefilter passes nothing — same semantics,
       // no sketch (an empty shard/day-zero table must not crash).
-      // The build side is persisted so the guard count, the bloom
-      // build, and the final join all read ONE materialization of the
-      // filtered orders instead of three scans (the cache is keyed by
-      // analyzed plan, so repeat invocations reuse it too); the count
-      // also sizes the sketch to the actual key population.
       val nBuild = ord.count()
       val pre =
         if (nBuild == 0L) Tables.lineitem(s, d).filter(lit(false))

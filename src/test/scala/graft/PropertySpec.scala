@@ -62,21 +62,22 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     "which is the k smallest distinct values (arbitrary inputs)") {
     val k = 8
     val agg = new queries.Sketches.KmvAgg(k)
-    def sk(xs: Seq[Long]): Seq[Long] = xs.foldLeft(agg.zero)(agg.reduce)
+    def sk(xs: Seq[Long]): Array[Long] = xs.foldLeft(agg.zero)(agg.reduce)
     val gens = Seq(
       Gen.listOf(Gen.choose(0L, 40L)), // dense: many duplicates
       Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))) // sparse
     for (g <- gens; xs <- samples(g, 20)) {
       val whole = sk(xs)
       // the sketch IS the k smallest distinct values, in order
-      assert(whole == xs.distinct.sorted.take(k))
+      assert(whole.toSeq == xs.distinct.sorted.take(k))
       // partition the stream anywhere: merged partials == whole
       samples(Gen.choose(0, xs.length), 5).foreach { cut =>
         val (a, b) = xs.splitAt(cut)
-        assert(agg.merge(sk(a), sk(b)) == whole, s"cut=$cut xs=$xs")
+        assert(agg.merge(sk(a), sk(b)).toSeq == whole.toSeq,
+          s"cut=$cut xs=$xs")
       }
       // merge is idempotent (re-delivered partials are harmless)
-      assert(agg.merge(whole, whole) == whole)
+      assert(agg.merge(whole, whole).toSeq == whole.toSeq)
     }
   }
 
