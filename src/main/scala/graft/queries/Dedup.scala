@@ -168,12 +168,16 @@ object Dedup {
     * the key set actually is small. */
   private[graft] def splitBuckets(
       banded: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = {
-    // LAZY: three consumers (size agg, anti side, inner side) all read
-    // the checkpointed blocks, but the first real action materializes
-    // them inside its own job — the eager form ran a dedicated
-    // materialization pass first (measured 4.2 s of the dedup family's
-    // first-touch wall at sf0.1, the single largest stage)
-    val ck = banded.localCheckpoint(false)
+    // EAGER on purpose: the banded frame is referenced FOUR times in
+    // the candidate plan (size agg, anti side, inner side, salted
+    // sides) — a lazy checkpoint materializes only as its first job
+    // runs, and within that one job every reference recomputes the
+    // full signature pipeline independently (lineage truncation only
+    // helps the NEXT job). One eager pass is strictly cheaper than
+    // 4× the sig pipeline. Loop-step frames (single reference per
+    // round job) are the place lazy checkpoints win — see
+    // nearDupComponentsFrom.
+    val ck = banded.localCheckpoint()
     val kcols = keys.map(col)
     val big = ck.groupBy(kcols: _*).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > BucketCap)
@@ -270,11 +274,10 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
     val bigPairs = saltedSelfPairs(big, Seq("band", "bhash"), Seq("doc_id"))
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"))
-    // LAZY checkpoint: every consumer runs a full scan (joins/aggs),
-    // so the first one materializes the blocks in ITS job instead of
-    // paying a separate eager-materialization job here (the dedup
-    // family's first-touch wall time is job-count-bound — r7 item 6)
-    smallPairs.unionByName(bigPairs).distinct().localCheckpoint(false)
+    // EAGER: the verify stage references this frame up to four times
+    // inside one job (candIds union × 2 + both join sides' pruning) —
+    // see the splitBuckets note for why lazy loses there
+    smallPairs.unionByName(bigPairs).distinct().localCheckpoint()
   }
 
   /** Candidate near-dup pairs with exact shingle Jaccard:
@@ -303,7 +306,7 @@ object Dedup {
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     val sh = withShingles(docs).select("doc_id", "sh")
       .join(candIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint(false) // lazy — see candidatePairs
+      .localCheckpoint() // eager: both join sides read it in one job
     cand
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")

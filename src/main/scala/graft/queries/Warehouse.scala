@@ -371,11 +371,15 @@ object Warehouse {
         .filter(col("x") =!= col("y"))
         .select("x", "y").distinct()
       // pairs already contains both directions (the self-join emits
-      // (a,b) and (b,a)); pin it once — every round re-reads it
-      val edges = pairs.localCheckpoint(true)
+      // (a,b) and (b,a)); pin it once — every round re-reads it. LAZY
+      // checkpoints (here and per round): every consumer is a full
+      // aggregate, so the first action materializes the blocks inside
+      // its own job instead of paying a dedicated eager pass — same
+      // one-job-per-round shape as the dedup components loop.
+      val edges = pairs.localCheckpoint(false)
       var labels = edges.select(col("x").as("node")).distinct()
         .select(col("node"), col("node").as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // coalesce: SUM over an empty label set is NULL (an empty or
       // fully-filtered partition must converge in 0 rounds, not NPE)
       def labelSum = labels.agg(coalesce(sum("comp"), lit(0L)))
@@ -392,7 +396,7 @@ object Warehouse {
           .select(col("y").as("node"), col("comp"))
         labels = labels.unionAll(prop)
           .groupBy("node").agg(min("comp").as("comp"))
-          .localCheckpoint(true)
+          .localCheckpoint(false) // materialized by labelSum below
         sumPrev = sumCur
         sumCur = labelSum
         rounds += 1
