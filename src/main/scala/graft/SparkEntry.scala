@@ -25,6 +25,7 @@ object SparkEntry {
       _root_.graft.queries.Dedup.decls ++
       _root_.graft.queries.Sketches.decls ++
       _root_.graft.queries.CatalogIO.decls ++
+      _root_.graft.queries.Dq.decls ++
       _root_.graft.multimodal.Multimodal.decls ++
       _root_.graft.queries.StreamingBatch.decls
 

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality gate operators — the validation pass a 100 TB training
+  * pipeline runs on every new drop BEFORE trusting it (the
+  * dbt-test / Great-Expectations / Deequ surface, re-expressed as plain
+  * aggregates so the whole gate is one declarative plan).
+  *
+  * Scale design: every column-level expectation (null / range /
+  * accepted-values) folds into ONE conditional aggregation over a
+  * single scan — adding an expectation adds an agg expression, never a
+  * pass. The two relational expectations keep their honest shapes:
+  * uniqueness is an exact distinct count (key-shuffling by nature —
+  * the sketch-based screen is `profile_columns_approx`), and the
+  * foreign-key check is a left-anti join (dimension side broadcast by
+  * size at test scale, shuffle-join when it outgrows memory — no
+  * hint). All counts are integers ⇒ every expectation row is exactly
+  * DuckDB-oracled.
+  */
+object Dq {
+
+  import Det._
+
+  /** Upper bound for the o_totalprice range expectation. */
+  private val PriceMax = 1000000.0
+
+  def decls: Seq[Decl] = Seq(
+
+    // The expectations report: one row per declared constraint with
+    // checked/violation counts and the pass verdict. Layout mirrors
+    // profile_columns — a 1-row multi-aggregate unpivoted through a
+    // constant-size explode, so the report cost is one scan + one
+    // anti-join regardless of how many column expectations are
+    // declared.
+    Decl("dq_expectations",
+      s"""WITH colagg AS (SELECT
+         |    COUNT(*) AS n_rows,
+         |    COUNT(*) - COUNT(o_orderkey) AS null_key,
+         |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_key,
+         |    COALESCE(SUM(CASE WHEN o_totalprice <= 0
+         |        OR o_totalprice > $PriceMax THEN 1 ELSE 0 END), 0)
+         |      AS range_price,
+         |    COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+         |        OR o_orderstatus IS NULL THEN 1 ELSE 0 END), 0)
+         |      AS bad_status
+         |  FROM orders),
+         |fk AS (SELECT COUNT(*) AS n_orphans FROM orders o
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+         |                    WHERE c.c_custkey = o.o_custkey)),
+         |rep AS (
+         |  SELECT 'fk_custkey_in_customer' AS expectation,
+         |    (SELECT n_rows FROM colagg) AS n_checked,
+         |    n_orphans AS n_violations FROM fk
+         |  UNION ALL SELECT 'not_null_orderkey', n_rows, null_key
+         |    FROM colagg
+         |  UNION ALL SELECT 'accepted_status_OFP', n_rows, bad_status
+         |    FROM colagg
+         |  UNION ALL SELECT 'range_totalprice', n_rows, range_price
+         |    FROM colagg
+         |  UNION ALL SELECT 'unique_orderkey', n_rows, dup_key
+         |    FROM colagg)
+         |SELECT expectation, CAST(n_checked AS BIGINT) AS n_checked,
+         |  CAST(n_violations AS BIGINT) AS n_violations,
+         |  n_violations = 0 AS passed
+         |FROM rep ORDER BY expectation""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val colagg = orders.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_orderkey"))).as("null_key"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_key"),
+        coalesce(sum(when(col("o_totalprice") <= 0
+            || col("o_totalprice") > PriceMax, 1L).otherwise(0L)), lit(0L))
+          .as("range_price"),
+        coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P")
+            || col("o_orderstatus").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("bad_status"))
+      // FK orphans: left-anti against the customer dimension — the
+      // count (not the rows) is the expectation's verdict
+      val orphans = orders.select(col("o_custkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val rep = colagg.crossJoin(orphans).select(explode(array(
+        struct(lit("fk_custkey_in_customer").as("expectation"),
+          col("n_rows").as("n_checked"),
+          col("n_orphans").as("n_violations")),
+        struct(lit("not_null_orderkey").as("expectation"),
+          col("n_rows").as("n_checked"), col("null_key").as("n_violations")),
+        struct(lit("accepted_status_OFP").as("expectation"),
+          col("n_rows").as("n_checked"), col("bad_status").as("n_violations")),
+        struct(lit("range_totalprice").as("expectation"),
+          col("n_rows").as("n_checked"),
+          col("range_price").as("n_violations")),
+        struct(lit("unique_orderkey").as("expectation"),
+          col("n_rows").as("n_checked"), col("dup_key").as("n_violations"))
+        )).as("e"))
+        .select(col("e.expectation"), col("e.n_checked"),
+          col("e.n_violations"), (col("e.n_violations") === 0).as("passed"))
+        .orderBy("expectation")
+      rep
+    },
+
+    // Volume-anomaly screen: daily event counts z-scored against the
+    // whole window — the "did yesterday's partition land short?" check
+    // that catches silent upstream drops before a training run does.
+    // Counts are exact integers; mean/variance derive from exact
+    // integer sums (Σn, Σn²) and the z expression evaluates the SAME
+    // left-associative tree in both engines ⇒ bit-identical doubles
+    // (the Stats power-sum discipline). Degenerate window (zero
+    // variance) ⇒ NULL z, never a division — mirrored guards.
+    // Scale: one groupBy(day) + a broadcast single-row stats frame.
+    Decl("dq_volume_anomaly",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d,
+        |    CAST(SUM(n) AS DOUBLE) AS s1,
+        |    CAST(SUM(n * n) AS DOUBLE) AS s2 FROM daily)
+        |SELECT day, n,
+        |  CASE WHEN s2 / d - (s1 / d) * (s1 / d) <= 0.0 THEN NULL
+        |    ELSE CAST(CAST(
+        |      (CAST(n AS DOUBLE) - s1 / d) /
+        |        sqrt(s2 / d - (s1 / d) * (s1 / d))
+        |      AS DECIMAL(20,9)) AS DOUBLE) END AS z9,
+        |  CASE WHEN s2 / d - (s1 / d) * (s1 / d) <= 0.0 THEN FALSE
+        |    ELSE abs((CAST(n AS DOUBLE) - s1 / d) /
+        |      sqrt(s2 / d - (s1 / d) * (s1 / d))) > 2.0 END AS anomalous
+        |FROM daily, st ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = broadcast(daily.agg(
+        count(lit(1)).cast(DoubleType).as("d"),
+        sum(col("n")).cast(DoubleType).as("s1"),
+        sum(col("n") * col("n")).cast(DoubleType).as("s2")))
+      val mean = col("s1") / col("d")
+      val variance = col("s2") / col("d") - mean * mean
+      val z = (col("n").cast(DoubleType) - mean) / sqrt(variance)
+      daily.crossJoin(st)
+        .select(col("day"), col("n"),
+          when(variance <= 0.0, lit(null))
+            .otherwise(z.cast(DecimalType(20, 9)).cast(DoubleType))
+            .as("z9"),
+          when(variance <= 0.0, lit(false))
+            .otherwise(abs(z) > 2.0).as("anomalous"))
+        .orderBy("day")
+    }
+  )
+}

@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "time_resample_interp", // same grid scaffold
     "text_unigram_nll", // broadcast single-row token-total scalar cross
     "cooccur_pmi", // broadcast single-row doc-count scalar cross
-    "target_encode") // broadcast single-row global-prior scalar cross
+    "target_encode", // broadcast single-row global-prior scalar cross
+    "dq_expectations", // broadcast single-row orphan-count scalar cross
+    "dq_volume_anomaly") // broadcast single-row window-stats scalar cross
 
   private val maxShuffles = 6
 
