@@ -149,6 +149,61 @@ object Dq {
           when(variance <= 0.0, lit(false))
             .otherwise(abs(z) > 2.0).as("anomalous"))
         .orderBy("day")
+    },
+
+    // Population stability index — the standard drift metric between a
+    // reference window and the current one, here the two time halves
+    // of the event stream (split at the midpoint of the observed
+    // time range, so the boundary is a pure function of the data).
+    // Values bucket by fixed width (50), NULL → bucket −1; counts
+    // Laplace-smooth by +1 over a FIXED 12-bucket denominator so a
+    // bucket observed on only one side still yields a finite term
+    // (data-dependent smoothing would make the metric incomparable
+    // across drops). Per-bucket (p−q)·ln(p/q) terms quantized decimal
+    // (the text_char_entropy discipline) — both engines evaluate the
+    // identical IEEE tree over exact integer-derived doubles.
+    // Scale: one scan + one groupBy(bucket); the midpoint and the
+    // side totals travel as broadcast single-row frames.
+    Decl("dq_psi",
+      """WITH b AS (SELECT
+        |    COALESCE(CAST(floor(value / 50) AS BIGINT), -1) AS bucket,
+        |    epoch_us(ts) AS tu
+        |  FROM events),
+        |mm AS (SELECT (MIN(tu) + MAX(tu)) // 2 AS mid FROM b),
+        |g AS (SELECT bucket,
+        |    SUM(CASE WHEN tu < mid THEN 1 ELSE 0 END) AS n_ref,
+        |    SUM(CASE WHEN tu >= mid THEN 1 ELSE 0 END) AS n_cur
+        |  FROM b, mm GROUP BY bucket),
+        |tot AS (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM g)
+        |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(CAST(CAST(
+        |    ((CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 12 AS DOUBLE)) -
+        |     (CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 12 AS DOUBLE))) *
+        |    ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 12 AS DOUBLE)) /
+        |       (CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 12 AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) AS psi9
+        |FROM g, tot ORDER BY bucket""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        coalesce(floor(col("value") / 50).cast(LongType), lit(-1L))
+          .as("bucket"),
+        Det.epochUs(col("ts")).as("tu"))
+      val mm = broadcast(ev.agg(min(col("tu")).as("mn"), max(col("tu")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid")))
+      val g = ev.crossJoin(mm)
+        .groupBy("bucket")
+        .agg(sum(when(col("tu") < col("mid"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("tu") >= col("mid"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = broadcast(g.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc")))
+      val p = (col("n_ref") + 1).cast(DoubleType) /
+        (col("nr") + 12).cast(DoubleType)
+      val q = (col("n_cur") + 1).cast(DoubleType) /
+        (col("nc") + 12).cast(DoubleType)
+      g.crossJoin(tot)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          ((p - q) * log(p / q)).cast(DecimalType(20, 9)).cast(DoubleType)
+            .as("psi9"))
+        .orderBy("bucket")
     }
   )
 }
