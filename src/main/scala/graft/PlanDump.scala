@@ -66,7 +66,17 @@ object PlanDump {
     "sim_topk_projected" -> ("two-stage retrieval: 16-dim projected " +
       "scoring over the corpus, exact 64-dim cosine on 50 candidates"),
     "multimodal_phash_near" -> ("Hamming-banded near-dup: band " +
-      "equi-join over DISTINCT hash clusters, never the corpus"))
+      "equi-join over DISTINCT hash clusters, never the corpus"),
+    "profile_columns_approx" -> ("NDV via fixed-size HLL sketch " +
+      "partials — no Expand; the shuffle is output-bounded"),
+    "agg_mad_approx" -> ("two bounded-state percentile-sketch " +
+      "aggregates, broadcast med join — no window sort anywhere"),
+    "knn_classify_ann" -> ("multi-probe bucket equi-join feeds the " +
+      "vote; per-probe candidates, never the corpus cross"),
+    "dq_expectations" -> ("five expectations in ONE conditional " +
+      "aggregate over one scan + a hint-free anti-join FK check"),
+    "dq_psi" -> ("one scan + one bucket groupBy; midpoint and side " +
+      "totals ride broadcast single-row frames"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
