@@ -124,6 +124,46 @@ object HiveTables {
     spark.catalog.createTable(s"${q(database)}.${q(name)}", source = format,
       schema = HiveTypes.schemaOf(cols), options = Map("path" -> location))
 
+  /** Write a DataFrame as a MANAGED catalog table (metastore-registered
+    * parquet, optionally Hive-partitioned) — the write direction of the
+    * catalog bridge: downstream readers find it by name through the
+    * same `get_table` path the reference serves. Overwrite replaces
+    * the whole table definition + data (the full-refresh contract). */
+  def writeManaged(spark: SparkSession, database: String, name: String,
+      df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(s"${q(database)}.${q(name)}")
+  }
+
+  /** Dynamic-partition overwrite INSERT: only the partitions present
+    * in `df` are replaced; all others keep their data — the
+    * incremental-load contract (a daily job rewrites yesterday's
+    * partition without touching history). Spark's default overwrite
+    * mode is STATIC (drops every partition first — catastrophic for an
+    * incremental loader), so the dynamic mode is scoped to this call
+    * and restored after. Column order follows the TABLE schema
+    * (insertInto is positional), partition columns last. */
+  def insertDynamic(spark: SparkSession, database: String, name: String,
+      df: DataFrame): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").insertInto(s"${q(database)}.${q(name)}")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Sync the metastore with partition directories added behind its
+    * back (files landed by an external writer): MSCK REPAIR — the
+    * reference's world model (partitions ARE metastore rows) made
+    * consistent with the filesystem truth. */
+  def repairTable(spark: SparkSession, database: String,
+      name: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE ${q(database)}.${q(name)}")
+
   /** List a database's tables (the reference's `get_all_tables`). */
   def tables(spark: SparkSession, database: String): Seq[String] =
     spark.catalog.listTables(database).collect().map(_.name).toSeq

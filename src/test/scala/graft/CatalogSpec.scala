@@ -305,4 +305,66 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("write side of the catalog bridge: managed partitioned table, " +
+    "dynamic-partition overwrite, MSCK via the facade") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = HiveTables.session(appName = "graft-write-spec",
+      metastoreUris = None, master = "local[2]",
+      localBase = "/root/repo/target/hive_write")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      spark.sql("CREATE DATABASE IF NOT EXISTS w_db")
+      spark.sql("DROP TABLE IF EXISTS w_db.orders_m")
+      val byYear = Tables.orders(spark, sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+
+      // managed partitioned table through the facade: registered,
+      // partition-enumerated, round-trips
+      HiveTables.writeManaged(spark, "w_db", "orders_m", byYear,
+        Seq("o_year"))
+      assert(HiveTables.tables(spark, "w_db").contains("orders_m"))
+      val years = HiveTables.partitions(spark, "w_db", "orders_m")
+      assert(years.nonEmpty && years.forall(_.startsWith("o_year=")), years)
+      assert(spark.table("w_db.orders_m").count() == byYear.count())
+
+      // dynamic-partition overwrite: replace ONE year with a subset —
+      // that partition shrinks, every other partition is untouched
+      val y = byYear.select(min(col("o_year"))).head.getInt(0)
+      val others = spark.table("w_db.orders_m")
+        .filter(col("o_year") =!= y).count()
+      val replacement = byYear.filter(col("o_year") === y)
+        .filter(col("o_orderkey") % 2 === 0)
+      val nRepl = replacement.count()
+      HiveTables.insertDynamic(spark, "w_db", "orders_m", replacement)
+      assert(spark.table("w_db.orders_m")
+        .filter(col("o_year") === y).count() == nRepl,
+        "the touched partition must hold exactly the replacement rows")
+      assert(spark.table("w_db.orders_m")
+        .filter(col("o_year") =!= y).count() == others,
+        "untouched partitions must keep their data (dynamic, not static)")
+      // and the conf scoped inside insertDynamic did not leak
+      assert(spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+
+      // a partition directory landed behind the metastore's back is
+      // invisible until repairTable syncs it
+      val loc = spark.sharedState.externalCatalog
+        .getTable("w_db", "orders_m").storage.locationUri.get.getPath
+      byYear.filter(col("o_year") === y).drop("o_year")
+        .limit(5).write.mode("overwrite").parquet(s"$loc/o_year=2099")
+      val before = spark.table("w_db.orders_m").count()
+      HiveTables.repairTable(spark, "w_db", "orders_m")
+      assert(spark.table("w_db.orders_m").count() == before + 5)
+      assert(HiveTables.partitions(spark, "w_db", "orders_m")
+        .contains("o_year=2099"))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
 }
