@@ -145,6 +145,85 @@ object Streaming {
     }
   }
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class UserFlush(user_id: Long, n_events: Long,
+      sum_value: Double, flushed_at_ms: Long)
+
+  /** B41 lifecycle depth: EVENT-TIME TIMERS. Per user, accumulate a
+    * running aggregate and keep one idle timer armed at
+    * (last event time + gap); when the WATERMARK passes that instant
+    * the timer fires — `handleExpiredTimer` emits the flush row once
+    * and clears both state slots, so idle users cost zero state after
+    * their gap. This is the custom-session-window shape (the built-in
+    * `session_window` is its declarative cousin) and the part of the
+    * transformWithState lifecycle the running-agg processor doesn't
+    * touch: timer registration, re-arming (delete + register on every
+    * new event), and expiry-driven eviction. StreamingSpec witnesses
+    * deferral (no flush while the gap is open), exactly-once flush on
+    * watermark passage, and that a post-flush event starts a FRESH
+    * aggregate. */
+  class IdleFlushProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, UserFlush] {
+    @transient private var agg: ValueState[UserRunning] = _
+    /** The armed timer's expiry, so re-arming can delete the old one —
+      * timers are not implicitly replaced per key. */
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[UserRunning]("agg",
+        Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[UserFlush] = {
+      val prev = if (agg.exists()) agg.get() else UserRunning(key, 0L, 0.0)
+      // recover last-seen from the armed expiry so late-but-in-gap
+      // events never move the timer BACKWARDS
+      var maxMs = if (armed.exists()) armed.get() - gapMs else Long.MinValue
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        maxMs = math.max(maxMs, e.ts.getTime)
+        UserRunning(key, acc.n_events + 1, acc.sum_value + e.value)
+      }
+      agg.update(next)
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val expiry = maxMs + gapMs
+      getHandle.registerTimer(expiry)
+      armed.update(expiry)
+      Iterator.empty // emission is timer-driven only
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[UserFlush] = {
+      val out =
+        if (agg.exists()) {
+          val s = agg.get()
+          Iterator(UserFlush(key, s.n_events, s.sum_value,
+            expiredTimerInfo.getExpiryTimeInMs))
+        } else Iterator.empty
+      agg.clear()
+      armed.clear()
+      out
+    }
+  }
+
+  /** Wire [[IdleFlushProcessor]] under event-time mode: watermark on
+    * `ts` (what advances the timers), grouped by user. */
+  def idleFlush(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+      delay: String = "10 minutes"): Dataset[UserFlush] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .selectExpr("user_id", "ts", "value")
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlushProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** transformWithState flavor of [[runningUserAgg]]. */
   def runningUserAggTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._

@@ -354,6 +354,61 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time timers: idle flush fires once on watermark passage, " +
+      "evicts state, and a later event starts a fresh aggregate (B41)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      // gap 30 min, watermark delay 10 min
+      val q = Streaming.idleFlush(input.toDF(), 30 * 60 * 1000L, "10 minutes")
+        .writeStream.format("memory").queryName("idleflush")
+        .outputMode("append").start()
+      try {
+        input.addData(Ev(1, ts(5), "click", 1, 2.0),
+          Ev(2, ts(10), "click", 1, 3.0))
+        q.processAllAvailable()
+        assert(spark.table("idleflush").isEmpty,
+          "no flush while the idle gap is still open")
+        // watermark jumps past 10:10 + 30m gap + 10m delay → timer fires
+        input.addData(Ev(3,
+          java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "x", 9, 1.0))
+        q.processAllAvailable()
+        // one more cycle in case the expiry batch trails the data batch
+        input.addData(Ev(4,
+          java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), "x", 9, 1.0))
+        q.processAllAvailable()
+        val flushes = spark.table("idleflush")
+          .as[graft.streaming.Streaming.UserFlush].collect()
+          .filter(_.user_id == 1L)
+        assert(flushes.length == 1,
+          s"idle user must flush EXACTLY once: ${flushes.mkString(",")}")
+        assert(flushes.head.n_events == 2 &&
+          math.abs(flushes.head.sum_value - 5.0) < 1e-9, flushes.head)
+        // post-flush event: state was evicted, the aggregate restarts
+        input.addData(Ev(5,
+          java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "click", 1, 7.0))
+        q.processAllAvailable()
+        input.addData(Ev(6,
+          java.sql.Timestamp.valueOf("2024-01-01 16:00:00"), "x", 9, 1.0))
+        q.processAllAvailable()
+        input.addData(Ev(7,
+          java.sql.Timestamp.valueOf("2024-01-01 17:00:00"), "x", 9, 1.0))
+        q.processAllAvailable()
+        val second = spark.table("idleflush")
+          .as[graft.streaming.Streaming.UserFlush].collect()
+          .filter(_.user_id == 1L).sortBy(_.flushed_at_ms)
+        assert(second.length == 2,
+          s"fresh aggregate must flush separately: ${second.mkString(",")}")
+        assert(second(1).n_events == 1 &&
+          math.abs(second(1).sum_value - 7.0) < 1e-9, second(1))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("foreachBatch additive upsert is exactly-once: a replayed " +
     "micro-batch is a no-op (the streaming→warehouse bridge)") {
     import spark.implicits._
