@@ -211,6 +211,63 @@ object Streaming {
     }
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String,
+      value: Double)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long,
+      last3_sum: Double)
+
+  /** B41 state-primitive coverage beyond ValueState: MAP state (one
+    * running count per event_type inside each user's state row — the
+    * per-key sub-keyed layout that would otherwise force (user, type)
+    * into the GROUPING key and multiply shuffle keys) and LIST state
+    * (the last-3 values window per user, appended and trimmed in
+    * place). Emits the updated (type, n) pairs of each batch plus the
+    * rolling 3-value sum — StreamingSpec pins accumulation across
+    * micro-batches for both primitives. */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[
+      String, Long] = _
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[
+      Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      recent = getHandle.getListState[Double]("recent",
+        Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      // deterministic in-batch order (MemoryStream batches preserve
+      // addData order; a production source would sort on event time)
+      rows.foreach { e =>
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        recent.appendValue(e.value)
+        touched += e.event_type
+      }
+      val kept = recent.get().toSeq.takeRight(3)
+      recent.put(kept.toArray) // trim in place — bounded list state
+      val l3 = kept.sum
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t), l3))
+    }
+  }
+
+  /** Wire [[TypeCountsProcessor]] (no timers — processing-time none). */
+  def typeCounts(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Wire [[IdleFlushProcessor]] under event-time mode: watermark on
     * `ts` (what advances the timers), grouped by user. */
   def idleFlush(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,

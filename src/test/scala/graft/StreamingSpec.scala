@@ -409,6 +409,43 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("MapState + ListState accumulate across micro-batches (B41 " +
+      "state primitives beyond ValueState)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{TypedEvent, TypeCount}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TypedEvent]
+      val q = Streaming.typeCounts(input.toDS())
+        .writeStream.format("memory").queryName("typecounts")
+        .outputMode("append").start()
+      try {
+        input.addData(TypedEvent(1, "click", 1.0), TypedEvent(1, "view", 2.0))
+        q.processAllAvailable()
+        input.addData(TypedEvent(1, "click", 3.0), TypedEvent(1, "click", 4.0),
+          TypedEvent(2, "view", 9.0))
+        q.processAllAvailable()
+        val rows = spark.table("typecounts").as[TypeCount].collect()
+        // MAP state: per-type counts accumulated ACROSS batches
+        val u1click = rows.filter(r => r.user_id == 1 &&
+          r.event_type == "click").map(_.n).max
+        assert(u1click == 3L, s"click count must accumulate: ${rows.toSeq}")
+        assert(rows.filter(r => r.user_id == 1 && r.event_type == "view")
+          .map(_.n).max == 1L)
+        assert(rows.filter(_.user_id == 2).map(_.n).max == 1L)
+        // LIST state: last-3 window spans the batch boundary
+        // (values seen for user 1: 1,2 then 3,4 → last3 = 2+3+4)
+        val lastBatchU1 = rows.filter(r => r.user_id == 1 &&
+          r.event_type == "click").maxBy(_.n)
+        assert(math.abs(lastBatchU1.last3_sum - 9.0) < 1e-9,
+          s"rolling window must span batches: $lastBatchU1")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("foreachBatch additive upsert is exactly-once: a replayed " +
     "micro-batch is a no-op (the streaming→warehouse bridge)") {
     import spark.implicits._
