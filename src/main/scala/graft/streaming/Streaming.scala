@@ -289,6 +289,50 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** WARM-START variant: [[RunningUserProcessor]] extended with
+    * `handleInitialState` — the streaming job boots with per-user
+    * aggregates computed OFFLINE (a warehouse backfill), then streams
+    * increments on top. This is the batch→streaming hand-off every
+    * lambda-architecture replacement needs: without initial state the
+    * stream would re-count history or start from zero. The initial
+    * rows arrive once, keyed like the stream, before the first batch's
+    * data for that key. */
+  class RunningUserWarmProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, UserEvent, UserRunning, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: UserRunning,
+        timerValues: TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev =
+        if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      val next = rows.toSeq.sortBy(e => (e.ts_us, e.value))
+        .foldLeft(prev)((acc, e) =>
+          UserRunning(key, acc.n_events + 1, acc.sum_value + e.value))
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** [[runningUserAggTws]] seeded from a batch frame of prior state. */
+  def runningUserAggWarm(events: Dataset[UserEvent],
+      initial: Dataset[UserRunning]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserWarmProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        initial.groupByKey(_.user_id))
+  }
+
   /** B41: per-user running aggregate with explicit custom state —
     * `flatMapGroupsWithState`, the custom-state primitive. Emits the
     * updated running row on every input batch.

@@ -409,6 +409,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("initial state warm-starts the stream: offline aggregates seed " +
+      "the processor, increments land on top (B41 batch->stream hand-off)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // "warehouse backfill": user 1 has 10 events / 100.0 already
+      val initial = Seq(UserRunning(1L, 10L, 100.0)).toDS()
+      val input = MemoryStream[UserEvent]
+      val q = Streaming.runningUserAggWarm(input.toDS(), initial)
+        .writeStream.format("memory").queryName("warm")
+        .outputMode("append").start()
+      try {
+        input.addData(UserEvent(1, 1000, 2.0), UserEvent(2, 1000, 7.0))
+        q.processAllAvailable()
+        val last = spark.table("warm").as[UserRunning].collect()
+          .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+        assert(last(1L).n_events == 11 &&
+          math.abs(last(1L).sum_value - 102.0) < 1e-9,
+          s"warm-started user must continue from the backfill: ${last(1L)}")
+        assert(last(2L).n_events == 1 &&
+          math.abs(last(2L).sum_value - 7.0) < 1e-9,
+          s"unseeded user starts fresh: ${last(2L)}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("MapState + ListState accumulate across micro-batches (B41 " +
       "state primitives beyond ValueState)") {
     import spark.implicits._
