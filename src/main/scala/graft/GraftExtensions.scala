@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DecimalDot, LshBandKeys, MinHashSig, Sha60, SimHash60, WrapAffine}
+import graft.functions.{DecimalDot, LshBandKeys, MinHashSig, Sha60, ShingleBases, SimHash60, WrapAffine}
 
 /** Session-extension entry point: installs the engine's custom Catalyst
   * expressions as SQL functions, so a plain-SQL user gets them without
@@ -76,7 +76,10 @@ object GraftExtensions {
       exprs => LshBandKeys(exprs(0), longConst(exprs(1), "band_rows").toInt)),
     ("decimal_dot",
       "_FUNC_(a, b) - exact order-independent dot product of float arrays",
-      exprs => DecimalDot(exprs(0), exprs(1))))
+      exprs => DecimalDot(exprs(0), exprs(1))),
+    ("shingle_bases",
+      "_FUNC_(text) - sha60 bases of the distinct 3-token shingles",
+      exprs => ShingleBases(exprs.head)))
 
   /** Same registrations applied to an already-built session (for
     * sessions constructed without the extensions conf). */

@@ -38,6 +38,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
         "SELECT lsh_band_keys(array(1L, 2L, 3L, 4L), 2) AS k")
         .collect()(0).getSeq[Long](0)
       assert(bands.length == 2 && bands.forall(_ >= 0))
+      // shingle_bases ≡ the declarative chain it fuses (sha60 of the
+      // distinct 3-token shingles; 'a b c d' → 2 shingles)
+      val sb = s2.sql("SELECT shingle_bases('a b c d') AS b")
+        .collect()(0).getSeq[Long](0)
+      val want = Seq("a b c", "b c d").map(t => s2.sql(
+        s"SELECT sha60('$t')").collect()(0).getLong(0))
+      assert(sb == want, s"got $sb want $want")
     }
     // the functions must NOT leak into the base session's registry
     assertThrows[org.apache.spark.sql.AnalysisException](
