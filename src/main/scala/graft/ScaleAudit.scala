@@ -78,7 +78,11 @@ object ScaleAudit {
       "|E|, which itself grows 39.5x/13.3x across these hops (the " +
       "DISTINCT co-order pair space saturates slowly at tiny sf) — " +
       "measure against edges, not raw rows"),
-    "join_asof" -> "input-linear: union + per-key ordering exchange")
+    "join_asof" -> "input-linear: union + per-key ordering exchange",
+    "dq_expectations" -> ("NDV-linear BY DECLARED INTENT: the " +
+      "uniqueness expectation is an exact distinct (the honest check); " +
+      "every other expectation is an output-bounded conditional agg"),
+    "dq_psi" -> "output-bounded: <=12 bucket rows per partition partial")
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

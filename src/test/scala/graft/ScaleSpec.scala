@@ -25,7 +25,7 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("sketches are output-bounded: shuffle bytes flat at 10x rows") {
-    for (q <- Seq("sketch_kmv", "sketch_hll_registers")) {
+    for (q <- Seq("sketch_kmv", "sketch_hll_registers", "dq_psi")) {
       val b1 = bytes(q, small)
       val b2 = bytes(q, big)
       assert(b1 > 0, s"$q: expected a (bounded) shuffle at sf0.01")
