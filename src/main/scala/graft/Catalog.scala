@@ -61,6 +61,12 @@ object Catalog {
     * memo is per-appId), so per-process paths cost nothing extra. */
   private val procTag = java.lang.ProcessHandle.current().pid().toString
 
+  /** Single source of truth for the scratch tree — [[scratch]] builds
+    * paths under it and [[reapOrphans]] sweeps it; sharing the constant
+    * means a future template change cannot leave the reaper pointed at
+    * a stale root (silently reaping nothing). */
+  private val ScratchRoot = "/root/repo/target/graft_io"
+
   /** One-shot reap of sibling p<pid> scratch trees whose owner process
     * is gone: per-process paths protect live concurrent harnesses from
     * each other's overwrite windows, but without this the orphaned
@@ -68,9 +74,16 @@ object Catalog {
     * target/graft_io. Deleting only dead-pid dirs keeps the
     * live-concurrency guarantee intact (a recycled pid at worst SPARES
     * a dir — never deletes a live one). Failures are swallowed: reaping
-    * is hygiene, not correctness. */
+    * is hygiene, not correctness.
+    *
+    * Caveat: ProcessHandle.of only sees pids in THIS process's pid
+    * namespace. A sibling harness running in a different namespace
+    * (container) sharing this filesystem would look dead and lose its
+    * live tree — acceptable here because the repo's harnesses all run
+    * in one namespace, but a multi-container deployment should gate
+    * reaping on a same-namespace marker instead. */
   private lazy val reapOrphans: Unit = {
-    val root = new java.io.File("/root/repo/target/graft_io")
+    val root = new java.io.File(ScratchRoot)
     val kids = Option(root.listFiles()).getOrElse(Array.empty)
     kids.iterator
       .filter(f => f.isDirectory && f.getName.startsWith("p"))
@@ -100,6 +113,6 @@ object Catalog {
     // the other's queries
     val sf = dir.replaceAll(".*/", "")
     val fp = f"${dir.hashCode & 0xffffff}%06x"
-    s"/root/repo/target/graft_io/p$procTag/$sf-$fp/$kind"
+    s"$ScratchRoot/p$procTag/$sf-$fp/$kind"
   }
 }

@@ -82,6 +82,8 @@ object ScaleAudit {
     "dq_expectations" -> ("NDV-linear BY DECLARED INTENT: the " +
       "uniqueness expectation is an exact distinct (the honest check); " +
       "every other expectation is an output-bounded conditional agg"),
+    "dq_expectations_approx" -> ("output-bounded: the uniqueness check " +
+      "ships a fixed HLL sketch instead of the exact distinct's Expand"),
     "dq_psi" -> "output-bounded: <=12 bucket rows per partition partial")
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR

@@ -27,15 +27,23 @@ object Tables {
     * largest Catalyst cost in the dedup family's first-touch profile
     * (1.7 s of ResolveDataSource across re-created sources at sf0.1),
     * and every one of the 250 queries re-created its sources per call.
-    * The fixtures are immutable per run, so a cached schema can never
-    * go stale within an application. */
+    * The fixtures are immutable per run, but immutability is enforced
+    * rather than assumed: the key also carries the path's mtime+length
+    * fingerprint, so a fixture rewritten in-app with a different schema
+    * gets a fresh inference instead of a silently-stale memo entry
+    * (scratch-dir rewrites already bypass this memo entirely — CatalogIO
+    * reads its own materializations directly). */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    // a dir's mtime ticks on any child add/remove (an overwrite always
+    // rewrites the part files), a plain file's on rewrite — either way a
+    // schema-changing rewrite changes the fingerprint
     val sch = schemaMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}@$path",
+      s"${s.sparkContext.applicationId}@$path@${f.lastModified}:${f.length}",
       _ => s.read.parquet(path).schema)
     s.read.schema(sch).parquet(path)
   }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * single scan — adding an expectation adds an agg expression, never a
   * pass. The two relational expectations keep their honest shapes:
   * uniqueness is an exact distinct count (key-shuffling by nature —
-  * the sketch-based screen is `profile_columns_approx`), and the
+  * `dq_expectations_approx` is its sketch-backed 100 TB twin), and the
   * foreign-key check is a left-anti join (dimension side broadcast by
   * size at test scale, shuffle-join when it outgrows memory — no
   * hint). All counts are integers ⇒ every expectation row is exactly
@@ -40,7 +40,7 @@ object Dq {
       s"""WITH colagg AS (SELECT
          |    COUNT(*) AS n_rows,
          |    COUNT(*) - COUNT(o_orderkey) AS null_key,
-         |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_key,
+         |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS dup_key,
          |    COALESCE(SUM(CASE WHEN o_totalprice <= 0
          |        OR o_totalprice > $PriceMax THEN 1 ELSE 0 END), 0)
          |      AS range_price,
@@ -71,7 +71,11 @@ object Dq {
       val colagg = orders.agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("o_orderkey"))).as("null_key"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_key"),
+        // duplicates over NON-NULL keys only (COUNT(col) ignores nulls,
+        // matching COUNT(DISTINCT)'s null handling) — a null key is
+        // exactly one not_null violation, never also a uniqueness one
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+          .as("dup_key"),
         coalesce(sum(when(col("o_totalprice") <= 0
             || col("o_totalprice") > PriceMax, 1L).otherwise(0L)), lit(0L))
           .as("range_price"),
@@ -103,6 +107,72 @@ object Dq {
           col("e.n_violations"), (col("e.n_violations") === 0).as("passed"))
         .orderBy("expectation")
       rep
+    },
+
+    // 100 TB twin of dq_expectations — identical report except the
+    // uniqueness expectation estimates the distinct count with an HLL++
+    // sketch (approx_count_distinct, rsd = 1%) instead of the exact
+    // COUNT(DISTINCT). The exact gate is the last NDV-linear operator
+    // in the registry by declared intent (Spark plans the distinct via
+    // an Expand that ships every distinct key — SCALING.md r8: 8.6×/
+    // 9.6× shuffle growth); with the sketch every partial aggregate in
+    // the whole gate ships FIXED-size state, so the report an LLM
+    // pipeline runs on every drop is output-bounded at any corpus size.
+    // The unique row's verdict gains a tolerance: a perfectly-unique
+    // key's estimated violation count is sketch noise of magnitude
+    // ~rsd·N, so `passed` gates at 3·rsd·N (a 3σ band, ceil'd) instead
+    // of 0 — duplication below the sketch's noise floor is
+    // indistinguishable from unique, which is the honest contract of an
+    // approximate gate (run the exact twin to adjudicate a near-floor
+    // reading). Declared-approximate (SURVEY §2 rule 4 — no DuckDB
+    // oracle); StatsApproxSpec pins the four exact expectation rows
+    // bit-identical to dq_expectations and the unique estimate within
+    // ±5 %·N at all three SFs; ScaleAudit records the flattened
+    // fingerprint next to the exact gate's.
+    Decl.noOracle("dq_expectations_approx") { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val colagg = orders.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_orderkey"))).as("null_key"),
+        // non-null keys minus estimated NDV, clamped at 0: on a unique
+        // key the estimator's ±rsd error can land above the true count
+        greatest(lit(0L), count(col("o_orderkey")) -
+            approx_count_distinct(col("o_orderkey"), 0.01))
+          .as("dup_key_est"),
+        coalesce(sum(when(col("o_totalprice") <= 0
+            || col("o_totalprice") > PriceMax, 1L).otherwise(0L)), lit(0L))
+          .as("range_price"),
+        coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P")
+            || col("o_orderstatus").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("bad_status"))
+      val orphans = orders.select(col("o_custkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val noTol = lit(0L)
+      val uniqueTol = ceil(col("n_rows") * lit(0.03)).cast(LongType)
+      colagg.crossJoin(orphans).select(explode(array(
+        struct(lit("fk_custkey_in_customer").as("expectation"),
+          col("n_rows").as("n_checked"),
+          col("n_orphans").as("n_violations"), noTol.as("tol")),
+        struct(lit("not_null_orderkey").as("expectation"),
+          col("n_rows").as("n_checked"), col("null_key").as("n_violations"),
+          noTol.as("tol")),
+        struct(lit("accepted_status_OFP").as("expectation"),
+          col("n_rows").as("n_checked"), col("bad_status").as("n_violations"),
+          noTol.as("tol")),
+        struct(lit("range_totalprice").as("expectation"),
+          col("n_rows").as("n_checked"),
+          col("range_price").as("n_violations"), noTol.as("tol")),
+        struct(lit("unique_orderkey").as("expectation"),
+          col("n_rows").as("n_checked"),
+          col("dup_key_est").as("n_violations"), uniqueTol.as("tol"))
+        )).as("e"))
+        .select(col("e.expectation"), col("e.n_checked"),
+          col("e.n_violations"),
+          (col("e.n_violations") <= col("e.tol")).as("passed"))
+        .orderBy("expectation")
     },
 
     // Volume-anomaly screen: daily event counts z-scored against the

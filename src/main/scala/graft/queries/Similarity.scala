@@ -272,7 +272,14 @@ object Similarity {
     * probe touches ~|masks|/2^planes of the corpus instead of all of
     * it; deterministic given the fixed planes, so fully oracled, and
     * SimilarityTextSpec pins label agreement ≥ 0.9 vs brute force
-    * over 50 probes at sf0.1. */
+    * over 50 probes at sf0.1.
+    *
+    * Unlike the brute classifier (which scans the whole corpus and so
+    * always has candidates), a probe whose probed buckets hold NO
+    * corpus row has nothing to vote on; the probe set is left-joined
+    * back so such probes surface as an explicit NULL-label (abstain)
+    * row rather than silently vanishing — output cardinality always
+    * equals the probe count, the brute classifier's contract. */
   private[graft] def knnClassifyAnn(
       s: SparkSession, d: String, nProbes: Long): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -282,9 +289,12 @@ object Similarity {
         norm2(col("embedding")).as("qn2"),
         explode(array(knnProbeMasks.map(m =>
           col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket")))
-    knnVote(withN2(e.filter(col("vec_id") >= nProbes))
+    val voted = knnVote(withN2(e.filter(col("vec_id") >= nProbes))
       .join(probes, col("bucket") === col("pbucket"))
       .select(col("qid"), col("vec_id"), col("label"), simCol.as("sim")))
+    e.filter(col("vec_id") < nProbes).select(col("vec_id").as("qid"))
+      .join(voted, Seq("qid"), "left")
+      .orderBy("qid")
   }
 
   /** Exact brute-force top-k twin of the ANN pipelines (scan +
@@ -415,10 +425,13 @@ object Similarity {
          |           FROM cand),
          |votes AS (SELECT qid, label, COUNT(*) AS n_votes
          |          FROM ranked WHERE rn <= 10 GROUP BY qid, label)
-         |SELECT qid, label AS pred_label, n_votes FROM (
-         |  SELECT qid, label, n_votes, row_number() OVER (
-         |    PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
-         |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+         |SELECT p.qid, w.pred_label, w.n_votes
+         |FROM probe p LEFT JOIN (
+         |  SELECT qid, label AS pred_label, n_votes FROM (
+         |    SELECT qid, label, n_votes, row_number() OVER (
+         |      PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+         |    FROM votes) WHERE vr = 1) w ON p.qid = w.qid
+         |ORDER BY p.qid""".stripMargin) { (s, d) =>
       knnClassifyAnn(s, d, 5)
     },
 

@@ -40,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "cooccur_pmi", // broadcast single-row doc-count scalar cross
     "target_encode", // broadcast single-row global-prior scalar cross
     "dq_expectations", // broadcast single-row orphan-count scalar cross
+    "dq_expectations_approx", // same scaffold, sketch-backed uniqueness
     "dq_volume_anomaly", // broadcast single-row window-stats scalar cross
     "dq_psi") // broadcast single-row midpoint + side-total scalar crosses
 

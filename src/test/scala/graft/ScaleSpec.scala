@@ -79,6 +79,53 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
         "summaries no longer saturate (accuracy raised? broadcast lost?)")
   }
 
+  test("agg_mad_approx plateau: a THIRD 10x hop is flat — the sketch " +
+      "state is bounded, not merely slow-growing") {
+    // SCALING.md's 4.1x -> 1.8x pair SUGGESTS saturation but two hops
+    // can't prove a plateau (the r8 verdict's extrapolation gap). Third
+    // point: a synthetic 10x of sf0.1's orders — ten key-shifted copies
+    // unioned, which preserves the value distribution (all the quantile
+    // sketch sees) and grows rows 10x. Written as ONE file so the
+    // map-task count (which multiplies per-task partials) stays
+    // comparable to the single-file fixture; the measured ratio is then
+    // purely the sketch-partial growth, which must be ~1x once the
+    // accuracy-1000 summaries are full.
+    import org.apache.spark.sql.functions.{col, lit}
+    val sdir = Catalog.scratch(big, "synth10x")
+    Catalog.once(spark, big, "synth10x") {
+      val o = Tables.orders(spark, big)
+      (0 until 10).map(i => o.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_ union _)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$sdir/orders.parquet")
+    }
+    val b2 = bytes("agg_mad_approx", big)
+    val b3 = bytes("agg_mad_approx", sdir)
+    val r3 = b3.toDouble / b2
+    info(f"third-hop ratio: $b2%,d -> $b3%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 < 1.5,
+      f"agg_mad_approx third hop grew $r3%.2fx ($b2%,d -> $b3%,d) — " +
+        "sketch partials still growing; the plateau claim fails")
+  }
+
+  test("approximate dq gate is output-bounded where the exact one is " +
+      "NDV-linear (the last by-intent NDV-linear operator, closed)") {
+    val eS = bytes("dq_expectations", small)
+    val eB = bytes("dq_expectations", big)
+    val aS = bytes("dq_expectations_approx", small)
+    val aB = bytes("dq_expectations_approx", big)
+    // exact: the uniqueness COUNT(DISTINCT)'s Expand ships every key
+    assert(eB.toDouble / eS > 4.0,
+      s"exact dq gate unexpectedly flat ($eS -> $eB) — measurement broken?")
+    // approx: fixed HLL sketch + conditional-agg partials — near-flat
+    assert(aB.toDouble / aS < 2.5,
+      s"approx dq gate grew ${aB.toDouble / aS}x ($aS -> $aB) — " +
+        "the sketch uniqueness check has regressed to key shipping")
+    assert(aB < eB / 4,
+      s"approx dq gate shuffles $aB bytes vs exact $eB — no win")
+  }
+
   test("graph_pagerank shuffle tracks the edge set, not a pair blowup") {
     // |E| itself grows 13.3x on this hop (the DISTINCT co-order pair
     // space is still expanding at these sfs — measured in ScaleAudit's

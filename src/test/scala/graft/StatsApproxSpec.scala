@@ -34,6 +34,34 @@ class StatsApproxSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("dq_expectations_approx: the four exact expectation rows " +
+      "bit-identical, unique estimate within 5%·N, at all three SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      def rows(q: String) = SparkEntry.queries(q)(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      val exact = rows("dq_expectations")
+      val approx = rows("dq_expectations_approx")
+      assert(exact.keySet == approx.keySet)
+      exact.foreach { case (e, (nChk, nViol, passed)) =>
+        val (aChk, aViol, aPassed) = approx(e)
+        assert(aChk == nChk, s"$dir $e: n_checked diverged")
+        if (e == "unique_orderkey") {
+          // the only estimated row: within the declared ±5%·N band,
+          // and on the (unique-keyed) fixtures the 3·rsd gate must
+          // still report the expectation as passing
+          assert(math.abs(aViol - nViol).toDouble / nChk <= 0.05,
+            s"$dir $e: est=$aViol exact=$nViol over $nChk rows")
+          assert(aPassed, s"$dir $e: sketch noise failed a unique key")
+        } else {
+          assert(aViol == nViol && aPassed == passed,
+            s"$dir $e: exact expectation row diverged in the approx twin")
+        }
+      }
+    }
+  }
+
   test("agg_mad_approx: med and mad within 5% of the exact window-sort " +
       "MAD at all three SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
