@@ -14,19 +14,20 @@ import org.apache.spark.sql.functions._
   * no driver involvement), and downstream ops are ordinary relational
   * plans over the extracted features.
   *
-  * Decoders come in two tiers. Still images are REAL binary decodes
-  * through `javax.imageio` (no external dependency): PNG
-  * (`multimodal_decode_png`, lossless — oracle-checked per decoded
-  * pixel sum), JPEG (`multimodal_decode`, lossy — dimensions oracled
-  * exactly, reconstruction error property-bounded), and the
-  * decode→downscale stage (`multimodal_resize`, integer area-average
-  * over the decoded raster, oracled including the resampled pixel
-  * sum). Only the genuinely codec-/model-bound steps remain stubs:
-  * video frame extraction (`decodeStub` → `multimodal_frames`; no
-  * video codec exists in this zero-egress sandbox) and the embedding
-  * model (`embedStub` → `multimodal_embed`; inference needs model
-  * weights) — swapping in the real thing changes only those function
-  * bodies; schema, batching, partitioning and query shapes hold.
+  * Decoders are REAL binary decodes through `javax.imageio` (no
+  * external dependency): PNG (`multimodal_decode_png`, lossless —
+  * oracle-checked per decoded pixel sum), JPEG (`multimodal_decode`,
+  * lossy — dimensions oracled exactly, reconstruction error
+  * property-bounded), the decode→downscale stage (`multimodal_resize`,
+  * integer area-average over the decoded raster, oracled including the
+  * resampled pixel sum), and multi-frame extraction
+  * (`multimodal_frames` — real animated GIFs written and re-decoded
+  * frame by frame; GIF is palette-lossless so per-frame dims AND pixel
+  * sums oracle exactly). The ONLY remaining stub is the embedding
+  * model (`embedStub` → `multimodal_embed`; inference genuinely needs
+  * model weights, which cannot exist in a zero-egress sandbox) —
+  * swapping in a real encoder changes only that function body; schema,
+  * batching, partitioning and query shapes hold.
   *
   * Scale: decode is embarrassingly parallel per partition; payload bytes
   * never pass through a wide transform before feature extraction, so the
@@ -40,21 +41,6 @@ object Multimodal {
     * bytes (UTF-8) — an honest stand-in: opaque, variable-length,
     * content-correlated. */
   final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
-
-  final case class MediaFeatures(
-      doc_id: Long, mime: String, n_bytes: Int,
-      width: Int, height: Int, n_frames: Int)
-
-  /** STUB decoder — stands in ONLY for codecs the JDK does not ship
-    * (video containers): deterministic pseudo-metadata derived from
-    * payload length. Still images go through the REAL decoders below
-    * ([[decodePng]], [[decodeJpeg]]); the one remaining consumer is
-    * `multimodal_frames`, whose frame extraction is genuinely
-    * codec-bound (no video codec exists offline in this sandbox). */
-  def decodeStub(m: MediaRow): MediaFeatures = {
-    val n = m.payload.length
-    MediaFeatures(m.doc_id, m.mime, n, n % 640, n % 480, n % 30 + 1)
-  }
 
   final case class MediaEmbedding(doc_id: Long, emb: Seq[Double])
 
@@ -125,10 +111,9 @@ object Multimodal {
 
   /** REAL image decode — `javax.imageio` parses the PNG container and
     * inflates the pixel data; width/height/pixel-sum are read from the
-    * decoded raster. This is the true binary-decode operator the
-    * `decodeStub` above stands in for where external codecs (video,
-    * audio) would be needed: same mapPartitions shape, real bytes in,
-    * decoded features out. PNG is lossless and TYPE_INT_RGB get/setRGB
+    * decoded raster: real bytes in, decoded features out, in the same
+    * mapPartitions shape an external-codec (video, audio) decoder
+    * would use. PNG is lossless and TYPE_INT_RGB get/setRGB
     * round-trips 8-bit channels exactly, so the decoded values are
     * bit-identical to the generator arithmetic — which is what lets
     * the DuckDB oracle check every decoded pixel sum value-for-value. */
@@ -253,6 +238,147 @@ object Multimodal {
     var k = 0
     while (k < sums.length) { s += sums(k) / cnts(k); k += 1 }
     ResizedFeatures(m.doc_id, w, h, ow, oh, s)
+  }
+
+  final case class GifRow(doc_id: Long, payload: Array[Byte])
+  final case class GifFrame(
+      doc_id: Long, frame_idx: Long, width: Int, height: Int,
+      pixel_sum: Long)
+
+  /** Deterministic gray level of pixel (x, y) in FRAME f of asset `id`
+    * — the multi-frame analogue of [[pngGray]], replayed as SQL
+    * arithmetic by the frames oracle. */
+  @inline def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+  /** Per-frame GIF image metadata: interlace OFF, explicit 256-gray
+    * local color table. Both edits are load-bearing for the exactness
+    * contract, measured on this JDK:
+    *  - the writer's default metadata sets `interlaceFlag=TRUE`, and
+    *    the JDK READER mis-restores interlaced images shorter than the
+    *    8-row pass structure (rows ≥ 1 come back zero for h ≤ 4 even
+    *    though the LZW stream holds the correct sequential rows —
+    *    verified by hand-decoding the container);
+    *  - supplying ANY explicit metadata drops the image's own palette:
+    *    the default tree carries the writer's web-safe table, not the
+    *    raster's IndexColorModel, so the gray ramp must be written
+    *    into `LocalColorTable` explicitly or indices remap lossily. */
+  private def gifFrameMeta(
+      wr: javax.imageio.ImageWriter,
+      ts: javax.imageio.ImageTypeSpecifier): javax.imageio.metadata.IIOMetadata = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val md = wr.getDefaultImageMetadata(ts, wr.getDefaultWriteParam)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    var lct: org.w3c.dom.Node = null
+    var c = root.getFirstChild
+    while (c != null) {
+      if (c.getNodeName == "ImageDescriptor")
+        c.asInstanceOf[IIOMetadataNode].setAttribute("interlaceFlag", "FALSE")
+      if (c.getNodeName == "LocalColorTable") lct = c
+      c = c.getNextSibling
+    }
+    if (lct != null) root.removeChild(lct)
+    val table = new IIOMetadataNode("LocalColorTable")
+    table.setAttribute("sizeOfLocalColorTable", "256")
+    table.setAttribute("sortFlag", "FALSE")
+    var i = 0
+    while (i < 256) {
+      val e = new IIOMetadataNode("ColorTableEntry")
+      e.setAttribute("index", i.toString)
+      e.setAttribute("red", i.toString)
+      e.setAttribute("green", i.toString)
+      e.setAttribute("blue", i.toString)
+      table.appendChild(e)
+      i += 1
+    }
+    root.appendChild(table)
+    md.setFromTree(fmt, root)
+    md
+  }
+
+  /** Synthesize a REAL animated GIF per asset on the executors: width
+    * `id%11+1`, height `id%6+1`, `id%4+2` frames, gray = [[gifGray]].
+    * Frames are written through `javax.imageio`'s sequence API
+    * (`prepareWriteSequence`/`writeToSequence`) as TYPE_BYTE_INDEXED
+    * rasters over an EXPLICIT 256-entry gray palette, non-interlaced
+    * (see [[gifFrameMeta]] for why both must be forced) — GIF stores
+    * the palette verbatim and LZW is lossless, so unlike JPEG every
+    * decoded sample round-trips exactly (the property the oracle leans
+    * on). One writer per partition (codec setup dominates). */
+  def gifOf(ids: Dataset[java.lang.Long]): Dataset[GifRow] = {
+    implicit val enc = Encoders.product[GifRow]
+    ids.mapPartitions { it =>
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      // IndexColorModel is not serializable — built partition-locally
+      val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+      val gray256 = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val w = (id % 11 + 1).toInt
+        val h = (id % 6 + 1).toInt
+        val nf = (id % 4 + 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray256)
+          val ras = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              ras.setSample(x, y, 0, gifGray(id, f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val ts = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+          wr.writeToSequence(
+            new javax.imageio.IIOImage(img, null, gifFrameMeta(wr, ts)), null)
+          f += 1
+        }
+        wr.endWriteSequence()
+        ios.close()
+        GifRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL multi-frame decode — `javax.imageio`'s GIF reader walks the
+    * container's image sequence: one output row per stored frame, with
+    * dimensions and pixel sum read from each decoded raster. Every
+    * frame is written full-size above (no inter-frame delta disposal),
+    * so `read(f)` yields the complete raster per frame. This is the
+    * frame-sampling stage of a video pipeline with the one codec the
+    * JDK ships for multi-frame containers; a video codec slots into
+    * this exact (payload → Seq[frame features]) shape. */
+  def decodeGifFrames(m: GifRow): Seq[GifFrame] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    val n = rd.getNumImages(true)
+    val out = (0 until n).map { f =>
+      val img = rd.read(f)
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          s += (img.getRGB(x, y) >> 16) & 255
+          x += 1
+        }
+        y += 1
+      }
+      GifFrame(m.doc_id, f.toLong, img.getWidth, img.getHeight, s)
+    }
+    rd.dispose()
+    iis.close()
+    out
   }
 
   /** Images with a PLANTED duplicate structure for the perceptual-hash
@@ -541,22 +667,43 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Frame sampling: one row per (asset, frame index) with a synthetic
-    // 30fps timestamp — the explode pattern a video pipeline uses.
+    // REAL multi-frame decode: animated GIFs synthesized per asset on
+    // the executors (JDK sequence writer over an explicit 256-gray
+    // palette — see gifOf), then re-opened through javax.imageio's GIF
+    // reader, one output row per decoded frame with dims, pixel sum,
+    // and a 30 fps timestamp — the frame-sampling stage of a video
+    // pipeline on the one multi-frame container the JDK ships. GIF is
+    // palette-lossless, so the oracle replays frame count, dimensions
+    // AND every per-frame pixel sum exactly from generator arithmetic
+    // (the PNG discipline extended across the frame axis). The binary
+    // payload dies at the flatMap; only (doc_id, frame features) flow
+    // on. doc_id < 100 bounds the synthesized corpus like the other
+    // codec queries.
     Decl("multimodal_frames",
-      """SELECT doc_id, CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1))
-        |    AS BIGINT) AS frame_idx,
-        |  CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1)) AS DOUBLE)
-        |    / 30.0 AS frame_ts
-        |FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+      """WITH d AS (SELECT doc_id, doc_id % 11 + 1 AS w,
+        |      doc_id % 6 + 1 AS h, doc_id % 4 + 2 AS nf
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_idx
+        |      FROM d),
+        |px AS (SELECT doc_id, w, h, frame_idx, tx.x AS x, ty.y AS y,
+        |    (doc_id * 31 + frame_idx * 17 + tx.x * 7 + ty.y * 13) % 256
+        |      AS gray
+        |  FROM f, range(0, 11) tx(x), range(0, 6) ty(y)
+        |  WHERE tx.x < w AND ty.y < h)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(SUM(gray) AS BIGINT) AS pixel_sum,
+        |  CAST(frame_idx AS DOUBLE) / 30.0 AS frame_ts
+        |FROM px GROUP BY doc_id, frame_idx, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
-      implicit val enc = Encoders.product[MediaFeatures]
-      mediaOf(Tables.documents(s, d).filter(col("doc_id") < 100))
-        .mapPartitions(_.map(decodeStub))
-        .select(col("doc_id"),
-          explode(sequence(lit(0L), col("n_frames").cast("long") - 1))
-            .as("frame_idx"))
-        .withColumn("frame_ts", col("frame_idx").cast("double") / 30.0)
+      implicit val enc = Encoders.product[GifFrame]
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as(Encoders.LONG)
+      gifOf(ids)
+        .mapPartitions(_.flatMap(decodeGifFrames))
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("pixel_sum"),
+          (col("frame_idx").cast("double") / 30.0).as("frame_ts"))
         .orderBy("doc_id", "frame_idx")
     },
 

@@ -57,6 +57,35 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSuite {
     assert(meanAbs < 0.1, s"mean abs pixel error $meanAbs >= 0.1")
   }
 
+  test("GIF multi-frame round-trip: frame count, dims and every pixel " +
+      "exact across the generator seed space") {
+    // GIF is palette-lossless, so unlike JPEG the bound is EXACTNESS:
+    // every frame of every asset must decode to the generator values
+    // bit-for-bit. 1000 ids cover every (w, h, nf, gray-pattern) class
+    // many times over — including the h ≤ 4 images that exposed the
+    // JDK reader's interlace bug (see gifFrameMeta) and would regress
+    // silently if the non-interlace metadata were ever dropped.
+    val ids = spark.range(1000).select(F.col("id")).as(Encoders.LONG)
+    val bad = Multimodal.gifOf(ids).mapPartitions { it =>
+      it.map { m =>
+        val frames = Multimodal.decodeGifFrames(m)
+        val nf = (m.doc_id % 4 + 2).toInt
+        val w = (m.doc_id % 11 + 1).toInt
+        val h = (m.doc_id % 6 + 1).toInt
+        var errs = 0L
+        if (frames.size != nf) errs += 1
+        frames.foreach { fr =>
+          if (fr.width != w || fr.height != h) errs += 1
+          val want = (0 until h).flatMap(y => (0 until w).map(x =>
+            Multimodal.gifGray(m.doc_id, fr.frame_idx.toInt, x, y))).sum
+          if (fr.pixel_sum != want) errs += 1
+        }
+        errs
+      }
+    }(Encoders.scalaLong).collect().sum
+    assert(bad == 0L, s"$bad GIF frame mismatches across 1000 assets")
+  }
+
   test("area-average resize matches an independent reference " +
       "resampler on decoded rasters") {
     // Re-derive every output from the generator arithmetic directly
