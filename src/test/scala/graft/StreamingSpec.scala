@@ -438,6 +438,62 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("restart from checkpoint: a killed transformWithState query " +
+      "resumes from its RocksDB checkpoint dir with exactly-once output " +
+      "(B41 operational failure mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // The failure mode transformWithState users actually hit: the
+    // driver dies mid-stream and the query is restarted against the
+    // SAME checkpointLocation. Witnessed here with the durable sink
+    // whose _spark_metadata commit log carries the exactly-once
+    // guarantee (a memory sink forgets its table on restart, so it
+    // cannot witness recovery): run B is killed after batch 1, a NEW
+    // query object restarts from the checkpoint, batch 2 arrives only
+    // after the restart — and the final committed output must be
+    // row-identical to an uninterrupted run A, with user 1's running
+    // aggregate CONTINUING from RocksDB-restored state (n_events 3),
+    // not restarting at 1, and no batch-1 row duplicated.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_restart").toString
+      val batch1 = Seq(UserEvent(1, 1000, 2.0), UserEvent(1, 2000, 3.0))
+      val batch2 = Seq(UserEvent(1, 3000, 5.0), UserEvent(2, 1000, 7.0))
+      def run(tag: String, interrupt: Boolean): Seq[(Long, Long, Double)] = {
+        val input = MemoryStream[UserEvent]
+        def start() = Streaming.runningUserAggTws(input.toDS())
+          .writeStream.format("parquet")
+          .option("path", s"$root/$tag/out")
+          .option("checkpointLocation", s"$root/$tag/ck")
+          .outputMode("append").start()
+        var q = start()
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        if (interrupt) {
+          q.stop() // the "crash": no more batches reach this query
+          q = start() // fresh query object, same checkpoint dir
+        }
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        q.stop()
+        // the read respects _spark_metadata: only COMMITTED files count
+        spark.read.parquet(s"$root/$tag/out").as[UserRunning].collect()
+          .map(r => (r.user_id, r.n_events, r.sum_value)).toSeq.sorted
+      }
+      val uninterrupted = run("ref", interrupt = false)
+      val restarted = run("restart", interrupt = true)
+      assert(restarted == uninterrupted,
+        s"restarted run diverged:\n  ref=$uninterrupted\n  got=$restarted")
+      // state restoration, not coincidence: the post-restart event
+      // continued user 1's aggregate from the checkpointed (2, 5.0)
+      assert(restarted.contains((1L, 3L, 10.0)),
+        s"user 1 did not resume from restored state: $restarted")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("MapState + ListState accumulate across micro-batches (B41 " +
       "state primitives beyond ValueState)") {
     import spark.implicits._
