@@ -79,6 +79,9 @@ object ScaleAudit {
       "DISTINCT co-order pair space saturates slowly at tiny sf) — " +
       "measure against edges, not raw rows"),
     "join_asof" -> "input-linear: union + per-key ordering exchange",
+    "graph_triangles" -> ("edge-linear wedges: degree-ordered " +
+      "orientation caps out-degree at O(sqrt(E)), so the wedge space " +
+      "is Σ outdeg² — measure against |E| like pagerank"),
     "dq_expectations" -> ("NDV-linear BY DECLARED INTENT: the " +
       "uniqueness expectation is an exact distinct (the honest check); " +
       "every other expectation is an output-bounded conditional agg"),

@@ -473,16 +473,23 @@ object Warehouse {
     },
 
     // Per-node triangle participation counts on the supplier co-order
-    // graph — exact integers, two self-joins of the symmetric edge set
-    // with an a<b<c orientation so each triangle is counted once per
-    // vertex. The b<c gate halves the wedge expansion; at 100 TB the
-    // standard refinement is degree-ordered orientation (expand wedges
-    // only from the lower-degree endpoint) which bounds per-node work
-    // by the graph's arboricity — here clique sizes are capped by TPC-H
-    // order width (≤7 lineitems), so wedges stay linear in edges. The
-    // edge frame is pinned (localCheckpoint) because BOTH join sides
-    // read it — without the pin each aliased side re-runs the co-order
-    // self-join (the repo-wide self-join trap).
+    // graph, computed with DEGREE-ORDERED ORIENTATION — the 100 TB
+    // formulation: every undirected edge is kept once, directed from
+    // its lower-(degree, id) endpoint, and wedges expand ONLY from a
+    // node's outgoing (higher-ordered) edges. Out-degree under this
+    // orientation is bounded by O(sqrt(|E|)) on any graph (arboricity
+    // bound), so a skewed hub with degree d contributes O(|E|) wedge
+    // candidates instead of the symmetric formulation's d² explosion —
+    // the wedge space shrinks from Σ deg² to Σ outdeg² ≤ |E|·sqrt(|E|)
+    // worst-case, and far less on real graphs. Each triangle is found
+    // exactly once (at its minimum-ordered vertex, as the wedge
+    // (u→v, u→w) closed by v→w), then exploded to its three corners
+    // for the per-node participation counts. All arithmetic is exact
+    // integers, and the ORACLE keeps the definitional symmetric a<b<c
+    // form — same counts, so the orientation rewrite is verified
+    // value-for-value against the naive formulation at every SF. The
+    // oriented frame is pinned (localCheckpoint) because the wedge
+    // join reads it twice and the closing join a third time.
     Decl("graph_triangles",
       """WITH pe AS (
         |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
@@ -494,12 +501,31 @@ object Warehouse {
         |JOIN pe e3 ON e3.x = e1.y AND e3.y = e2.y
         |GROUP BY e1.x ORDER BY node""".stripMargin) { (s, d) =>
       val ed = supplierEdges(s, d).localCheckpoint(true)
-      val e1 = ed.select(col("x").as("a"), col("y").as("b"))
-      val e2 = ed.select(col("x").as("a2"), col("y").as("c"))
-      val e3 = ed.select(col("x").as("b3"), col("y").as("c3"))
-      e1.join(e2, col("a") === col("a2") && col("b") < col("c"))
-        .join(e3, col("b") === col("b3") && col("c") === col("c3"))
-        .groupBy(col("a").as("node"))
+      val deg = ed.groupBy("x").agg(count(lit(1)).as("dg"))
+      // orient: keep (u→v) iff (deg(u), u) < (deg(v), v) — a total
+      // order, so each undirected edge survives exactly once; carry
+      // v's (deg, id) so the wedge comparator needs no further join
+      val oriented = ed
+        .join(deg.select(col("x"), col("dg").as("du")), "x")
+        .join(deg.select(col("x").as("y"), col("dg").as("dv")), "y")
+        .filter(col("du") < col("dv")
+          || (col("du") === col("dv") && col("x") < col("y")))
+        .select(col("x").as("u"), col("y").as("v"), col("dv"))
+        .localCheckpoint(true)
+      // wedge (u→v, u→w) with ord(v) < ord(w); the closing edge {v,w}
+      // — if it exists — is stored oriented v→w by transitivity of the
+      // total order, so one equi-join probe closes the triangle
+      val w1 = oriented.select(col("u"), col("v"), col("dv"))
+      val w2 = oriented.select(col("u"), col("v").as("w"),
+        col("dv").as("dw"))
+      val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
+      val tri = w1.join(w2, Seq("u"))
+        .filter(col("dv") < col("dw")
+          || (col("dv") === col("dw") && col("v") < col("w")))
+        .join(closing, col("v") === col("cv") && col("w") === col("cw"))
+      // one row per triangle → three per-node participation rows
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node")
         .agg(count(lit(1)).as("triangles"))
         .orderBy("node")
     },

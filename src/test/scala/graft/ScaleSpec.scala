@@ -126,6 +126,19 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       s"approx dq gate shuffles $aB bytes vs exact $eB — no win")
   }
 
+  test("graph_triangles (degree-oriented) shuffle tracks the edge set — " +
+      "the orientation kills the hub wedge blowup") {
+    // |E| grows 13.3x on this hop (see the pagerank shape note); the
+    // symmetric wedge join would track Σ deg² (superlinear in |E| as
+    // hubs emerge), the oriented one Σ outdeg² with outdeg capped at
+    // O(sqrt E) — pinned at-or-below edge growth like pagerank.
+    val b1 = bytes("graph_triangles", small)
+    val b2 = bytes("graph_triangles", big)
+    assert(b2.toDouble / b1 < 16.0,
+      s"graph_triangles shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) " +
+        "vs 13.3x edge growth — the wedge space is super-edge-linear")
+  }
+
   test("graph_pagerank shuffle tracks the edge set, not a pair blowup") {
     // |E| itself grows 13.3x on this hop (the DISTINCT co-order pair
     // space is still expanding at these sfs — measured in ScaleAudit's
