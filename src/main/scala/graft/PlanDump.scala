@@ -76,7 +76,16 @@ object PlanDump {
     "dq_expectations" -> ("five expectations in ONE conditional " +
       "aggregate over one scan + a hint-free anti-join FK check"),
     "dq_psi" -> ("one scan + one bucket groupBy; midpoint and side " +
-      "totals ride broadcast single-row frames"))
+      "totals ride broadcast single-row frames"),
+    "dq_expectations_approx" -> ("uniqueness as a fixed-size HLL " +
+      "sketch partial — the every-drop gate's shuffle is " +
+      "output-bounded, no distinct Expand"),
+    "multimodal_frames" -> ("real GIF sequence decode inside " +
+      "mapPartitions; the binary column dies at the flatMap, only " +
+      "(id, frame features) flow on"),
+    "graph_triangles" -> ("degree-ordered orientation: wedge join " +
+      "over out-edges only (Σ outdeg²), one equi-join closes each " +
+      "triangle, found once and exploded to its corners"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -381,6 +381,59 @@ object Multimodal {
     out
   }
 
+  final case class GifDelta(
+      doc_id: Long, frame_idx: Long, width: Int, height: Int,
+      pixel_sum: Long, sad: Option[Long])
+
+  /** Multi-frame decode WITH inter-frame differencing: one pass over
+    * the container keeps the previous frame's raster and emits, per
+    * frame, the pixel sum AND the sum of absolute per-pixel deltas
+    * against its predecessor (SAD — the standard scene-change /
+    * keyframe-selection signal). Frame 0 has no predecessor → None.
+    * Same decode guarantees as [[decodeGifFrames]] (palette-lossless),
+    * so every SAD is exact integer arithmetic the oracle replays. */
+  def decodeGifDeltas(m: GifRow): Seq[GifDelta] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    val n = rd.getNumImages(true)
+    var prev: Array[Int] = null
+    val out = (0 until n).map { f =>
+      val img = rd.read(f)
+      val w = img.getWidth
+      val h = img.getHeight
+      val cur = new Array[Int](w * h)
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (img.getRGB(x, y) >> 16) & 255
+          cur(y * w + x) = g
+          s += g
+          x += 1
+        }
+        y += 1
+      }
+      val sad = if (prev == null || prev.length != cur.length) None
+      else {
+        var t = 0L
+        var i = 0
+        while (i < cur.length) {
+          t += math.abs(cur(i) - prev(i))
+          i += 1
+        }
+        Some(t)
+      }
+      prev = cur
+      GifDelta(m.doc_id, f.toLong, w, h, s, sad)
+    }
+    rd.dispose()
+    iis.close()
+    out
+  }
+
   /** Images with a PLANTED duplicate structure for the perceptual-hash
     * dedup: the pixel content is a function of `seed = doc_id % 40`, so
     * every ~12th document carries a pixel-identical image under a
@@ -704,6 +757,57 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"), col("width"),
           col("height"), col("pixel_sum"),
           (col("frame_idx").cast("double") / 30.0).as("frame_ts"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Scene-change / keyframe detection over the decoded frame
+    // sequence — the frame-SAMPLING policy a video training pipeline
+    // actually needs (uniform every-k-th sampling wastes budget on
+    // static shots; SAD-gated sampling keeps the frames where content
+    // moved). One pass per asset: decode each frame, difference it
+    // per-pixel against its predecessor (SAD), flag keyframes where
+    // the mean per-pixel delta clears an integer threshold (32 gray
+    // levels — compared as sad > 32·w·h, no division). Frame 0 is
+    // always a keyframe (sad NULL). The generator's +17-per-frame
+    // drift with mod-256 wraps puts real assets on BOTH sides of the
+    // gate, and GIF losslessness makes every SAD exact — the oracle
+    // replays the per-pixel |gray_f − gray_{f−1}| arithmetic
+    // relationally. Scale shape identical to multimodal_frames: all
+    // pixel work partition-local, only (id, frame features) shuffle.
+    Decl("multimodal_frame_delta",
+      """WITH d AS (SELECT doc_id, doc_id % 11 + 1 AS w,
+        |      doc_id % 6 + 1 AS h, doc_id % 4 + 2 AS nf
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_idx
+        |      FROM d),
+        |px AS (SELECT doc_id, w, h, frame_idx,
+        |    (doc_id * 31 + frame_idx * 17 + tx.x * 7 + ty.y * 13) % 256
+        |      AS gray,
+        |    CASE WHEN frame_idx > 0 THEN
+        |      (doc_id * 31 + (frame_idx - 1) * 17 + tx.x * 7 + ty.y * 13)
+        |        % 256 END AS pgray
+        |  FROM f, range(0, 11) tx(x), range(0, 6) ty(y)
+        |  WHERE tx.x < w AND ty.y < h)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(SUM(gray) AS BIGINT) AS pixel_sum,
+        |  CASE WHEN frame_idx > 0
+        |    THEN CAST(SUM(abs(gray - pgray)) AS BIGINT) END AS sad,
+        |  CASE WHEN frame_idx = 0 THEN TRUE
+        |    ELSE SUM(abs(gray - pgray)) > 32 * w * h END AS is_key
+        |FROM px GROUP BY doc_id, frame_idx, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[GifDelta]
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as(Encoders.LONG)
+      gifOf(ids)
+        .mapPartitions(_.flatMap(decodeGifDeltas))
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("pixel_sum"), col("sad"),
+          when(col("frame_idx") === 0, lit(true))
+            .otherwise(col("sad") >
+              lit(32L) * col("width") * col("height"))
+            .as("is_key"))
         .orderBy("doc_id", "frame_idx")
     },
 
