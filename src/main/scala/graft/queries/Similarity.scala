@@ -177,6 +177,116 @@ object Similarity {
       x => x.getField("cell"))
   }
 
+  // Product-quantization parameters: the 64-dim vector splits into
+  // PqSubspaces subvectors of PqSubDim dims, each encoded as the
+  // argmax-dot codebook entry (PqCodes = 16 ⇒ a 4-bit code), so the
+  // WHOLE vector compresses to 8 × 4 = 32 bits — the memory-bound
+  // trick that makes billion-vector ANN feasible: the ADC scan reads
+  // a 4-byte code word per row instead of 256 bytes of floats.
+  // Codebooks are fixed seeded Gaussians, the same documented trade as
+  // ivfCentroids (production fits them with k-means — sim_ivf_fit
+  // shows the fit pattern; fixed constants keep every assignment and
+  // score exactly replayable cross-engine).
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqCodes = 16
+  // σ = 0.125 matches the corpus: embeddings are unit-norm 64-dim with
+  // per-dim sd 1/8 (measured), so subvectors live at E‖x‖² = 1/8 —
+  // centroids drawn from the same scale make the min-L2 assignment
+  // meaningful (a mis-scaled codebook quantizes everything to the few
+  // entries nearest the data shell).
+  private val pqCodebooks: Seq[Seq[Seq[Float]]] = {
+    val rnd = new scala.util.Random(41L)
+    Seq.fill(PqSubspaces)(Seq.fill(PqCodes)(
+      Seq.fill(PqSubDim)((rnd.nextGaussian() * 0.125).toFloat)))
+  }
+
+  /** −‖c‖²/2 per codebook entry, the constant that turns min-L2
+    * assignment into an argmax of (dot + bias): argmin ‖x−c‖² ⇔
+    * argmax (dot(x,c) − ‖c‖²/2). Computed once in exact doubles and
+    * embedded in BOTH engines (VARCHAR hop on the SQL side). */
+  private val pqHalfNorms: Seq[Seq[Double]] =
+    pqCodebooks.map(_.map(c =>
+      c.map(f => f.toDouble * f.toDouble).sum / 2.0))
+
+  /** Dot of subspace `sub` of `emb` with a codebook entry — an 8-term
+    * ConstDot chain over the sliced subvector (same IEEE-chain
+    * determinism as the full-width dotConst). */
+  private def pqSubDot(emb: Column, sub: Int, v: Seq[Float]): Column =
+    dotConst(slice(emb, sub * PqSubDim + 1, PqSubDim), v)
+
+  /** DuckDB twin of [[pqSubDot]]: identical 8-term textual chain over
+    * 1-based sliced indices. The constant goes through a VARCHAR hop
+    * (`CAST('…' AS DOUBLE)` — strtod, correctly rounded): a bare
+    * 25-digit literal parses as DECIMAL(25,24), and DuckDB's
+    * decimal→double conversion double-rounds via the scaled integer
+    * (measured: …270751953125 → …27077 direct vs …27075 hopped =
+    * Spark's exact value). The other sqlDotConst consumers never hit
+    * this — their chains feed signs/argmaxes (ulp-immune) or use ±1
+    * constants (embed_project) — but PQ's table entries are ORACLED
+    * VALUES, so the hop is load-bearing here (the Det.sqlSum
+    * discipline applied to constants). */
+  private def sqlPqSubDot(a: String, sub: Int, v: Seq[Float]): String =
+    v.zipWithIndex.map { case (c, i) =>
+      s"(CAST(($a)[${sub * PqSubDim + i + 1}] AS DOUBLE) * " +
+        s"CAST('${new java.math.BigDecimal(c.toDouble).toPlainString}' " +
+        "AS DOUBLE))"
+    }.mkString("(", " + ", ")")
+
+  /** Subspace code: min-L2 codebook entry via argmax of
+    * (dot − ‖c‖²/2), tie → max code (the ivfCellOf struct-greatest
+    * convention). */
+  private def pqCodeOf(emb: Column, sub: Int): Column =
+    greatest((0 until PqCodes).map(i =>
+      struct((pqSubDot(emb, sub, pqCodebooks(sub)(i)) -
+          lit(pqHalfNorms(sub)(i))).as("s"),
+        lit(i).as("c"))): _*).getField("c")
+
+  /** DuckDB twin of [[pqCodeOf]] (list_max over (s, c) structs; the
+    * half-norm constant hops through VARCHAR like the chain terms). */
+  private def sqlPqCode(a: String, sub: Int): String =
+    s"(list_max([${(0 until PqCodes).map(i =>
+      s"struct_pack(s := (${sqlPqSubDot(a, sub, pqCodebooks(sub)(i))} - " +
+        s"CAST('${new java.math.BigDecimal(pqHalfNorms(sub)(i))
+          .toPlainString}' AS DOUBLE)), " +
+        s"c := $i)").mkString(", ")}])).c"
+
+  /** Two-stage PQ/ADC retrieval, parameterized for the recall spec:
+    * stage 1 scores the corpus by asymmetric-distance approximation
+    * (query-side table of 8×16 subspace dots built ONCE on the
+    * broadcast query row; per corpus row the approximate dot is 8
+    * table lookups summed) and keeps the top `cand` via TakeOrdered;
+    * stage 2 re-ranks only those with the exact decimal cosine. The
+    * inline re-encode of the corpus codes exists because registry
+    * queries are self-contained — a deployment precomputes them once
+    * at ingest (that pass IS `embed_pq_encode`) and the ADC scan then
+    * touches 4 bytes per row instead of 256. */
+  private[graft] def pqTopK(
+      s: SparkSession, d: String, qid: Long, cand: Int, k: Int): DataFrame = {
+    val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+    val enc = ne.select(
+      col("vec_id") +: col("embedding") +:
+        (0 until PqSubspaces).map(sub =>
+          pqCodeOf(col("embedding"), sub).as(s"c$sub")): _*)
+    val q = broadcast(ne.filter(col("vec_id") === qid).select(
+      col("embedding").as("qv") +: norm2(col("embedding")).as("qn2") +:
+        (0 until PqSubspaces).map(sub =>
+          array((0 until PqCodes).map(i =>
+            pqSubDot(col("embedding"), sub, pqCodebooks(sub)(i))): _*)
+            .as(s"t$sub")): _*))
+    val approx = (0 until PqSubspaces)
+      .map(sub => element_at(col(s"t$sub"), col(s"c$sub") + 1))
+      .reduce(_ + _)
+    enc.crossJoin(q)
+      .select(col("vec_id"), col("embedding"), col("qv"), col("qn2"),
+        approx.as("approx"))
+      .orderBy(col("approx").desc, col("vec_id")).limit(cand)
+      .select(col("vec_id"), col("approx"),
+        cosineWithNorms(col("embedding"), col("qv"),
+          norm2(col("embedding")), col("qn2")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
   /** Parameterized ANN pipelines, shared by the declared queries
     * (qid = 0, k = 10) and SimilarityTextSpec's recall@10 measurement
     * over many query ids. Both keep the 100-TB shape: per-row bucket/
@@ -691,6 +801,75 @@ object Similarity {
           cosineWithNorms(col("embedding"), col("qv"),
             norm2(col("embedding")), col("qn2")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    },
+
+    // PQ ingest pass: every vector → its packed product-quantization
+    // code word (8 subspaces × 4-bit argmax-dot code = 32 bits in one
+    // BIGINT). This is the compression that makes billion-vector ANN
+    // memory-feasible: the index stores 4 bytes/vector instead of 256,
+    // and sim_topk_pq's ADC scan reads only this column. Map-only (no
+    // shuffle); every code is exactly oracled because codebooks are
+    // fixed constants and the argmax replays via the same struct-max
+    // convention as the IVF cell assignment. Null payloads are dropped
+    // at the source (the media-pipeline contract).
+    Decl("embed_pq_encode", {
+      val packed = (0 until PqSubspaces).map(sub =>
+        s"(CAST(${sqlPqCode("embedding", sub)} AS BIGINT) * " +
+          s"${1L << (4 * sub)})")
+        .mkString(" + ")
+      s"""SELECT vec_id, CAST($packed AS BIGINT) AS pq_code
+         |FROM embeddings WHERE embedding IS NOT NULL
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val packed = (0 until PqSubspaces).map(sub =>
+        pqCodeOf(col("embedding"), sub).cast(LongType) *
+          lit(1L << (4 * sub)))
+        .reduce(_ + _)
+      Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), packed.as("pq_code"))
+        .orderBy("vec_id")
+    },
+
+    // PQ/ADC two-stage retrieval (see pqTopK): approximate dots from
+    // the query-side distance table (built once on the broadcast query
+    // row — 8 lookups + 7 adds per corpus row, the memory-bandwidth
+    // win), exact decimal-cosine re-rank on the 100 survivors (an
+    // ABSOLUTE re-rank budget: 100 of 10⁹ at production scale; this
+    // uniform-random corpus is 4-bit PQ's worst case — no cluster
+    // structure for codebooks to exploit — and recall@10 = 0.56 ≥ 0.5
+    // is pinned there, >20× the 100/2000 random-candidate baseline).
+    // Every stage is deterministic — codebook constants, left-assoc
+    // IEEE chains, struct-max code ties, (approx, vec_id) candidate
+    // order — so the oracle replays candidate selection AND re-ranking
+    // exactly; SimilarityTextSpec pins the recall floor.
+    Decl("sim_topk_pq", {
+      def table(sub: Int) = (0 until PqCodes)
+        .map(i => sqlPqSubDot("embedding", sub, pqCodebooks(sub)(i)))
+        .mkString("[", ", ", "]")
+      def cosL(a: String, b: String) =
+        s"${sqlDotList(a, b)} / (sqrt(${sqlDotList(a, a)}) * " +
+          s"sqrt(${sqlDotList(b, b)}))"
+      val qTables = (0 until PqSubspaces)
+        .map(sub => s"${table(sub)} AS t$sub").mkString(",\n")
+      val codes = (0 until PqSubspaces)
+        .map(sub => s"${sqlPqCode("embedding", sub)} AS c$sub")
+        .mkString(",\n")
+      val approx = (0 until PqSubspaces)
+        .map(sub => s"(q.t$sub)[e.c$sub + 1]").mkString(" + ")
+      s"""WITH ne AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE embedding IS NOT NULL),
+         |q AS (SELECT embedding AS qv,
+         |$qTables
+         |      FROM ne WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding,
+         |$codes
+         |      FROM ne),
+         |c AS (SELECT e.vec_id, e.embedding, q.qv, $approx AS approx
+         |      FROM e, q ORDER BY approx DESC, e.vec_id LIMIT 100)
+         |SELECT vec_id, approx, ${cosL("embedding", "qv")} AS sim
+         |FROM c ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      pqTopK(s, d, 0, 100, 10)
     },
 
     // SemDeDup-shaped semantic dedup: near-duplicate embedding pairs

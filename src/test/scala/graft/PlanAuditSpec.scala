@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   // broadcast side (single-row query vector / tiny cross)
   private val bnljAllowed = Set(
     "cross_join", "sim_topk_cosine", "sim_range_search",
+    "sim_topk_pq", // broadcast query row + ADC table cross (TakeOrdered)
     "sim_ann_lsh", "sim_ann_ivf",
     "sim_topk_projected", // broadcast single-row query vector cross
     "multimodal_join", "multimodal_embed", "knn_classify", "watermark_late",

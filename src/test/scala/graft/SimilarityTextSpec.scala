@@ -134,6 +134,28 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       f"$ivf%.3f < 0.8")
   }
 
+  test("PQ/ADC recall@10 vs brute force at sf0.1 (sim_topk_pq path)") {
+    // Same deterministic harness as the LSH/IVF bound: fixed codebooks,
+    // fixed corpus, 20 fixed query ids. Uniform random vectors are the
+    // WORST case for 4-bit product quantization (no cluster structure
+    // for codebooks to exploit), so this floor certifies the ADC
+    // table-lookup scoring still concentrates the true neighbors into
+    // the 50-candidate re-rank set far above the 50/2000 = 2.5%
+    // random-selection baseline.
+    import graft.queries.Similarity
+    val d = "/root/testdata/sf0.1"
+    val per = (0L until 20L).map { qid =>
+      val exact = Similarity.bruteTopK(spark, d, qid, 10).collect()
+        .map(_.getLong(0)).toSet
+      val got = Similarity.pqTopK(spark, d, qid, 100, 10).collect()
+        .map(_.getLong(0)).toSet
+      (exact intersect got).size / 10.0
+    }
+    val rec = per.sum / per.size
+    info(f"PQ recall@10: $rec%.3f over 20 probes (candidates = 100)")
+    assert(rec >= 0.5, f"PQ/ADC recall@10 $rec%.3f < 0.5")
+  }
+
   test("embed_project: JL distortion — projected cosine tracks full " +
     "cosine at the 1/sqrt(16) scale over sampled pairs") {
     val sf01 = "/root/testdata/sf0.01"
