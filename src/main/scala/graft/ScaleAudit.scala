@@ -72,6 +72,8 @@ object ScaleAudit {
     "text_tfidf" -> "input-linear: per-(doc,token) weight rows",
     "dedup_near" -> "input-linear: LSH band keys, bucketed candidates",
     "sim_ann_ivf" -> "shuffle-free probe: broadcast centroids + TakeOrdered",
+    "sim_topk_pq" -> ("shuffle-free ADC: broadcast query table + " +
+      "two nested TakeOrdereds (approx candidates, exact re-rank)"),
     "multimodal_phash" -> "output-bounded: 2-long hash-cluster partials",
     "scd2_history" -> "input-linear: one key exchange for the change windows",
     "graph_pagerank" -> ("edge-linear x fixed iterations: shuffle tracks " +
