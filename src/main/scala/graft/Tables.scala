@@ -28,23 +28,43 @@ object Tables {
     * (1.7 s of ResolveDataSource across re-created sources at sf0.1),
     * and every one of the 250 queries re-created its sources per call.
     * The fixtures are immutable per run, but immutability is enforced
-    * rather than assumed: the key also carries the path's mtime+length
-    * fingerprint, so a fixture rewritten in-app with a different schema
-    * gets a fresh inference instead of a silently-stale memo entry
-    * (scratch-dir rewrites already bypass this memo entirely — CatalogIO
-    * reads its own materializations directly). */
+    * rather than assumed: each entry stores the path's content
+    * fingerprint next to the schema and re-infers on mismatch, so a
+    * fixture rewritten in-app with a different schema gets a fresh
+    * inference instead of a silently-stale memo entry — and a rewrite
+    * REPLACES the entry (keyed by path alone) instead of minting a new
+    * key, so long-lived apps that rewrite fixtures don't grow the map
+    * unboundedly. (Scratch-dir rewrites bypass this memo entirely —
+    * CatalogIO reads its own materializations directly.) */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** Content fingerprint: a plain file's (mtime, length); a DIRECTORY's
+    * File.length() is just its inode size (constant), so fold the
+    * children's (name, mtime, length) instead — any part-file add,
+    * remove or rewrite changes it, including a delete+rewrite landing
+    * within one mtime tick of the directory itself. */
+  private def fingerprint(f: java.io.File): String =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+        .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+        .mkString(";")
+    else s"${f.lastModified}:${f.length}"
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val f = new java.io.File(path)
-    // a dir's mtime ticks on any child add/remove (an overwrite always
-    // rewrites the part files), a plain file's on rewrite — either way a
-    // schema-changing rewrite changes the fingerprint
-    val sch = schemaMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}@$path@${f.lastModified}:${f.length}",
-      _ => s.read.parquet(path).schema)
+    val fp = fingerprint(new java.io.File(path))
+    val key = s"${s.sparkContext.applicationId}@$path"
+    val cached = schemaMemo.get(key)
+    val sch =
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        // racing threads may both infer — benign, same value wins
+        val inferred = s.read.parquet(path).schema
+        schemaMemo.put(key, (fp, inferred))
+        inferred
+      }
     s.read.schema(sch).parquet(path)
   }
 

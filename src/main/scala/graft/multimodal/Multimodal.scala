@@ -313,37 +313,51 @@ object Multimodal {
       // IndexColorModel is not serializable — built partition-locally
       val ramp = Array.tabulate[Byte](256)(i => i.toByte)
       val gray256 = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
-      it.map { boxed =>
+      val rows = it.map { boxed =>
         val id = boxed.longValue()
         val w = (id % 11 + 1).toInt
         val h = (id % 6 + 1).toInt
         val nf = (id % 4 + 2).toInt
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        wr.setOutput(ios)
-        wr.prepareWriteSequence(null)
-        var f = 0
-        while (f < nf) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray256)
-          val ras = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              ras.setSample(x, y, 0, gifGray(id, f, x, y))
-              x += 1
+        try {
+          wr.setOutput(ios)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray256)
+            val ras = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                ras.setSample(x, y, 0, gifGray(id, f, x, y))
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            val ts =
+              javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+            wr.writeToSequence(
+              new javax.imageio.IIOImage(img, null, gifFrameMeta(wr, ts)),
+              null)
+            f += 1
           }
-          val ts = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
-          wr.writeToSequence(
-            new javax.imageio.IIOImage(img, null, gifFrameMeta(wr, ts)), null)
-          f += 1
-        }
-        wr.endWriteSequence()
-        ios.close()
+          wr.endWriteSequence()
+        } finally ios.close()
         GifRow(id, bos.toByteArray)
+      }
+      // dispose the shared writer once the partition drains — a reused
+      // executor otherwise accumulates one undisposed writer per task
+      new Iterator[GifRow] {
+        private var disposed = false
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { disposed = true; wr.dispose() }
+          h
+        }
+        def next(): GifRow = rows.next()
       }
     }
   }
@@ -355,31 +369,14 @@ object Multimodal {
     * so `read(f)` yields the complete raster per frame. This is the
     * frame-sampling stage of a video pipeline with the one codec the
     * JDK ships for multi-frame containers; a video codec slots into
-    * this exact (payload → Seq[frame features]) shape. */
-  def decodeGifFrames(m: GifRow): Seq[GifFrame] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(m.payload))
-    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
-    rd.setInput(iis)
-    val n = rd.getNumImages(true)
-    val out = (0 until n).map { f =>
-      val img = rd.read(f)
-      var s = 0L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          s += (img.getRGB(x, y) >> 16) & 255
-          x += 1
-        }
-        y += 1
-      }
-      GifFrame(m.doc_id, f.toLong, img.getWidth, img.getHeight, s)
-    }
-    rd.dispose()
-    iis.close()
-    out
-  }
+    * this exact (payload → Seq[frame features]) shape.
+    *
+    * Implemented as the sad-free projection of [[decodeGifDeltas]] —
+    * ONE per-pixel decode loop exists, so a future codec fix cannot
+    * apply to one path and miss the other. */
+  def decodeGifFrames(m: GifRow): Seq[GifFrame] =
+    decodeGifDeltas(m).map(d =>
+      GifFrame(d.doc_id, d.frame_idx, d.width, d.height, d.pixel_sum))
 
   final case class GifDelta(
       doc_id: Long, frame_idx: Long, width: Int, height: Int,
@@ -396,42 +393,48 @@ object Multimodal {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(m.payload))
     val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
-    rd.setInput(iis)
-    val n = rd.getNumImages(true)
-    var prev: Array[Int] = null
-    val out = (0 until n).map { f =>
-      val img = rd.read(f)
-      val w = img.getWidth
-      val h = img.getHeight
-      val cur = new Array[Int](w * h)
-      var s = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val g = (img.getRGB(x, y) >> 16) & 255
-          cur(y * w + x) = g
-          s += g
-          x += 1
+    // finally, not success-path: this is the slot real (untrusted)
+    // media payloads flow through, and a malformed container throwing
+    // from read(f) must not leak the reader's native/service state in
+    // a long-lived executor
+    try {
+      rd.setInput(iis)
+      val n = rd.getNumImages(true)
+      var prev: Array[Int] = null
+      (0 until n).map { f =>
+        val img = rd.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        val cur = new Array[Int](w * h)
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = (img.getRGB(x, y) >> 16) & 255
+            cur(y * w + x) = g
+            s += g
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      val sad = if (prev == null || prev.length != cur.length) None
-      else {
-        var t = 0L
-        var i = 0
-        while (i < cur.length) {
-          t += math.abs(cur(i) - prev(i))
-          i += 1
+        val sad = if (prev == null || prev.length != cur.length) None
+        else {
+          var t = 0L
+          var i = 0
+          while (i < cur.length) {
+            t += math.abs(cur(i) - prev(i))
+            i += 1
+          }
+          Some(t)
         }
-        Some(t)
+        prev = cur
+        GifDelta(m.doc_id, f.toLong, w, h, s, sad)
       }
-      prev = cur
-      GifDelta(m.doc_id, f.toLong, w, h, s, sad)
+    } finally {
+      rd.dispose()
+      iis.close()
     }
-    rd.dispose()
-    iis.close()
-    out
   }
 
   /** Images with a PLANTED duplicate structure for the perceptual-hash

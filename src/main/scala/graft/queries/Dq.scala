@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Det, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,6 +27,60 @@ object Dq {
 
   /** Upper bound for the o_totalprice range expectation. */
   private val PriceMax = 1000000.0
+
+  /** Shared expectations-report body: the exact gate and its sketch
+    * twin differ ONLY in the uniqueness-violation expression and that
+    * row's pass tolerance — the four exact expectations, the FK
+    * anti-join and the constant-size explode report are ONE body here,
+    * so a future edit to a shared expectation (a new bound, a new
+    * accepted value) cannot silently diverge the twins. `dupKey` is an
+    * aggregate expression over orders; `uniqueTol` may reference
+    * `n_rows` (the exact gate passes 0 — `viol <= 0` ≡ `viol = 0` for
+    * the non-negative counts). */
+  private def expectationsReport(
+      s: SparkSession, d: String,
+      dupKey: Column, uniqueTol: Column): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val colagg = orders.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("o_orderkey"))).as("null_key"),
+      dupKey.as("dup_key"),
+      coalesce(sum(when(col("o_totalprice") <= 0
+          || col("o_totalprice") > PriceMax, 1L).otherwise(0L)), lit(0L))
+        .as("range_price"),
+      coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P")
+          || col("o_orderstatus").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("bad_status"))
+    // FK orphans: left-anti against the customer dimension — the
+    // count (not the rows) is the expectation's verdict
+    val orphans = orders.select(col("o_custkey"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val noTol = lit(0L)
+    colagg.crossJoin(orphans).select(explode(array(
+      struct(lit("fk_custkey_in_customer").as("expectation"),
+        col("n_rows").as("n_checked"),
+        col("n_orphans").as("n_violations"), noTol.as("tol")),
+      struct(lit("not_null_orderkey").as("expectation"),
+        col("n_rows").as("n_checked"), col("null_key").as("n_violations"),
+        noTol.as("tol")),
+      struct(lit("accepted_status_OFP").as("expectation"),
+        col("n_rows").as("n_checked"), col("bad_status").as("n_violations"),
+        noTol.as("tol")),
+      struct(lit("range_totalprice").as("expectation"),
+        col("n_rows").as("n_checked"),
+        col("range_price").as("n_violations"), noTol.as("tol")),
+      struct(lit("unique_orderkey").as("expectation"),
+        col("n_rows").as("n_checked"),
+        col("dup_key").as("n_violations"), uniqueTol.as("tol"))
+      )).as("e"))
+      .select(col("e.expectation"), col("e.n_checked"),
+        col("e.n_violations"),
+        (col("e.n_violations") <= col("e.tol")).as("passed"))
+      .orderBy("expectation")
+  }
 
   def decls: Seq[Decl] = Seq(
 
@@ -67,46 +121,12 @@ object Dq {
          |  CAST(n_violations AS BIGINT) AS n_violations,
          |  n_violations = 0 AS passed
          |FROM rep ORDER BY expectation""".stripMargin) { (s, d) =>
-      val orders = Tables.orders(s, d)
-      val colagg = orders.agg(
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col("o_orderkey"))).as("null_key"),
-        // duplicates over NON-NULL keys only (COUNT(col) ignores nulls,
-        // matching COUNT(DISTINCT)'s null handling) — a null key is
-        // exactly one not_null violation, never also a uniqueness one
-        (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
-          .as("dup_key"),
-        coalesce(sum(when(col("o_totalprice") <= 0
-            || col("o_totalprice") > PriceMax, 1L).otherwise(0L)), lit(0L))
-          .as("range_price"),
-        coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P")
-            || col("o_orderstatus").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("bad_status"))
-      // FK orphans: left-anti against the customer dimension — the
-      // count (not the rows) is the expectation's verdict
-      val orphans = orders.select(col("o_custkey"))
-        .join(Tables.customer(s, d)
-          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
-          "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val rep = colagg.crossJoin(orphans).select(explode(array(
-        struct(lit("fk_custkey_in_customer").as("expectation"),
-          col("n_rows").as("n_checked"),
-          col("n_orphans").as("n_violations")),
-        struct(lit("not_null_orderkey").as("expectation"),
-          col("n_rows").as("n_checked"), col("null_key").as("n_violations")),
-        struct(lit("accepted_status_OFP").as("expectation"),
-          col("n_rows").as("n_checked"), col("bad_status").as("n_violations")),
-        struct(lit("range_totalprice").as("expectation"),
-          col("n_rows").as("n_checked"),
-          col("range_price").as("n_violations")),
-        struct(lit("unique_orderkey").as("expectation"),
-          col("n_rows").as("n_checked"), col("dup_key").as("n_violations"))
-        )).as("e"))
-        .select(col("e.expectation"), col("e.n_checked"),
-          col("e.n_violations"), (col("e.n_violations") === 0).as("passed"))
-        .orderBy("expectation")
-      rep
+      // duplicates over NON-NULL keys only (COUNT(col) ignores nulls,
+      // matching COUNT(DISTINCT)'s null handling) — a null key is
+      // exactly one not_null violation, never also a uniqueness one
+      expectationsReport(s, d,
+        dupKey = count(col("o_orderkey")) - countDistinct(col("o_orderkey")),
+        uniqueTol = lit(0L))
     },
 
     // 100 TB twin of dq_expectations — identical report except the
@@ -130,49 +150,12 @@ object Dq {
     // ±5 %·N at all three SFs; ScaleAudit records the flattened
     // fingerprint next to the exact gate's.
     Decl.noOracle("dq_expectations_approx") { (s, d) =>
-      val orders = Tables.orders(s, d)
-      val colagg = orders.agg(
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col("o_orderkey"))).as("null_key"),
-        // non-null keys minus estimated NDV, clamped at 0: on a unique
-        // key the estimator's ±rsd error can land above the true count
-        greatest(lit(0L), count(col("o_orderkey")) -
-            approx_count_distinct(col("o_orderkey"), 0.01))
-          .as("dup_key_est"),
-        coalesce(sum(when(col("o_totalprice") <= 0
-            || col("o_totalprice") > PriceMax, 1L).otherwise(0L)), lit(0L))
-          .as("range_price"),
-        coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P")
-            || col("o_orderstatus").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("bad_status"))
-      val orphans = orders.select(col("o_custkey"))
-        .join(Tables.customer(s, d)
-          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
-          "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val noTol = lit(0L)
-      val uniqueTol = ceil(col("n_rows") * lit(0.03)).cast(LongType)
-      colagg.crossJoin(orphans).select(explode(array(
-        struct(lit("fk_custkey_in_customer").as("expectation"),
-          col("n_rows").as("n_checked"),
-          col("n_orphans").as("n_violations"), noTol.as("tol")),
-        struct(lit("not_null_orderkey").as("expectation"),
-          col("n_rows").as("n_checked"), col("null_key").as("n_violations"),
-          noTol.as("tol")),
-        struct(lit("accepted_status_OFP").as("expectation"),
-          col("n_rows").as("n_checked"), col("bad_status").as("n_violations"),
-          noTol.as("tol")),
-        struct(lit("range_totalprice").as("expectation"),
-          col("n_rows").as("n_checked"),
-          col("range_price").as("n_violations"), noTol.as("tol")),
-        struct(lit("unique_orderkey").as("expectation"),
-          col("n_rows").as("n_checked"),
-          col("dup_key_est").as("n_violations"), uniqueTol.as("tol"))
-        )).as("e"))
-        .select(col("e.expectation"), col("e.n_checked"),
-          col("e.n_violations"),
-          (col("e.n_violations") <= col("e.tol")).as("passed"))
-        .orderBy("expectation")
+      // non-null keys minus estimated NDV, clamped at 0: on a unique
+      // key the estimator's ±rsd error can land above the true count
+      expectationsReport(s, d,
+        dupKey = greatest(lit(0L), count(col("o_orderkey")) -
+          approx_count_distinct(col("o_orderkey"), 0.01)),
+        uniqueTol = ceil(col("n_rows") * lit(0.03)).cast(LongType))
     },
 
     // Volume-anomaly screen: daily event counts z-scored against the

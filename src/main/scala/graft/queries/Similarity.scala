@@ -837,7 +837,8 @@ object Similarity {
     // ABSOLUTE re-rank budget: 100 of 10⁹ at production scale; this
     // uniform-random corpus is 4-bit PQ's worst case — no cluster
     // structure for codebooks to exploit — and recall@10 = 0.56 ≥ 0.5
-    // is pinned there, >20× the 100/2000 random-candidate baseline).
+    // is pinned there, ~11× the 100/2000 = 5% random-candidate
+    // baseline).
     // Every stage is deterministic — codebook constants, left-assoc
     // IEEE chains, struct-max code ties, (approx, vec_id) candidate
     // order — so the oracle replays candidate selection AND re-ranking

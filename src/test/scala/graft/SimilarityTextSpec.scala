@@ -140,8 +140,8 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     // WORST case for 4-bit product quantization (no cluster structure
     // for codebooks to exploit), so this floor certifies the ADC
     // table-lookup scoring still concentrates the true neighbors into
-    // the 50-candidate re-rank set far above the 50/2000 = 2.5%
-    // random-selection baseline.
+    // the 100-candidate re-rank set far above the 100/2000 = 5%
+    // random-selection baseline (measured 0.56 ≈ 11× random).
     import graft.queries.Similarity
     val d = "/root/testdata/sf0.1"
     val per = (0L until 20L).map { qid =>
