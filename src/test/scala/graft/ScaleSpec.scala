@@ -24,6 +24,12 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(bytes("topk", big) === 0L)
   }
 
+  test("PQ/ADC retrieval never shuffles: broadcast query table + " +
+      "nested TakeOrdereds end to end") {
+    assert(bytes("sim_topk_pq", small) === 0L)
+    assert(bytes("sim_topk_pq", big) === 0L)
+  }
+
   test("sketches are output-bounded: shuffle bytes flat at 10x rows") {
     for (q <- Seq("sketch_kmv", "sketch_hll_registers", "dq_psi")) {
       val b1 = bytes(q, small)
