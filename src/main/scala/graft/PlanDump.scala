@@ -85,7 +85,13 @@ object PlanDump {
       "(id, frame features) flow on"),
     "graph_triangles" -> ("degree-ordered orientation: wedge join " +
       "over out-edges only (Σ outdeg²), one equi-join closes each " +
-      "triangle, found once and exploded to its corners"))
+      "triangle, found once and exploded to its corners"),
+    "sim_topk_pq" -> ("PQ/ADC retrieval: broadcast 8×16 distance " +
+      "table, 8 lookups per row, two nested TakeOrdereds — zero " +
+      "exchanges end to end"),
+    "multimodal_frame_delta" -> ("GIF decode + per-pixel SAD in one " +
+      "mapPartitions pass; keyframe gate is integer arithmetic, only " +
+      "frame features reach the sort"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
