@@ -89,6 +89,9 @@ object ScaleAudit {
       "every other expectation is an output-bounded conditional agg"),
     "dq_expectations_approx" -> ("output-bounded: the uniqueness check " +
       "ships a fixed HLL sketch instead of the exact distinct's Expand"),
+    "text_bpe_learn" -> ("vocab-linear x 4 rounds: pair counts shuffle " +
+      "over the DISTINCT word table (the corpus-sized rollup happens " +
+      "once up front), best pair rides a broadcast 1-row frame"),
     "dq_psi" -> "output-bounded: <=12 bucket rows per partition partial")
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Det, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -659,6 +660,116 @@ object Text {
         .select(col("w").substr(col("i"), lit(2)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("pair")).limit(20)
+    },
+
+    // BPE merge LEARNING — the tokenizer-training primitive itself
+    // (text_bpe_pairs above is one round's pair count; this runs the
+    // actual iterative algorithm): 4 rounds of
+    //   count adjacent symbol pairs (freq-weighted, over the DISTINCT
+    //   word table) → pick the best pair (count DESC, then pair ASC)
+    //   → merge every left-to-right non-overlapping occurrence.
+    // Representation: a word's symbol sequence is a chr(1)-separated
+    // string ("hello"); the merge
+    // application is a STRING FOLD over the split tokens — append
+    // WITHOUT the separator when the accumulator ends with sep+left
+    // and the next symbol is right, else with it. The suffix test is
+    // boundary-exact (sep never occurs inside a symbol) and the fold
+    // is canonical leftmost non-overlapping BPE ("aaa" + (a,a) →
+    // [aa, a], never [a, aa]; a symbol merged this round can't chain
+    // because left||right ≠ left). Both engines run the IDENTICAL
+    // fold — Spark aggregate(), DuckDB list_reduce (whose seed is the
+    // split's leading empty string, reproducing Spark's '' zero) — so
+    // all four learned merges are exactly oracled. Words restricted to
+    // ^[a-z]{2,12}$ (pure-ASCII sidesteps any cross-engine unicode
+    // indexing delta; the regex is identical in Java regex and RE2).
+    // Scale: each round is ONE pair-count shuffle over the distinct-
+    // word table (corpus-vocabulary-sized, not corpus-sized — the
+    // word-freq rollup happens once up front) + a broadcast 1-row
+    // best-pair frame + a map-side fold; K rounds = K bounded shuffles,
+    // the graph_components loop pattern applied to tokenizer training.
+    Decl("text_bpe_learn", {
+      def toksD(src: String) =
+        s"(SELECT freq, string_split(repr, chr(1))[2:] AS t FROM $src)"
+      def pairsD(r: Int, src: String) =
+        s"""p$r AS (SELECT (pair).pl AS pl, (pair).pr AS pr,
+           |    CAST(SUM(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq, unnest(list_transform(range(1, len(t)),
+           |      i -> struct_pack(pl := t[i], pr := t[i + 1]))) AS pair
+           |    FROM ${toksD(src)})
+           |  GROUP BY pl, pr),
+           |b$r AS (SELECT pl, pr, n FROM p$r
+           |        ORDER BY n DESC, pl, pr LIMIT 1)""".stripMargin
+      def applyD(r: Int, src: String) =
+        s"""w$r AS (SELECT list_reduce(string_split(repr, chr(1)),
+           |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || b$r.pl)
+           |        AND x = b$r.pr
+           |      THEN acc || x ELSE acc || chr(1) || x END) AS repr, freq
+           |  FROM $src, b$r)""".stripMargin
+      s"""WITH wr AS (SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE text IS NOT NULL AND doc_id < 200)
+         |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY w),
+         |w0 AS (SELECT chr(1) || array_to_string(
+         |    list_transform(range(1, len(w) + 1), i -> w[i]), chr(1))
+         |    AS repr, freq FROM wr),
+         |${pairsD(1, "w0")},
+         |${applyD(1, "w0")},
+         |${pairsD(2, "w1")},
+         |${applyD(2, "w1")},
+         |${pairsD(3, "w2")},
+         |${applyD(3, "w2")},
+         |${pairsD(4, "w3")}
+         |SELECT * FROM (
+         |  SELECT 1 AS mrank, pl, pr, n FROM b1
+         |  UNION ALL SELECT 2, pl, pr, n FROM b2
+         |  UNION ALL SELECT 3, pl, pr, n FROM b3
+         |  UNION ALL SELECT 4, pl, pr, n FROM b4)
+         |ORDER BY mrank""".stripMargin
+    }) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("doc_id") < 200)
+        .select(explode(toks).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,12}$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      var cur = words.select(
+        expr("concat(chr(1), array_join(transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)), chr(1)))").as("repr"),
+        col("freq"))
+        .localCheckpoint(false)
+      // array_remove drops the split's leading '' (repr is sep-
+      // prefixed); symbols are never empty so nothing else matches.
+      // NOT slice(arr, 2, Int.MaxValue): Spark's slice computes
+      // start + length in Int and silently overflows to an EMPTY
+      // result (measured — the whole fold returned '').
+      val toksCol = expr("array_remove(split(repr, chr(1)), '')")
+      var out: DataFrame = null
+      for (r <- 1 to 4) {
+        val best = cur
+          .select(col("freq"), toksCol.as("t"))
+          .filter(size(col("t")) >= 2) // sequence() turns descending at 0
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS pl, " +
+              "element_at(t, i + 1) AS pr))")).as("pair"))
+          .groupBy(col("pair.pl").as("pl"), col("pair.pr").as("pr"))
+          .agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pl"), col("pr")).limit(1)
+          .localCheckpoint(false)
+        val row = best.select(lit(r).as("mrank"), col("pl"), col("pr"),
+          col("n"))
+        out = if (out == null) row else out.unionAll(row)
+        if (r < 4)
+          cur = cur.crossJoin(
+              broadcast(best.select(col("pl").as("bl"), col("pr").as("br"))))
+            .select(expr(
+              "aggregate(array_remove(split(repr, chr(1)), ''), '', " +
+                "(acc, x) -> CASE WHEN endswith(acc, chr(1) || bl) " +
+                "AND x = br THEN acc || x " +
+                "ELSE acc || chr(1) || x END)").as("repr"),
+              col("freq"))
+            .localCheckpoint(false)
+      }
+      out.orderBy("mrank")
     },
 
     // Unigram-LM negative log-likelihood per document — the perplexity
