@@ -437,6 +437,42 @@ object Multimodal {
     }
   }
 
+  final case class PixelFeatures(doc_id: Long, emb: Seq[Double])
+
+  /** REAL pixel-feature embedding — the classical-CV feature vector
+    * (pre-learned-encoder vision pipelines ran exactly this): an
+    * 8-bin gray histogram plus horizontal-gradient sign counts over
+    * the DECODED raster. 10 dims, every one an exact integer count,
+    * so the embedding is bit-replayable from generator arithmetic
+    * (PNG losslessness, the established codec contract) and the
+    * retrieval query downstream is exactly oracled. A LEARNED encoder
+    * (multimodal_embed's slot) swaps in here without touching the
+    * mapPartitions shape or the retrieval plan. */
+  def pixelEmbed(m: PngRow): PixelFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Long](8)
+    var gneg = 0L
+    var gpos = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prev = -1
+      while (x < w) {
+        val g = (img.getRGB(x, y) >> 16) & 255
+        hist(g >> 5) += 1
+        if (prev >= 0) { if (g >= prev) gpos += 1 else gneg += 1 }
+        prev = g
+        x += 1
+      }
+      y += 1
+    }
+    PixelFeatures(m.doc_id,
+      hist.map(_.toDouble).toSeq ++ Seq(gneg.toDouble, gpos.toDouble))
+  }
+
   /** Images with a PLANTED duplicate structure for the perceptual-hash
     * dedup: the pixel content is a function of `seed = doc_id % 40`, so
     * every ~12th document carries a pixel-identical image under a
@@ -812,6 +848,61 @@ object Multimodal {
               lit(32L) * col("width") * col("height"))
             .as("is_key"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // REAL pixel-feature retrieval: synthesize PNGs, DECODE them, and
+    // embed each raster with the classical-CV feature vector
+    // ([[pixelEmbed]]: 8-bin gray histogram + horizontal-gradient sign
+    // counts — what vision pipelines ran before learned encoders),
+    // then cosine top-10 against asset 0. Every feature is an exact
+    // integer count off the decoded raster, PNG is lossless, so the
+    // oracle replays the embedding from generator arithmetic and the
+    // decimal-dot cosine value-for-value. This narrows the stub
+    // surface to the LEARNED encoder alone (multimodal_embed): the
+    // payload → features → retrieval plumbing is real end to end.
+    Decl("multimodal_embed_pixels", {
+      def dotL(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 11), k -> " +
+          s"CAST(($a)[k] * ($b)[k] AS DECIMAL(26,12)))) AS DOUBLE)"
+      val bins = (0 until 8).map(b =>
+        s"    CAST(SUM(CASE WHEN gray // 32 = $b THEN 1 ELSE 0 END) " +
+          "AS DOUBLE)").mkString(",\n")
+      val prev = "(doc_id * 31 + (x - 1) * 7 + y * 13) % 256"
+      s"""WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w,
+         |      doc_id % 7 + 1 AS h FROM documents),
+         |px AS (SELECT doc_id, w, tx.x AS x, ty.y AS y,
+         |    (doc_id * 31 + tx.x * 7 + ty.y * 13) % 256 AS gray
+         |  FROM d, range(0, 13) tx(x), range(0, 7) ty(y)
+         |  WHERE tx.x < w AND ty.y < h),
+         |f AS (SELECT doc_id, [
+         |$bins,
+         |    CAST(SUM(CASE WHEN x > 0 AND gray < $prev
+         |      THEN 1 ELSE 0 END) AS DOUBLE),
+         |    CAST(SUM(CASE WHEN x > 0 AND gray >= $prev
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |  ] AS emb FROM px GROUP BY doc_id),
+         |q AS (SELECT emb AS qe FROM f WHERE doc_id = 0)
+         |SELECT doc_id,
+         |  ${dotL("emb", "qe")} /
+         |    (sqrt(${dotL("emb", "emb")}) * sqrt(${dotL("qe", "qe")}))
+         |    AS sim
+         |FROM f, q ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      implicit val enc = Encoders.product[PixelFeatures]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      val emb = pngOf(ids)
+        .mapPartitions(_.map(pixelEmbed))
+        .toDF("doc_id", "emb")
+      val qv = broadcast(emb.filter(col("doc_id") === 0)
+        .select(col("emb").as("qe")))
+      import graft.functions.VectorOps.{dotDeclarative => dot}
+      emb.crossJoin(qv)
+        .select(col("doc_id"),
+          (dot(col("emb"), col("qe")) /
+            (sqrt(dot(col("emb"), col("emb"))) *
+              sqrt(dot(col("qe"), col("qe"))))).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(10)
     },
 
     // The full multimodal retrieval bridge: binary payload → stub

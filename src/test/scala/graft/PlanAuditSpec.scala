@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "sim_ann_lsh", "sim_ann_ivf",
     "sim_topk_projected", // broadcast single-row query vector cross
     "multimodal_join", "multimodal_embed", "knn_classify", "watermark_late",
+    "multimodal_embed_pixels", // broadcast query feature-vector cross
     "streaming_dedup",
     "text_tfidf", "null_handling",
     "text_bm25", "heavy_hitters", // broadcast single-row corpus stats
