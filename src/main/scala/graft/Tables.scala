@@ -37,7 +37,16 @@ object Tables {
     * unboundedly. (Scratch-dir rewrites bypass this memo entirely —
     * CatalogIO reads its own materializations directly.) */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, org.apache.spark.sql.types.StructType)]()
+    String, (String, org.apache.spark.sql.types.StructType, Long)]()
+
+  /** Staleness-check TTL: within this window a memo hit trusts its
+    * cached fingerprint without touching the filesystem, so the hot
+    * path (hundreds of t() calls per run) stays O(1) instead of paying
+    * a directory listing per call; past it the next hit re-stats. A
+    * schema-changing in-app rewrite is therefore visible within at
+    * most this many ms — far tighter than any rewrite-then-reread
+    * cycle in practice (a Spark write alone takes longer). */
+  private val FpTtlMs = 2000L
 
   /** Content fingerprint: a plain file's (mtime, length); a DIRECTORY's
     * File.length() is just its inode size (constant), so fold the
@@ -54,16 +63,23 @@ object Tables {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val fp = fingerprint(new java.io.File(path))
     val key = s"${s.sparkContext.applicationId}@$path"
+    val now = System.currentTimeMillis()
     val cached = schemaMemo.get(key)
     val sch =
-      if (cached != null && cached._1 == fp) cached._2
+      if (cached != null && now - cached._3 < FpTtlMs) cached._2
       else {
-        // racing threads may both infer — benign, same value wins
-        val inferred = s.read.parquet(path).schema
-        schemaMemo.put(key, (fp, inferred))
-        inferred
+        val fp = fingerprint(new java.io.File(path))
+        if (cached != null && cached._1 == fp) {
+          // unchanged — refresh the check timestamp only
+          schemaMemo.put(key, (fp, cached._2, now))
+          cached._2
+        } else {
+          // racing threads may both infer — benign, same value wins
+          val inferred = s.read.parquet(path).schema
+          schemaMemo.put(key, (fp, inferred, now))
+          inferred
+        }
       }
     s.read.schema(sch).parquet(path)
   }

@@ -313,7 +313,15 @@ object Multimodal {
       // IndexColorModel is not serializable — built partition-locally
       val ramp = Array.tabulate[Byte](256)(i => i.toByte)
       val gray256 = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
-      val rows = it.map { boxed =>
+      // dispose the shared writer on TASK COMPLETION, not iterator
+      // drain: a downstream limit/take, a task kill, or an encode
+      // exception never exhausts the iterator, and the writer must be
+      // released on those exits too (the standard partition-scoped-
+      // resource idiom). Null TaskContext = driver-local eval; the
+      // writer is then process-scoped and GC suffices.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => wr.dispose()))
+      it.map { boxed =>
         val id = boxed.longValue()
         val w = (id % 11 + 1).toInt
         val h = (id % 6 + 1).toInt
@@ -348,17 +356,6 @@ object Multimodal {
         } finally ios.close()
         GifRow(id, bos.toByteArray)
       }
-      // dispose the shared writer once the partition drains — a reused
-      // executor otherwise accumulates one undisposed writer per task
-      new Iterator[GifRow] {
-        private var disposed = false
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h && !disposed) { disposed = true; wr.dispose() }
-          h
-        }
-        def next(): GifRow = rows.next()
-      }
     }
   }
 
@@ -390,51 +387,55 @@ object Multimodal {
     * Same decode guarantees as [[decodeGifFrames]] (palette-lossless),
     * so every SAD is exact integer arithmetic the oracle replays. */
   def decodeGifDeltas(m: GifRow): Seq[GifDelta] = {
+    // finally, not success-path: this is the slot real (untrusted)
+    // media payloads flow through, and a malformed container must not
+    // leak stream or reader state in a long-lived executor. Reader
+    // ACQUISITION sits inside the stream's try too — a payload no
+    // installed reader claims must close the stream and fail with a
+    // diagnosable error, not leak it behind a bare NoSuchElement.
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(m.payload))
-    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
-    // finally, not success-path: this is the slot real (untrusted)
-    // media payloads flow through, and a malformed container throwing
-    // from read(f) must not leak the reader's native/service state in
-    // a long-lived executor
     try {
-      rd.setInput(iis)
-      val n = rd.getNumImages(true)
-      var prev: Array[Int] = null
-      (0 until n).map { f =>
-        val img = rd.read(f)
-        val w = img.getWidth
-        val h = img.getHeight
-        val cur = new Array[Int](w * h)
-        var s = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val g = (img.getRGB(x, y) >> 16) & 255
-            cur(y * w + x) = g
-            s += g
-            x += 1
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"doc ${m.doc_id}: no image reader recognizes the payload")
+      val rd = readers.next()
+      try {
+        rd.setInput(iis)
+        val n = rd.getNumImages(true)
+        var prev: Array[Int] = null
+        (0 until n).map { f =>
+          val img = rd.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          val cur = new Array[Int](w * h)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = (img.getRGB(x, y) >> 16) & 255
+              cur(y * w + x) = g
+              s += g
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        val sad = if (prev == null || prev.length != cur.length) None
-        else {
-          var t = 0L
-          var i = 0
-          while (i < cur.length) {
-            t += math.abs(cur(i) - prev(i))
-            i += 1
+          val sad = if (prev == null || prev.length != cur.length) None
+          else {
+            var t = 0L
+            var i = 0
+            while (i < cur.length) {
+              t += math.abs(cur(i) - prev(i))
+              i += 1
+            }
+            Some(t)
           }
-          Some(t)
+          prev = cur
+          GifDelta(m.doc_id, f.toLong, w, h, s, sad)
         }
-        prev = cur
-        GifDelta(m.doc_id, f.toLong, w, h, s, sad)
-      }
-    } finally {
-      rd.dispose()
-      iis.close()
-    }
+      } finally rd.dispose()
+    } finally iis.close()
   }
 
   final case class PixelFeatures(doc_id: Long, emb: Seq[Double])
@@ -451,6 +452,10 @@ object Multimodal {
   def pixelEmbed(m: PngRow): PixelFeatures = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(m.payload))
+    // ImageIO.read returns NULL (no exception) for unrecognized bytes
+    // — fail with the asset id, not an anonymous NPE rows later
+    require(img != null,
+      s"doc ${m.doc_id}: payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
     val hist = new Array[Long](8)
@@ -894,14 +899,19 @@ object Multimodal {
       val emb = pngOf(ids)
         .mapPartitions(_.map(pixelEmbed))
         .toDF("doc_id", "emb")
-      val qv = broadcast(emb.filter(col("doc_id") === 0)
-        .select(col("emb").as("qe")))
       import graft.functions.VectorOps.{dotDeclarative => dot}
+      // query-side norm computed ONCE in the broadcast frame (the
+      // sim_topk_projected discipline) — same double as recomputing
+      // per row (deterministic kernel, identical inputs), one 10-dim
+      // decimal self-dot per corpus row saved; the oracle keeps the
+      // per-row form, which evaluates to the identical value
+      val qv = broadcast(emb.filter(col("doc_id") === 0)
+        .select(col("emb").as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe")))))
       emb.crossJoin(qv)
         .select(col("doc_id"),
           (dot(col("emb"), col("qe")) /
-            (sqrt(dot(col("emb"), col("emb"))) *
-              sqrt(dot(col("qe"), col("qe"))))).as("sim"))
+            (sqrt(dot(col("emb"), col("emb"))) * col("qn"))).as("sim"))
         .orderBy(col("sim").desc, col("doc_id")).limit(10)
     },
 

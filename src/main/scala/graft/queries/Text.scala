@@ -680,8 +680,12 @@ object Text {
     // fold — Spark aggregate(), DuckDB list_reduce (whose seed is the
     // split's leading empty string, reproducing Spark's '' zero) — so
     // all four learned merges are exactly oracled. Words restricted to
-    // ^[a-z]{2,12}$ (pure-ASCII sidesteps any cross-engine unicode
-    // indexing delta; the regex is identical in Java regex and RE2).
+    // \A[a-z]{2,12}\z — pure-ASCII sidesteps any cross-engine
+    // unicode indexing delta, and the \A/\z anchors (identical in
+    // Java regex and RE2) avoid the $-before-trailing-newline
+    // divergence: Java `$` matches before a final line terminator,
+    // RE2 `$` only at end-of-text, so a token like "abc\n" would
+    // pass Spark's `$` filter and fail DuckDB's.
     // Scale: each round is ONE pair-count shuffle over the distinct-
     // word table (corpus-vocabulary-sized, not corpus-sized — the
     // word-freq rollup happens once up front) + a broadcast 1-row
@@ -708,7 +712,7 @@ object Text {
       s"""WITH wr AS (SELECT w, COUNT(*) AS freq FROM (
          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
          |    WHERE text IS NOT NULL AND doc_id < 200)
-         |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY w),
+         |  WHERE regexp_matches(w, '\\A[a-z]{2,12}\\z') GROUP BY w),
          |w0 AS (SELECT chr(1) || array_to_string(
          |    list_transform(range(1, len(w) + 1), i -> w[i]), chr(1))
          |    AS repr, freq FROM wr),
@@ -729,7 +733,7 @@ object Text {
       val words = Tables.documents(s, d)
         .filter(col("text").isNotNull && col("doc_id") < 200)
         .select(explode(toks).as("w"))
-        .filter(col("w").rlike("^[a-z]{2,12}$"))
+        .filter(col("w").rlike("\\A[a-z]{2,12}\\z"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
       var cur = words.select(
         expr("concat(chr(1), array_join(transform(sequence(1, length(w)), " +
