@@ -74,6 +74,10 @@ object ScaleAudit {
     "sim_ann_ivf" -> "shuffle-free probe: broadcast centroids + TakeOrdered",
     "sim_topk_pq" -> ("shuffle-free ADC: broadcast query table + " +
       "two nested TakeOrdereds (approx candidates, exact re-rank)"),
+    "sim_ann_ivfpq" -> ("shuffle-free cell-pruned ADC: broadcast probe " +
+      "frame gates the scan to ~nProbe/nCells of the corpus"),
+    "pq_fit_codebooks" -> ("output-bounded: <=1024 (sub, code, dim) " +
+      "keys after map-side partials — the distributed PQ-fit shape"),
     "multimodal_phash" -> "output-bounded: 2-long hash-cluster partials",
     "scd2_history" -> "input-linear: one key exchange for the change windows",
     "graph_pagerank" -> ("edge-linear x fixed iterations: shuffle tracks " +

@@ -195,7 +195,7 @@ object Similarity {
   // centroids drawn from the same scale make the min-L2 assignment
   // meaningful (a mis-scaled codebook quantizes everything to the few
   // entries nearest the data shell).
-  private val pqCodebooks: Seq[Seq[Seq[Float]]] = {
+  private[graft] val pqCodebooks: Seq[Seq[Seq[Float]]] = {
     val rnd = new scala.util.Random(41L)
     Seq.fill(PqSubspaces)(Seq.fill(PqCodes)(
       Seq.fill(PqSubDim)((rnd.nextGaussian() * 0.125).toFloat)))
@@ -235,12 +235,18 @@ object Similarity {
 
   /** Subspace code: min-L2 codebook entry via argmax of
     * (dot − ‖c‖²/2), tie → max code (the ivfCellOf struct-greatest
-    * convention). */
-  private def pqCodeOf(emb: Column, sub: Int): Column =
+    * convention). Parameterized by the codebook set so the Lloyd-refit
+    * retrieval path (SimilarityTextSpec) reuses the identical argmax;
+    * the no-arg form is the fixed-codebook (oracled) path. */
+  private def pqCodeOf(emb: Column, sub: Int,
+      books: Seq[Seq[Seq[Float]]], halfNorms: Seq[Seq[Double]]): Column =
     greatest((0 until PqCodes).map(i =>
-      struct((pqSubDot(emb, sub, pqCodebooks(sub)(i)) -
-          lit(pqHalfNorms(sub)(i))).as("s"),
+      struct((pqSubDot(emb, sub, books(sub)(i)) -
+          lit(halfNorms(sub)(i))).as("s"),
         lit(i).as("c"))): _*).getField("c")
+
+  private def pqCodeOf(emb: Column, sub: Int): Column =
+    pqCodeOf(emb, sub, pqCodebooks, pqHalfNorms)
 
   /** DuckDB twin of [[pqCodeOf]] (list_max over (s, c) structs; the
     * half-norm constant hops through VARCHAR like the chain terms). */
@@ -262,14 +268,56 @@ object Similarity {
     * at ingest (that pass IS `embed_pq_encode`) and the ADC scan then
     * touches 4 bytes per row instead of 256. */
   private[graft] def pqTopK(
-      s: SparkSession, d: String, qid: Long, cand: Int, k: Int): DataFrame = {
+      s: SparkSession, d: String, qid: Long, cand: Int, k: Int,
+      books: Seq[Seq[Seq[Float]]] = pqCodebooks): DataFrame = {
+    val halfNorms = books.map(_.map(c =>
+      c.map(f => f.toDouble * f.toDouble).sum / 2.0))
     val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
     val enc = ne.select(
       col("vec_id") +: col("embedding") +:
         (0 until PqSubspaces).map(sub =>
+          pqCodeOf(col("embedding"), sub, books, halfNorms).as(s"c$sub")): _*)
+    val q = broadcast(ne.filter(col("vec_id") === qid).select(
+      col("embedding").as("qv") +: norm2(col("embedding")).as("qn2") +:
+        (0 until PqSubspaces).map(sub =>
+          array((0 until PqCodes).map(i =>
+            pqSubDot(col("embedding"), sub, books(sub)(i))): _*)
+            .as(s"t$sub")): _*))
+    val approx = (0 until PqSubspaces)
+      .map(sub => element_at(col(s"t$sub"), col(s"c$sub") + 1))
+      .reduce(_ + _)
+    enc.crossJoin(q)
+      .select(col("vec_id"), col("embedding"), col("qv"), col("qn2"),
+        approx.as("approx"))
+      .orderBy(col("approx").desc, col("vec_id")).limit(cand)
+      .select(col("vec_id"), col("approx"),
+        cosineWithNorms(col("embedding"), col("qv"),
+          norm2(col("embedding")), col("qn2")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
+  /** IVF + PQ composition — the production billion-vector layout
+    * (IVFADC, Jégou et al.): probe the query's [[IvfNProbe]] nearest
+    * cells, ADC-scan ONLY their members (8 table lookups + 7 adds per
+    * scanned row off the broadcast query distance table), exact decimal
+    * re-rank on the `cand` survivors. vs [[pqTopK]] the ADC scan
+    * touches ~nProbe/nCells of the corpus; vs [[annIvfTopK]] each
+    * scanned row costs 4 bytes of code word instead of 256 bytes of
+    * floats. Every stage is deterministic (fixed centroids + codebooks,
+    * struct-max ties, (approx, vec_id) candidate order) ⇒ fully
+    * oracled; zero shuffle — corpus side is map-only into two nested
+    * TakeOrdereds, the query side is a broadcast 5-row probe frame. */
+  private[graft] def ivfPqTopK(
+      s: SparkSession, d: String, qid: Long, cand: Int, k: Int): DataFrame = {
+    val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+    val enc = ne.select(
+      col("vec_id") +: col("embedding") +:
+        ivfCellOf(col("embedding")).as("cell") +:
+        (0 until PqSubspaces).map(sub =>
           pqCodeOf(col("embedding"), sub).as(s"c$sub")): _*)
     val q = broadcast(ne.filter(col("vec_id") === qid).select(
       col("embedding").as("qv") +: norm2(col("embedding")).as("qn2") +:
+        explode(ivfTopCells(col("embedding"))).as("pcell") +:
         (0 until PqSubspaces).map(sub =>
           array((0 until PqCodes).map(i =>
             pqSubDot(col("embedding"), sub, pqCodebooks(sub)(i))): _*)
@@ -277,7 +325,7 @@ object Similarity {
     val approx = (0 until PqSubspaces)
       .map(sub => element_at(col(s"t$sub"), col(s"c$sub") + 1))
       .reduce(_ + _)
-    enc.crossJoin(q)
+    enc.join(q, col("cell") === col("pcell"))
       .select(col("vec_id"), col("embedding"), col("qv"), col("qn2"),
         approx.as("approx"))
       .orderBy(col("approx").desc, col("vec_id")).limit(cand)
@@ -405,6 +453,22 @@ object Similarity {
     e.filter(col("vec_id") < nProbes).select(col("vec_id").as("qid"))
       .join(voted, Seq("qid"), "left")
       .orderBy("qid")
+  }
+
+  /** 1-row (scanned, total) frame: how many corpus rows fall in the
+    * query's probed IVF cells — the measured ADC scan fraction
+    * SimilarityTextSpec logs against [[ivfPqTopK]] (deterministic:
+    * fixed centroids, fixed probe list). */
+  private[graft] def ivfScanStats(
+      s: SparkSession, d: String, qid: Long): DataFrame = {
+    val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+    val e = ne.withColumn("cell", ivfCellOf(col("embedding")))
+    val q = broadcast(ne.filter(col("vec_id") === qid)
+      .select(ivfTopCells(col("embedding")).as("pcells")))
+    e.crossJoin(q).agg(
+      sum(when(array_contains(col("pcells"), col("cell")), 1L)
+        .otherwise(0L)).as("scanned"),
+      count(lit(1)).as("total"))
   }
 
   /** Exact brute-force top-k twin of the ANN pipelines (scan +
@@ -871,6 +935,105 @@ object Similarity {
          |FROM c ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
     }) { (s, d) =>
       pqTopK(s, d, 0, 100, 10)
+    },
+
+    // IVF + PQ composed (see ivfPqTopK): cell-pruned ADC — the
+    // billion-vector production layout. The query's IvfNProbe best
+    // cells gate WHICH rows the ADC table-lookup scan touches
+    // (~nProbe/nCells of the corpus), and the exact decimal re-rank
+    // keeps the same absolute 100-candidate budget as sim_topk_pq, so
+    // the scanned-row cost drops by the probe fraction at identical
+    // re-rank cost. Both halves are the already-oracled machineries of
+    // sim_ann_ivf (cell assignment + probe list) and sim_topk_pq (codes
+    // + query distance tables), composed — deterministic end to end,
+    // so candidate selection AND re-ranking replay exactly in DuckDB.
+    // SimilarityTextSpec pins recall@10 ≥ the PQ-alone floor and logs
+    // the measured scan fraction; ScaleSpec pins the zero-shuffle
+    // fingerprint (broadcast probe frame + two nested TakeOrdereds).
+    Decl("sim_ann_ivfpq", {
+      def table(sub: Int) = (0 until PqCodes)
+        .map(i => sqlPqSubDot("embedding", sub, pqCodebooks(sub)(i)))
+        .mkString("[", ", ", "]")
+      def cosL(a: String, b: String) =
+        s"${sqlDotList(a, b)} / (sqrt(${sqlDotList(a, a)}) * " +
+          s"sqrt(${sqlDotList(b, b)}))"
+      val qTables = (0 until PqSubspaces)
+        .map(sub => s"${table(sub)} AS t$sub").mkString(",\n")
+      val codes = (0 until PqSubspaces)
+        .map(sub => s"${sqlPqCode("embedding", sub)} AS c$sub")
+        .mkString(",\n")
+      val tcols = (0 until PqSubspaces).map(s => s"t$s").mkString(", ")
+      val approx = (0 until PqSubspaces)
+        .map(sub => s"(p.t$sub)[e.c$sub + 1]").mkString(" + ")
+      s"""WITH ne AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE embedding IS NOT NULL),
+         |e AS (SELECT vec_id, embedding, $ivfCellSql AS cell,
+         |$codes
+         |      FROM ne),
+         |q AS (SELECT embedding AS qv,
+         |        list_transform(list_reverse_sort(
+         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |          AS pcells,
+         |$qTables
+         |      FROM ne WHERE vec_id = 0),
+         |p AS (SELECT qv, $tcols, UNNEST(pcells) AS pcell FROM q),
+         |c AS (SELECT e.vec_id, e.embedding, p.qv, $approx AS approx
+         |      FROM e JOIN p ON e.cell = p.pcell
+         |      ORDER BY approx DESC, e.vec_id LIMIT 100)
+         |SELECT vec_id, approx, ${cosL("embedding", "qv")} AS sim
+         |FROM c ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      ivfPqTopK(s, d, 0, 100, 10)
+    },
+
+    // PQ codebook training step — one Lloyd update per subspace over
+    // the corpus: assign every subvector to its (fixed-codebook) code,
+    // then recompute each (subspace, code) centroid as the exact
+    // decimal per-dimension mean — sim_ivf_fit's k-means discipline
+    // applied to the 8 × 16 product-quantization codebooks. The
+    // shuffle is (subspace × code × dim)-bounded (≤ 1024 keys) after
+    // map-side partial aggregation, never corpus-sized — exactly how a
+    // distributed PQ fit scales. Deterministic assignment (struct-max
+    // argmax) + exact decimal means ⇒ fully oracled; the refit
+    // retrieval path (SimilarityTextSpec) feeds these means back into
+    // pqTopK and pins recall strictly above the fixed-codebook floor.
+    Decl("pq_fit_codebooks", {
+      val codes = (0 until PqSubspaces)
+        .map(sub => s"${sqlPqCode("embedding", sub)} AS c$sub")
+        .mkString(",\n")
+      val codeCase = (0 until PqSubspaces - 1)
+        .map(sub => s"WHEN $sub THEN c$sub").mkString(" ")
+      s"""WITH a AS (SELECT embedding,
+         |$codes
+         |      FROM embeddings WHERE embedding IS NOT NULL),
+         |s AS (SELECT CAST(t.sub AS INTEGER) AS sub,
+         |        CAST(CASE t.sub $codeCase
+         |          ELSE c${PqSubspaces - 1} END AS INTEGER) AS code,
+         |        CAST(u.j AS INTEGER) AS dim,
+         |        CAST(embedding[t.sub * $PqSubDim + u.j + 1] AS DOUBLE) AS x
+         |      FROM a, range(0, $PqSubspaces) t(sub),
+         |           range(0, $PqSubDim) u(j))
+         |SELECT sub, code, dim, COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,12)))
+         |       AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean
+         |FROM s GROUP BY sub, code, dim
+         |ORDER BY sub, code, dim""".stripMargin
+    }) { (s, d) =>
+      // scale-12 decimal mean via the sim_ivf_fit VARCHAR-hop contract
+      // (see that query's scaladoc for the tie-rounding argument)
+      val subs = array((0 until PqSubspaces).map(sub => struct(
+        lit(sub).as("sub"),
+        pqCodeOf(col("embedding"), sub).as("code"),
+        slice(col("embedding"), sub * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+      Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(explode(subs).as("t"))
+        .select(col("t.sub").as("sub"), col("t.code").as("code"),
+          posexplode(col("t.sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "code", "dim")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("x").cast(DoubleType).cast(DecimalType(30, 12)))
+            .cast(DoubleType) / count(lit(1))).as("mean"))
+        .orderBy("sub", "code", "dim")
     },
 
     // SemDeDup-shaped semantic dedup: near-duplicate embedding pairs

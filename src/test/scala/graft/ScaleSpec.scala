@@ -25,9 +25,21 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("PQ/ADC retrieval never shuffles: broadcast query table + " +
-      "nested TakeOrdereds end to end") {
+      "nested TakeOrdereds end to end (plain and IVF-cell-pruned)") {
     assert(bytes("sim_topk_pq", small) === 0L)
     assert(bytes("sim_topk_pq", big) === 0L)
+    assert(bytes("sim_ann_ivfpq", small) === 0L)
+    assert(bytes("sim_ann_ivfpq", big) === 0L)
+  }
+
+  test("PQ codebook fit shuffle is (sub x code x dim)-bounded: flat at " +
+      "10x rows after map-side partials") {
+    val b1 = bytes("pq_fit_codebooks", small)
+    val b2 = bytes("pq_fit_codebooks", big)
+    assert(b1 > 0, "expected a (bounded) shuffle at sf0.01")
+    assert(b2 <= 2 * b1,
+      s"pq_fit_codebooks shuffle grew $b1 -> $b2 bytes at 10x rows — " +
+        "the <=1024-key partials have regressed to row shipping")
   }
 
   test("sketches are output-bounded: shuffle bytes flat at 10x rows") {

@@ -156,6 +156,74 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     assert(rec >= 0.5, f"PQ/ADC recall@10 $rec%.3f < 0.5")
   }
 
+  test("IVF+PQ (sim_ann_ivfpq): cell pruning cuts the ADC scan to the " +
+    "probe fraction without dropping below the PQ-alone recall floor") {
+    import graft.queries.Similarity
+    val d = "/root/testdata/sf0.1"
+    // measured scan fraction: corpus rows whose cell lands in vec 0's
+    // probed cells / corpus rows — the rows the ADC scan actually reads
+    // (deterministic: fixed centroids). nProbe/nCells = 5/8 is the
+    // uniform-corpus expectation; clustered real corpora probe less.
+    val st = Similarity.ivfScanStats(spark, d, 0L).head()
+    val frac = st.getLong(0).toDouble / st.getLong(1)
+    val perPq = (0L until 20L).map { qid =>
+      val exact = Similarity.bruteTopK(spark, d, qid, 10).collect()
+        .map(_.getLong(0)).toSet
+      val got = Similarity.pqTopK(spark, d, qid, 100, 10).collect()
+        .map(_.getLong(0)).toSet
+      (exact intersect got).size / 10.0
+    }
+    val perIvfPq = (0L until 20L).map { qid =>
+      val exact = Similarity.bruteTopK(spark, d, qid, 10).collect()
+        .map(_.getLong(0)).toSet
+      val got = Similarity.ivfPqTopK(spark, d, qid, 100, 10).collect()
+        .map(_.getLong(0)).toSet
+      (exact intersect got).size / 10.0
+    }
+    val pq = perPq.sum / perPq.size
+    val ivfpq = perIvfPq.sum / perIvfPq.size
+    info(f"IVF+PQ recall@10: $ivfpq%.3f vs PQ-alone $pq%.3f, " +
+      f"scan fraction $frac%.3f (query 0)")
+    assert(frac < 0.8, f"cell pruning scanned $frac%.3f of the corpus — " +
+      "no read win over PQ-alone")
+    // same candidate budget over a pruned scan: recall must hold the
+    // PQ-alone floor (the true neighbors IVF keeps face fewer ADC
+    // competitors, offsetting the ones pruning loses)
+    assert(ivfpq >= 0.5, f"IVF+PQ recall@10 $ivfpq%.3f < 0.5")
+  }
+
+  test("PQ codebooks refit from data (pq_fit_codebooks): one Lloyd " +
+    "update lifts retrieval recall strictly above the fixed-codebook pin") {
+    import graft.queries.Similarity
+    val d = "/root/testdata/sf0.1"
+    // refit = the declared (oracled) fit query's means fed back as the
+    // codebooks; (sub, code) cells no vector mapped to keep their fixed
+    // entry (Lloyd leaves empty cells in place)
+    val means = SparkEntry.queries("pq_fit_codebooks")(spark, d).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(4)))
+      .toMap
+    val refit = (0 until Similarity.PqSubspaces).map(sub =>
+      (0 until Similarity.PqCodes).map(code =>
+        (0 until Similarity.PqSubDim).map(dim =>
+          means.get((sub, code, dim)).map(_.toFloat)
+            .getOrElse(Similarity.pqCodebooks(sub)(code)(dim)))))
+    def recall(books: Seq[Seq[Seq[Float]]]): Double = {
+      val per = (0L until 20L).map { qid =>
+        val exact = Similarity.bruteTopK(spark, d, qid, 10).collect()
+          .map(_.getLong(0)).toSet
+        val got = Similarity.pqTopK(spark, d, qid, 100, 10, books)
+          .collect().map(_.getLong(0)).toSet
+        (exact intersect got).size / 10.0
+      }
+      per.sum / per.size
+    }
+    val fixed = recall(Similarity.pqCodebooks)
+    val refitted = recall(refit)
+    info(f"PQ recall@10: fixed=$fixed%.3f refit=$refitted%.3f")
+    assert(refitted > fixed,
+      f"refit recall $refitted%.3f did not improve on fixed $fixed%.3f")
+  }
+
   test("embed_project: JL distortion — projected cosine tracks full " +
     "cosine at the 1/sqrt(16) scale over sampled pairs") {
     val sf01 = "/root/testdata/sf0.01"
