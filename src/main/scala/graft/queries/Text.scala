@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Det, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1027,6 +1027,165 @@ object Text {
           .cast(DoubleType)).as("entropy"))
         .select(col("doc_id"), col("n").cast(LongType).as("n_chars"),
           col("n_distinct"), col("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Multinomial Naive Bayes, TRAINED IN THE ENGINE — the learned
+    // counterpart of the fixed-weight quality_classify: language
+    // classification from per-(class, token) corpus counts, no external
+    // weights. Training is pure distributed counting (the 80% split
+    // doc_id % 5 != 0): class priors, per-class token counts with
+    // Laplace smoothing over the train vocabulary. Every model
+    // parameter is ln() of a ratio of exact integers — one IEEE divide
+    // of integer-valued doubles (bit-identical cross-engine) quantized
+    // at DECIMAL(20,9) (the text_unigram_nll ln discipline), so the
+    // LEARNED MODEL ITSELF is value-oracled: this query emits the
+    // per-class prior and the top-10 likelihood rows per class.
+    // Scale: the count shuffle is (class × vocab)-bounded after
+    // map-side partials — tokenizer-training shape, never corpus-sized.
+    Decl("text_nb_train", {
+      def ln9(x: String) =
+        s"CAST(CAST(CAST(ln($x) AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE)"
+      s"""WITH train AS (SELECT lang, text FROM documents
+         |  WHERE doc_id % 5 != 0 AND text IS NOT NULL AND lang IS NOT NULL),
+         |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM train),
+         |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+         |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang),
+         |ctot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ct FROM cnt
+         |         GROUP BY lang),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cls),
+         |top AS (SELECT lang, tok, c, row_number() OVER (
+         |    PARTITION BY lang ORDER BY c DESC, tok) AS rn FROM cnt)
+         |SELECT t.lang, cls.n_docs, ctot.ct,
+         |  ${ln9("CAST(cls.n_docs AS DOUBLE) / tot.total")} AS logprior9,
+         |  CAST(t.rn AS INTEGER) AS rn, t.tok, t.c,
+         |  ${ln9("CAST(t.c + 1 AS DOUBLE) / CAST(ctot.ct + v.v AS DOUBLE)")}
+         |    AS loglik9
+         |FROM top t
+         |JOIN cls ON cls.lang = t.lang
+         |JOIN ctot ON ctot.lang = t.lang, v, tot
+         |WHERE t.rn <= 10 ORDER BY t.lang, t.rn""".stripMargin
+    }) { (s, d) =>
+      val train = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0 && col("text").isNotNull
+          && col("lang").isNotNull)
+      val tok = train.select(col("lang"), explode(toks).as("tok"))
+      val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val cls = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val ctot = cnt.groupBy("lang").agg(sum("c").as("ct"))
+      val v = broadcast(tok.agg(countDistinct("tok").as("v")))
+      val tot = broadcast(cls.agg(sum("n_docs").as("total")))
+      def ln9(x: Column) =
+        log(x).cast(DecimalType(20, 9)).cast(DoubleType)
+      val w = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
+      cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .join(cls, "lang").join(ctot, "lang").crossJoin(v).crossJoin(tot)
+        .select(col("lang"), col("n_docs"), col("ct"),
+          ln9(col("n_docs").cast(DoubleType) / col("total")).as("logprior9"),
+          col("rn"), col("tok"), col("c"),
+          ln9((col("c") + 1).cast(DoubleType) /
+            (col("ct") + col("v")).cast(DoubleType)).as("loglik9"))
+        .orderBy("lang", "rn")
+    },
+
+    // The trained model APPLIED: classify the held-out 20% (doc_id % 5
+    // = 0) by argmax over classes of prior + Σ token log-likelihoods.
+    // Per held-out token every class contributes a smoothed term
+    // (unseen (class, token) pairs get the Laplace floor via the left
+    // join's COALESCE 0) — each term is the same DECIMAL(20,9)-
+    // quantized ln as training, the per-(doc, class) score is an EXACT
+    // decimal sum (order-independent), and the argmax compares exact
+    // decimals with ties broken by class name — so the prediction
+    // itself (not just the score) replays exactly in DuckDB: a fully
+    // value-oracled train→classify pipeline with zero external weights.
+    // SimilarityTextSpec pins held-out accuracy strictly above the
+    // fixed text_lang_id heuristic at sf0.1 (at sf0.001 the 400-doc
+    // train split is sample-noise-dominated — documented there).
+    // Scale: the term join fans test tokens × |classes| (bounded), the
+    // count table is (class × vocab)-bounded (broadcastable until the
+    // vocab outgrows memory, then a plain shuffle join on the token
+    // key — stopwords are the skewed keys, AQE territory), and the
+    // score aggregate is partial+final on (doc, class).
+    Decl("text_nb_classify", {
+      def t9(x: String) =
+        s"CAST(CAST(ln($x) AS VARCHAR) AS DECIMAL(20,9))"
+      s"""WITH train AS (SELECT lang, text FROM documents
+         |  WHERE doc_id % 5 != 0 AND text IS NOT NULL AND lang IS NOT NULL),
+         |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM train),
+         |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+         |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang),
+         |ctot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ct FROM cnt
+         |         GROUP BY lang),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cls),
+         |prior AS (SELECT cls.lang,
+         |    ${t9("CAST(cls.n_docs AS DOUBLE) / tot.total")} AS p9
+         |  FROM cls, tot),
+         |test AS (SELECT doc_id, lang, text FROM documents
+         |         WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+         |ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |         FROM test),
+         |term AS (SELECT tt.doc_id, cl.lang AS clang,
+         |    ${t9("CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / " +
+               "CAST(ctot.ct + v.v AS DOUBLE)")} AS t9
+         |  FROM ttok tt
+         |  CROSS JOIN cls cl
+         |  JOIN ctot ON ctot.lang = cl.lang
+         |  CROSS JOIN v
+         |  LEFT JOIN cnt c ON c.lang = cl.lang AND c.tok = tt.tok),
+         |score AS (SELECT doc_id, clang, SUM(t9) AS ts
+         |          FROM term GROUP BY doc_id, clang),
+         |ranked AS (SELECT s.doc_id, s.clang, s.ts + pr.p9 AS sc,
+         |    row_number() OVER (PARTITION BY s.doc_id
+         |                       ORDER BY s.ts + pr.p9 DESC, s.clang) AS rn
+         |  FROM score s JOIN prior pr ON pr.lang = s.clang)
+         |SELECT r.doc_id, te.lang, r.clang AS pred_lang,
+         |  CAST(CAST(r.sc AS VARCHAR) AS DOUBLE) AS score9
+         |FROM ranked r JOIN test te ON te.doc_id = r.doc_id
+         |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 5 =!= 0
+        && col("text").isNotNull && col("lang").isNotNull)
+      val tok = train.select(col("lang"), explode(toks).as("tok"))
+      val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val cls = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val ctot = cnt.groupBy("lang").agg(sum("c").as("ct"))
+      val v = broadcast(tok.agg(countDistinct("tok").as("v")))
+      val tot = broadcast(cls.agg(sum("n_docs").as("total")))
+      def t9(x: Column) = log(x).cast(DecimalType(20, 9))
+      val prior = cls.crossJoin(tot)
+        .select(col("lang").as("clang"),
+          t9(col("n_docs").cast(DoubleType) / col("total")).as("p9"))
+      val test = docs.filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      val ttok = test.select(col("doc_id"), explode(toks).as("tok"))
+      // the class table is |classes| rows — broadcast by construction;
+      // cnt is (class × vocab)-bounded and stays UNHINTED (the planner
+      // broadcasts it at test scale and demotes to a token-key shuffle
+      // join when a real vocabulary outgrows the threshold)
+      val classes = broadcast(cls.join(ctot, "lang")
+        .select(col("lang").as("clang"), col("ct")))
+      val term = ttok.crossJoin(classes).crossJoin(v)
+        .join(cnt.select(col("lang").as("clang"), col("tok"), col("c")),
+          Seq("clang", "tok"), "left")
+        .select(col("doc_id"), col("clang"),
+          t9((coalesce(col("c"), lit(0L)) + 1).cast(DoubleType) /
+            (col("ct") + col("v")).cast(DoubleType)).as("t9"))
+      val score = term.groupBy("doc_id", "clang")
+        .agg(sum(col("t9")).as("ts"))
+        .join(broadcast(prior), "clang")
+        .withColumn("sc", col("ts") + col("p9"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("sc").desc, col("clang"))
+      score.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("clang").as("pred_lang"),
+          col("sc").cast(DoubleType).as("score9"))
         .orderBy("doc_id")
     }
   )

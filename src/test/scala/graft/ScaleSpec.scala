@@ -69,6 +69,16 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("text_nb_train count shuffle is (class x vocab)-bounded: flat " +
+      "at 10x rows after map-side partials") {
+    val b1 = bytes("text_nb_train", small)
+    val b2 = bytes("text_nb_train", big)
+    assert(b1 > 0, "expected a (bounded) shuffle at sf0.01")
+    assert(b2 <= 3 * b1,
+      s"text_nb_train shuffle grew $b1 -> $b2 bytes at 10x rows — " +
+        "the vocabulary-keyed partials have regressed to token shipping")
+  }
+
   test("approximate profiler is output-bounded where the exact one is " +
       "NDV-linear (the r7 verdict's last scale gap)") {
     val eS = bytes("profile_columns", small)

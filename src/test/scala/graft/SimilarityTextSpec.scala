@@ -224,6 +224,29 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       f"refit recall $refitted%.3f did not improve on fixed $fixed%.3f")
   }
 
+  test("text_nb_classify: the in-engine-trained Naive Bayes beats the " +
+    "fixed text_lang_id heuristic on held-out docs at sf0.1") {
+    // The learned-vs-fixed comparison runs at sf0.1 (4000 train / 1000
+    // held-out docs): the corpus's language signal is weak by design
+    // (shared tech vocabulary), so at sf0.001 the 400-doc train split
+    // is sample-noise-dominated and NB ≈ majority-class; from sf0.01 up
+    // the learned counts beat the hand-written marker heuristic — the
+    // honest shape of a trained filter: it needs data to earn its keep.
+    val d = "/root/testdata/sf0.1"
+    val nb = SparkEntry.queries("text_nb_classify")(spark, d).collect()
+    val nbAcc = nb.count(r => r.getString(1) == r.getString(2))
+      .toDouble / nb.length
+    val heur = SparkEntry.queries("text_lang_id")(spark, d)
+      .filter(col("doc_id") % 5 === 0).collect()
+    val hAcc = heur.count(r => r.getString(1) == r.getString(2))
+      .toDouble / heur.length
+    info(f"held-out accuracy: nb=$nbAcc%.3f vs heuristic=$hAcc%.3f " +
+      f"over ${nb.length} docs")
+    assert(nb.length == 1000, s"expected 1000 held-out docs, got ${nb.length}")
+    assert(nbAcc > hAcc,
+      f"learned NB $nbAcc%.3f must beat the fixed heuristic $hAcc%.3f")
+  }
+
   test("embed_project: JL distortion — projected cosine tracks full " +
     "cosine at the 1/sqrt(16) scale over sampled pairs") {
     val sf01 = "/root/testdata/sf0.01"
