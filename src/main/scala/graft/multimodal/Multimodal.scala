@@ -353,6 +353,16 @@ object Multimodal {
             f += 1
           }
           wr.endWriteSequence()
+        } catch {
+          // a throw mid-sequence leaves the SHARED writer in
+          // prepared-sequence state; reset it before rethrowing so any
+          // per-row recovery above (or a speculative retry reusing the
+          // partition) never runs setOutput/prepareWriteSequence
+          // against a dirty writer. reset() failures are swallowed —
+          // the original error is the one that matters.
+          case t: Throwable =>
+            try wr.reset() catch { case _: Exception => () }
+            throw t
         } finally ios.close()
         GifRow(id, bos.toByteArray)
       }
@@ -437,6 +447,48 @@ object Multimodal {
       } finally rd.dispose()
     } finally iis.close()
   }
+
+  final case class SafeDecode(
+      doc_id: Long, status: String, width: Option[Int],
+      height: Option[Int], pixel_sum: Option[Long], error: Option[String])
+
+  /** TOLERANT decode — the quarantine twin of [[decodePng]]: a payload
+    * that no codec claims, that decodes to nothing (ImageIO.read's null
+    * contract), or that blows up mid-inflate yields a `quarantine` row
+    * carrying the asset id and a diagnostic, instead of killing the
+    * task. This is the 100 TB contract for untrusted media: one
+    * corrupt payload in a trillion costs one row routed to the
+    * quarantine channel, never the job (the strict decoders' `require`
+    * stays the right default for TRUSTED in-pipeline bytes, where a
+    * failure means the pipeline itself is broken). Catches Exception,
+    * not Throwable: an OOM/VM error must still fail the task. */
+  def decodePngSafe(m: PngRow): SafeDecode =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      if (img == null)
+        SafeDecode(m.doc_id, "quarantine", None, None, None,
+          Some("no installed codec claims the payload"))
+      else {
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            x += 1
+          }
+          y += 1
+        }
+        SafeDecode(m.doc_id, "ok", Some(img.getWidth), Some(img.getHeight),
+          Some(s), None)
+      }
+    } catch {
+      case e: Exception =>
+        SafeDecode(m.doc_id, "quarantine", None, None, None,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
+    }
 
   final case class PixelFeatures(doc_id: Long, emb: Seq[Double])
 
@@ -716,6 +768,55 @@ object Multimodal {
       pngOf(ids)
         .mapPartitions(_.map(decodePng))
         .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"))
+        .orderBy("doc_id")
+    },
+
+    // CORRUPT-PAYLOAD QUARANTINE: the decode path under byte-level
+    // damage. Real PNGs are synthesized, then two deterministic
+    // corruption modes are injected — doc_id % 7 = 0 truncates the
+    // container mid-header (codec recognized, inflate throws), % 7 = 3
+    // replaces the payload with non-image bytes (no codec claims it,
+    // ImageIO.read returns null) — and the TOLERANT decoder
+    // (decodePngSafe) routes each asset per-row: intact payloads decode
+    // to exact (width, height, pixel_sum), damaged ones become
+    // quarantine rows with null features. The routing decision AND the
+    // surviving features are exactly oracled from generator arithmetic;
+    // the error diagnostic stays un-oracled (JDK-message-specific).
+    // MultimodalCodecSpec additionally pins bit-flip damage and that
+    // the strict decoder would have thrown where the tolerant one
+    // routed. At 100 TB this is the difference between losing one row
+    // and losing the job.
+    Decl("multimodal_decode_quarantine",
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h,
+        |    CASE WHEN doc_id % 7 IN (0, 3) THEN 'quarantine' ELSE 'ok' END
+        |      AS status
+        |  FROM documents),
+        |px AS (SELECT doc_id,
+        |    SUM(3 * ((doc_id * 31 + tx.x * 7 + ty.y * 13) % 256)) AS ps
+        |  FROM d, range(0, 13) tx(x), range(0, 7) ty(y)
+        |  WHERE tx.x < w AND ty.y < h AND status = 'ok'
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.status,
+        |  CASE WHEN status = 'ok' THEN CAST(w AS INTEGER) END AS width,
+        |  CASE WHEN status = 'ok' THEN CAST(h AS INTEGER) END AS height,
+        |  CAST(px.ps AS BIGINT) AS pixel_sum
+        |FROM d LEFT JOIN px ON d.doc_id = px.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[SafeDecode]
+      val pngEnc = Encoders.product[PngRow]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      pngOf(ids)
+        .map { m =>
+          if (m.doc_id % 7 == 0) PngRow(m.doc_id, m.payload.take(10))
+          else if (m.doc_id % 7 == 3)
+            PngRow(m.doc_id,
+              s"not an image ${m.doc_id}".getBytes("UTF-8"))
+          else m
+        }(pngEnc)
+        .mapPartitions(_.map(decodePngSafe))
+        .select(col("doc_id"), col("status"), col("width"), col("height"),
+          col("pixel_sum"))
         .orderBy("doc_id")
     },
 

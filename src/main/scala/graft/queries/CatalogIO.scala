@@ -391,6 +391,114 @@ object CatalogIO {
         .orderBy("lang")
     },
 
+    // CORRUPT-INPUT QUARANTINE (jsonl): at 100 TB one malformed record
+    // in a trillion must cost one ROW, not the job. A jsonl copy of the
+    // corpus is written with every 10th line deliberately mangled
+    // (truncated non-JSON — the upstream-producer bug this surface
+    // exists for), read back PERMISSIVE with an explicit
+    // _corrupt_record column, and ROUTED: one partitioned write splits
+    // ok rows from quarantined raw lines (the sink_partitioned
+    // machinery), and the declared result aggregates the read-back of
+    // both routes — counts, the ok-side payload sum, and the
+    // quarantine-side captured-line count are all exactly oracled
+    // against the source table. Scale: PERMISSIVE parsing is per-row
+    // map work; the route split is one conditional projection + one
+    // partitioned write — no second pass over the data.
+    Decl("scan_quarantine",
+      """SELECT 'ok' AS route, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(0 AS BIGINT) AS n_captured
+        |FROM documents WHERE doc_id % 10 != 0
+        |UNION ALL
+        |SELECT 'quarantine', COUNT(*), CAST(NULL AS BIGINT), COUNT(*)
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY route""".stripMargin) { (s, d) =>
+      val src = Catalog.scratch(d, "quarantine_jsonl_src")
+      val routed = Catalog.scratch(d, "quarantine_jsonl_routed")
+      val readSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      // memo keyed on both paths (the sink_compact discipline): the
+      // block writes the mangled source AND the routed split together
+      Catalog.once(s, d, s"$src||$routed") {
+        Tables.documents(s, d).select(
+          when(col("doc_id") % 10 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", #corrupt")))
+            .otherwise(to_json(struct(
+              col("doc_id"), col("lang"), col("n_chars")))).as("value"))
+          .write.mode("overwrite").text(src)
+        s.read.schema(readSchema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(src)
+          .withColumn("route",
+            when(col("_corrupt_record").isNull, "ok")
+              .otherwise("quarantine"))
+          .repartition(col("route"))
+          .write.mode("overwrite").partitionBy("route").parquet(routed)
+      }
+      s.read.schema(readSchema.add(StructField("route", StringType)))
+        .parquet(routed)
+        .groupBy("route")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          count(col("_corrupt_record")).as("n_captured"))
+        .orderBy("route")
+    },
+
+    // CORRUPT-INPUT QUARANTINE (csv flavor): the delimited-text twin of
+    // scan_quarantine — every 10th line is written with the wrong arity
+    // and an unparseable key (the classic upstream delimiter bug), the
+    // PERMISSIVE read captures it in _corrupt_record, and the same
+    // route aggregate is oracled against the source. Together the two
+    // queries pin the quarantine contract on both text formats the
+    // reference's SerDe dispatch covers.
+    Decl("scan_quarantine_csv",
+      """SELECT 'ok' AS route, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  COUNT(*) AS n_keys
+        |FROM documents WHERE doc_id % 10 != 0
+        |UNION ALL
+        |SELECT 'quarantine', COUNT(*), CAST(NULL AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY route""".stripMargin) { (s, d) =>
+      val src = Catalog.scratch(d, "quarantine_csv_src")
+      Catalog.once(s, d, src) {
+        Tables.documents(s, d).select(
+          when(col("doc_id") % 10 === 0,
+            concat(lit("corrupt_line_"), col("doc_id")))
+            .otherwise(concat_ws("|",
+              col("doc_id"), coalesce(col("lang"), lit("")),
+              col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(src)
+      }
+      // n_keys (count of parsed doc_id) is load-bearing, not garnish:
+      // under CSV column pruning the univocity parser only parses the
+      // REQUIRED fields, and a wrong-arity line is detected as
+      // malformed only if a field it breaks is actually read — an
+      // aggregate referencing n_chars alone classified every corrupt
+      // line 'ok' (measured). Touching doc_id forces the key token's
+      // parse, which is exactly what a real quarantine gate keys on.
+      s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType),
+          StructField("_corrupt_record", StringType))))
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+        .groupBy(when(col("_corrupt_record").isNull, "ok")
+          .otherwise("quarantine").as("route"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          count(col("doc_id")).as("n_keys"))
+        .orderBy("route")
+    },
+
     // Small-file COMPACTION — the table-maintenance pass (OPTIMIZE /
     // rewrite_data_files) that keeps scan task counts sane: a
     // 64-way-fragmented copy of documents is rewritten into 2 files,

@@ -57,6 +57,57 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSuite {
     assert(meanAbs < 0.1, s"mean abs pixel error $meanAbs >= 0.1")
   }
 
+  test("quarantine decode: truncated, substituted AND bit-flipped " +
+      "payloads each cost one routed row; intact payloads decode " +
+      "exactly; the strict decoder would have thrown where the " +
+      "tolerant one routed") {
+    import graft.multimodal.Multimodal.{PngRow, SafeDecode}
+    val ids = spark.range(200).select(F.col("id")).as(Encoders.LONG)
+    val pngEnc = Encoders.product[PngRow]
+    // three damage modes beyond the declared query's two: % 11 = 5
+    // flips a byte in the middle of the compressed stream (CRC/inflate
+    // damage — the bit-rot case), on top of truncation (% 7 = 0) and
+    // substitution (% 7 = 3)
+    val damaged = Multimodal.pngOf(ids).map { m =>
+      if (m.doc_id % 7 == 0) PngRow(m.doc_id, m.payload.take(10))
+      else if (m.doc_id % 7 == 3)
+        PngRow(m.doc_id, s"not an image ${m.doc_id}".getBytes("UTF-8"))
+      else if (m.doc_id % 11 == 5) {
+        val p = m.payload.clone()
+        p(p.length / 2) = (p(p.length / 2) ^ 0xFF).toByte
+        PngRow(m.doc_id, p)
+      } else m
+    }(pngEnc)
+    val rows = damaged
+      .mapPartitions(_.map(Multimodal.decodePngSafe))(
+        Encoders.product[SafeDecode])
+      .collect()
+    assert(rows.length == 200, "tolerant decode must keep row cardinality")
+    def damagedId(id: Long) = id % 7 == 0 || id % 7 == 3
+    rows.foreach { r =>
+      if (damagedId(r.doc_id)) {
+        assert(r.status == "quarantine" && r.error.nonEmpty &&
+          r.pixel_sum.isEmpty,
+          s"id=${r.doc_id}: damaged payload not quarantined: $r")
+      } else if (r.doc_id % 11 == 5) {
+        // a mid-stream bit flip may inflate to garbage pixels or fail
+        // outright depending on where it lands — the contract is only
+        // that it never kills the task; both outcomes are rows
+        assert(r.status == "ok" || r.error.nonEmpty)
+      } else {
+        assert(r.status == "ok" && r.error.isEmpty,
+          s"id=${r.doc_id}: intact payload quarantined: ${r.error}")
+        assert(r.width.contains((r.doc_id % 13 + 1).toInt) &&
+          r.height.contains((r.doc_id % 7 + 1).toInt),
+          s"id=${r.doc_id}: decoded dims drifted: $r")
+      }
+    }
+    // the strict path throws on the same damage the tolerant path routes
+    val bad = PngRow(3L, "not an image 3".getBytes("UTF-8"))
+    intercept[Exception] { Multimodal.pixelEmbed(bad) }
+    assert(Multimodal.decodePngSafe(bad).status == "quarantine")
+  }
+
   test("GIF multi-frame round-trip: frame count, dims and every pixel " +
       "exact across the generator seed space") {
     // GIF is palette-lossless, so unlike JPEG the bound is EXACTNESS:
