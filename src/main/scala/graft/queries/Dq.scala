@@ -28,6 +28,11 @@ object Dq {
   /** Upper bound for the o_totalprice range expectation. */
   private val PriceMax = 1000000.0
 
+  /** Tighter "suspicious amount" bound for the ROUTING gate — chosen so
+    * both routes are genuinely populated at every test scale (~40% of
+    * orders exceed it), unlike the report gate's pass-all PriceMax. */
+  private val RoutePriceMax = 300000.0
+
   /** Shared expectations-report body: the exact gate and its sketch
     * twin differ ONLY in the uniqueness-violation expression and that
     * row's pass tolerance — the four exact expectations, the FK
@@ -156,6 +161,77 @@ object Dq {
         dupKey = greatest(lit(0L), count(col("o_orderkey")) -
           approx_count_distinct(col("o_orderkey"), 0.01)),
         uniqueTol = ceil(col("n_rows") * lit(0.03)).cast(LongType))
+    },
+
+    // The gate that ROUTES, not just reports: production data-quality
+    // gates split every drop into rows that flow onward and rows that
+    // land in a quarantine sink for triage. One pass over orders
+    // evaluates the row-level form of each expectation (null key, bad
+    // status, a 300k "suspicious amount" range gate that genuinely
+    // fires on ~40% of this data, FK orphan via one dimension left
+    // join, duplicate key via one windowed count), tags each row with
+    // its FIRST failing expectation (fixed priority — a row lands in
+    // exactly one triage bucket), and a single partitioned write
+    // splits the routes (the sink_partitioned machinery: repartition
+    // on the route key, one file per route per task wave). The
+    // declared result is the READ-BACK of both outputs aggregated by
+    // (route, reason) with the exact decimal price sum — so the split
+    // itself, not just the counts, is what the oracle checks.
+    // Scale: one scan + one broadcastable dim join + one key-window
+    // shuffle + one write; no second pass, no driver state.
+    Decl("dq_expectations_route",
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    o_totalprice,
+         |    COUNT(*) OVER (PARTITION BY o_orderkey) AS kcnt,
+         |    EXISTS (SELECT 1 FROM customer c
+         |            WHERE c.c_custkey = o_custkey) AS fk_ok
+         |  FROM orders),
+         |r AS (SELECT o_totalprice,
+         |    CASE WHEN o_orderkey IS NULL THEN 'not_null_orderkey'
+         |         WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+         |           OR o_orderstatus IS NULL THEN 'accepted_status_OFP'
+         |         WHEN o_totalprice <= 0 OR o_totalprice > $RoutePriceMax
+         |           THEN 'range_totalprice'
+         |         WHEN NOT fk_ok THEN 'fk_custkey_in_customer'
+         |         WHEN kcnt > 1 THEN 'unique_orderkey'
+         |         ELSE 'ok' END AS reason
+         |  FROM o)
+         |SELECT CASE WHEN reason = 'ok' THEN 'ok' ELSE 'quarantine' END
+         |    AS route,
+         |  reason, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+         |FROM r GROUP BY route, reason
+         |ORDER BY route, reason""".stripMargin) { (s, d) =>
+      val routed = graft.Catalog.scratch(d, "dq_route_orders")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), lit(true).as("fk_ok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey")
+      val flagged = Tables.orders(s, d)
+        .join(dim, Seq("o_custkey"), "left")
+        .withColumn("kcnt", count(lit(1)).over(w))
+        .withColumn("reason",
+          when(col("o_orderkey").isNull, "not_null_orderkey")
+            .when(!col("o_orderstatus").isin("O", "F", "P")
+              || col("o_orderstatus").isNull, "accepted_status_OFP")
+            .when(col("o_totalprice") <= 0
+              || col("o_totalprice") > RoutePriceMax, "range_totalprice")
+            .when(col("fk_ok").isNull, "fk_custkey_in_customer")
+            .when(col("kcnt") > 1, "unique_orderkey")
+            .otherwise("ok"))
+        .withColumn("route",
+          when(col("reason") === "ok", "ok").otherwise("quarantine"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "reason", "route")
+      graft.Catalog.once(s, d, routed) {
+        flagged.repartition(col("route"))
+          .write.mode("overwrite").partitionBy("route").parquet(routed)
+      }
+      // writer-schema read (the sink_partitioned discipline): empty-safe
+      // even if one route has no rows at some scale
+      s.read.schema(flagged.schema).parquet(routed)
+        .groupBy("route", "reason")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("route", "reason")
     },
 
     // Volume-anomaly screen: daily event counts z-scored against the

@@ -34,6 +34,32 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     merged.unpersist()
   }
 
+  test("dq_expectations_route: the split is physical — both route " +
+      "directories exist on disk and their row counts reconcile with " +
+      "the source gate") {
+    val rep = q("dq_expectations_route").collect()
+    val byRoute = rep.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val orders = Tables.orders(spark, sf)
+    val nAll = orders.count()
+    val nBad = orders.filter(col("o_totalprice") > 300000.0).count()
+    // this fixture violates only the range gate, so the reconciliation
+    // is exact: quarantine = priced-out rows, ok = the rest, no row
+    // lost or double-routed
+    assert(byRoute.getOrElse("quarantine", 0L) === nBad)
+    assert(byRoute.getOrElse("ok", 0L) === nAll - nBad)
+    assert(byRoute.values.sum === nAll)
+    // the quarantine channel is a real sink, not a report row: both
+    // partition directories exist with committed parquet files
+    val routed = new java.io.File(Catalog.scratch(sf, "dq_route_orders"))
+    for (r <- Seq("ok", "quarantine")) {
+      val dir = new java.io.File(routed, s"route=$r")
+      assert(dir.isDirectory, s"missing route directory: $dir")
+      assert(dir.listFiles().exists(_.getName.endsWith(".parquet")),
+        s"no parquet files under $dir")
+    }
+  }
+
   test("scd2_history: intervals chain and exactly one current row per user") {
     val h = q("scd2_history").cache()
     import spark.implicits._
