@@ -137,6 +137,77 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
         "sketch partials still growing; the plateau claim fails")
   }
 
+  test("join_asof third hop: a synthetic 10x of sf0.1 keeps the shuffle " +
+      "input-linear — no superlinear tail beyond the fixture scales") {
+    // The largest absolute shuffle in the registry at sf0.1 (~9.5 MB,
+    // SCALING.md). Ten key-shifted copies of events+orders preserve the
+    // per-key event/order density (weak scaling: 10x keys, same skew
+    // profile) and grow rows 10x; single-file writes keep the map-task
+    // count comparable (the agg_mad_approx harness discipline).
+    import org.apache.spark.sql.functions.{col, lit}
+    val sdir = Catalog.scratch(big, "synth10x_asof")
+    Catalog.once(spark, big, "synth10x_asof") {
+      val ev = Tables.events(spark, big).drop("ts_ns")
+      val o = Tables.orders(spark, big)
+      (0 until 10).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000000L)))
+        .reduce(_ union _).coalesce(1)
+        .write.mode("overwrite").parquet(s"$sdir/events.parquet")
+      (0 until 10).map(i => o
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000000L)))
+        .reduce(_ union _).coalesce(1)
+        .write.mode("overwrite").parquet(s"$sdir/orders.parquet")
+    }
+    val b2 = bytes("join_asof", big)
+    val b3 = bytes("join_asof", sdir)
+    val r3 = b3.toDouble / b2
+    info(f"third-hop ratio: $b2%,d -> $b3%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"join_asof third hop grew $r3%.2fx — superlinear tail at scale")
+  }
+
+  test("dedup_near third hop: a synthetic 10x corpus keeps the LSH " +
+      "candidate shuffle input-linear — band buckets never go quadratic") {
+    // The other top-absolute shuffle (~6.2 MB at sf0.1). BOTH points
+    // are synthetic fresh dirs: the shared-JVM memo may already have
+    // checkpointed the sf0.1 candidate build (DedupSpec), which would
+    // zero a direct bytes() reading. Copies get a per-copy token
+    // suffix so the 10 sub-corpora are textually DISJOINT — the
+    // within-copy near-dup structure replicates 10x (true weak
+    // scaling) instead of every doc gaining 9 cross-copy duplicates
+    // (which would legitimately blow the pair space quadratically and
+    // measure the data, not the operator).
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val docs = Tables.documents(spark, big)
+    def copies(n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
+          .withColumn("text", when(col("text").isNotNull, expr(
+            s"array_join(transform(split(text, ' '), " +
+              s"x -> concat(x, '_$i')), ' ')"))
+            .otherwise(col("text"))))
+        .reduce(_ union _)
+    val d1 = Catalog.scratch(big, "synth1x_near")
+    val d10 = Catalog.scratch(big, "synth10x_near")
+    Catalog.once(spark, big, "synth_near") {
+      copies(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+      copies(10).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d10/documents.parquet")
+    }
+    val b1 = bytes("dedup_near", d1)
+    val b10 = bytes("dedup_near", d10)
+    val r3 = b10.toDouble / b1
+    info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"dedup_near third hop grew $r3%.2fx — the banded candidate " +
+        "space has a superlinear tail")
+  }
+
   test("approximate dq gate is output-bounded where the exact one is " +
       "NDV-linear (the last by-intent NDV-linear operator, closed)") {
     val eS = bytes("dq_expectations", small)
