@@ -372,39 +372,79 @@ object Streaming {
     * target — the `foreachBatch` streaming→warehouse bridge.
     * `foreachBatch` is at-least-once: after a crash the last batch is
     * re-delivered with the SAME batchId, and an additive merge (here:
-    * per-user running sum/count) would double-count it. The batch-id
-    * LEDGER makes the apply idempotent: a replayed id is a no-op.
-    * Ordering matters — the ledger row commits AFTER the target write,
-    * so a crash between the two replays the batch into the same merge
-    * (overwrite of a deterministic merge = idempotent), never skips it.
-    * Scale: the merge is a key-partitioned groupBy of target ∪ delta —
-    * no driver state, no collect; the ledger is O(#batches) rows.
-    * (Production would swap the overwrite for a transactional table
-    * format commit; the ledger-gate + deterministic-merge structure is
-    * the part that carries over.) */
+    * per-user running sum/count) would double-count it. Two mechanisms
+    * close BOTH failure windows:
+    *
+    *  - the batch-id LEDGER gates replays: an id already committed is
+    *    a no-op;
+    *  - the merge writes a fresh VERSION DIRECTORY `target/v<batchId>`
+    *    computed from the last COMMITTED version (never from its own
+    *    output), and the ledger row — written last — is the commit
+    *    point. A crash between the version write and the ledger commit
+    *    therefore replays into the SAME version dir from the SAME
+    *    committed base: a deterministic overwrite, not a double merge.
+    *    (The round-9 layout merged in place, where exactly that window
+    *    double-counted — the versioned commit is the poor-man's form
+    *    of a transactional table format's snapshot+commit, which is
+    *    what production swaps in; it would also vacuum old versions,
+    *    which here accumulate O(#batches) like the ledger.)
+    *
+    * Readers go through [[additiveUpsertRead]] (committed version
+    * only). Scale: the merge is a key-partitioned groupBy of
+    * committed ∪ delta — no driver state beyond the 1-value ledger
+    * max; StreamingSpec witnesses the crash window with an injected
+    * first-attempt failure between the two writes. */
   def additiveUpsertBatch(batch: DataFrame, batchId: Long,
       target: String, ledger: String): Unit = {
     val spark = batch.sparkSession
-    // existence via the Hadoop FS API — the paths may live on any
-    // filesystem (HDFS/object store), not just local disk
-    def readOpt(path: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
-    }
-    if (readOpt(ledger).exists(
+    if (readOpt(spark, ledger).exists(
         _.filter(col("batch_id") === batchId).head(1).nonEmpty)) return
+    additiveUpsertVersion(batch, batchId, target, ledger)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+  }
+
+  /** The merge + version-dir write WITHOUT the ledger commit — the
+    * first half of [[additiveUpsertBatch]], exposed so StreamingSpec
+    * can stage a crash landing exactly between the two writes. */
+  def additiveUpsertVersion(batch: DataFrame, batchId: Long,
+      target: String, ledger: String): Unit = {
+    val spark = batch.sparkSession
     val delta = batch.groupBy("user_id")
       .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
-    val merged = readOpt(target).map(_.unionByName(delta)).getOrElse(delta)
+    additiveUpsertRead(spark, target, ledger).unionByName(delta)
       .groupBy("user_id")
       .agg(sum(col("sum_value")).as("sum_value"),
         sum(col("n_events")).as("n_events"))
-      // materialize BEFORE overwriting the path being read
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(target)
+      .write.mode("overwrite").parquet(s"$target/v$batchId")
+  }
+
+  /** Committed view of the upsert target: the version directory of the
+    * highest LEDGER-COMMITTED batch id (a version dir without its
+    * ledger row is an uncommitted torn write and is never read). Empty
+    * typed frame before the first commit. */
+  def additiveUpsertRead(spark: org.apache.spark.sql.SparkSession,
+      target: String, ledger: String): DataFrame = {
     import spark.implicits._
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+    val committed = readOpt(spark, ledger).flatMap { df =>
+      val r = df.agg(max(col("batch_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    committed match {
+      case Some(v) => spark.read.parquet(s"$target/v$v")
+      case None => Seq.empty[(Long, Double, Long)]
+        .toDF("user_id", "sum_value", "n_events")
+    }
+  }
+
+  /** Existence-guarded parquet read via the Hadoop FS API — the paths
+    * may live on any filesystem (HDFS/object store), not just local
+    * disk. */
+  private def readOpt(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
   /** Wire [[additiveUpsertBatch]] under a streaming query. */

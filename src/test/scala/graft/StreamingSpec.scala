@@ -438,17 +438,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("restart from checkpoint: a killed transformWithState query " +
-      "resumes from its RocksDB checkpoint dir with exactly-once output " +
-      "(B41 operational failure mode)") {
+  test("restart from checkpoint: a transformWithState query stopped " +
+      "after a batch boundary resumes from its RocksDB checkpoint dir " +
+      "with exactly-once output (B41 operational restart path)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    // The failure mode transformWithState users actually hit: the
-    // driver dies mid-stream and the query is restarted against the
-    // SAME checkpointLocation. Witnessed here with the durable sink
-    // whose _spark_metadata commit log carries the exactly-once
+    // The restart path transformWithState users hit on every deploy:
+    // the query goes away between micro-batches and is restarted
+    // against the SAME checkpointLocation. q.stop() is a graceful
+    // batch-boundary shutdown, so this witnesses STATE RESTORATION
+    // (RocksDB reload + no re-emission of committed batches); the
+    // harder torn-window crash — sink attempt failed mid-batch, state
+    // side already advanced — is witnessed separately by the
+    // foreachBatch injected-crash tests above. Durable sink: the
+    // parquet _spark_metadata commit log carries the exactly-once
     // guarantee (a memory sink forgets its table on restart, so it
-    // cannot witness recovery): run B is killed after batch 1, a NEW
+    // cannot witness recovery): run B stops after batch 1, a NEW
     // query object restarts from the checkpoint, batch 2 arrives only
     // after the restart — and the final committed output must be
     // row-identical to an uninterrupted run A, with user 1's running
@@ -546,7 +551,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       q.processAllAvailable()
       input.addData(Ev(3, ts(7), "view", 2, 7.0), Ev(4, ts(8), "view", 1, 5.0))
       q.processAllAvailable()
-      def state() = spark.read.parquet(target)
+      def state() = Streaming.additiveUpsertRead(spark, target, ledger)
         .collect().map(r => r.getLong(0) ->
           (r.getDouble(1), r.getLong(2))).toMap
       val afterRun = state()
@@ -563,6 +568,141 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       Streaming.additiveUpsertBatch(replay, 99L, target, ledger)
       assert(state()(2L) == ((14.0, 2L)))
     } finally q.stop()
+  }
+
+  test("foreachBatch crash BETWEEN sink write and ledger commit: the " +
+    "replay re-merges from the committed base — exactly-once through " +
+    "the torn-write window (the round-9 in-place merge double-counted " +
+    "here)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crashwin").toString
+    val (target, ledger) = (s"$base/target", s"$base/ledger")
+    def state() = Streaming.additiveUpsertRead(spark, target, ledger)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // batch 0 commits normally
+    val b0 = Seq(Ev(1, ts(5), "click", 1, 2.0)).toDF()
+    Streaming.additiveUpsertBatch(b0, 0L, target, ledger)
+    assert(state() == Map(1L -> ((2.0, 1L))))
+    // batch 1 "crashes" after the version write, before the ledger row:
+    // the torn version dir exists on disk but is uncommitted
+    val b1 = Seq(Ev(2, ts(6), "click", 1, 3.0), Ev(3, ts(7), "view", 2, 7.0))
+      .toDF()
+    Streaming.additiveUpsertVersion(b1, 1L, target, ledger)
+    assert(state() == Map(1L -> ((2.0, 1L))),
+      "an uncommitted version dir must be invisible to readers")
+    // restart re-delivers batch 1 with the same id — the full apply
+    // must land it exactly once (the in-place merge would read the
+    // torn write back and double-count users 1 and 2 here)
+    Streaming.additiveUpsertBatch(b1, 1L, target, ledger)
+    assert(state() == Map(1L -> ((5.0, 2L)), 2L -> ((7.0, 1L))),
+      s"replay through the crash window double- or zero-counted: ${state()}")
+    // and a SECOND replay of the now-committed id is a no-op
+    Streaming.additiveUpsertBatch(b1, 1L, target, ledger)
+    assert(state() == Map(1L -> ((5.0, 2L)), 2L -> ((7.0, 1L))))
+  }
+
+  test("foreachBatch first-attempt failure under a real streaming " +
+    "restart: the sink throws mid-window, the query is restarted from " +
+    "its checkpoint, and the re-delivered batch lands exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crashq").toString
+    val (target, ledger, ck) = (s"$base/target", s"$base/ledger", s"$base/ck")
+    val input = MemoryStream[Ev]
+    @volatile var injected = false
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          if (id == 1L && !injected) {
+            injected = true
+            // the crash window: version written, ledger commit never
+            // reached, sink attempt reported FAILED to the engine
+            Streaming.additiveUpsertVersion(b.toDF(), id, target, ledger)
+            throw new RuntimeException("injected first-attempt crash")
+          }
+          Streaming.additiveUpsertBatch(b.toDF(), id, target, ledger)
+      }
+      .start()
+    var q = start()
+    input.addData(Ev(1, ts(5), "click", 1, 2.0))
+    q.processAllAvailable()
+    input.addData(Ev(2, ts(6), "click", 1, 3.0), Ev(3, ts(7), "view", 2, 7.0))
+    intercept[Exception] { q.processAllAvailable() } // batch 1 fails
+    assert(injected, "the injected failure must actually have fired")
+    // operational restart: new query object, same checkpoint — Spark
+    // re-delivers batch 1 with the same id
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    val got = Streaming.additiveUpsertRead(spark, target, ledger)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(1L -> ((5.0, 2L)), 2L -> ((7.0, 1L))),
+      s"re-delivered batch did not land exactly once: $got")
+  }
+
+  test("restart from checkpoint: session-window aggregation state " +
+    "survives — stopped after batch 1, restarted, the in-gap event " +
+    "still MERGES into the open session (B38's operational path)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sess_restart").toString
+      // batch 1 opens user 1's session [10:05, 10:50); the restart
+      // happens while it is OPEN STATE; batch 2's 10:20 event can only
+      // merge into it if the session state was restored from RocksDB
+      val batch1 = Seq(Ev(1, ts(5), "click", 1, 1.0))
+      val batch2 = Seq(Ev(2, ts(20), "click", 1, 2.0),
+        Ev(3, ts(55), "click", 1, 4.0), Ev(4, ts(30), "view", 2, 8.0))
+      // far-future row pushes the watermark past every session end so
+      // append mode emits them all
+      val batch3 = Seq(
+        Ev(5, Timestamp.valueOf("2024-01-01 14:00:00"), "click", 3, 0.0))
+      def run(tag: String, interrupt: Boolean): Set[Seq[Any]] = {
+        val input = MemoryStream[Ev]
+        def start() = Streaming.sessionCounts(input.toDF(), "10 minutes")
+          .select(col("session_window.start").cast("long").as("ss"),
+            col("user_id"), col("n_events"), col("sum_value"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/$tag/out")
+          .option("checkpointLocation", s"$root/$tag/ck")
+          .outputMode("append").start()
+        var q = start()
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        if (interrupt) {
+          q.stop()
+          q = start() // fresh query object, same checkpoint dir
+        }
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        input.addData(batch3: _*)
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(s"$root/$tag/out")
+          .collect().map(_.toSeq).toSet
+      }
+      val ref = run("ref", interrupt = false)
+      val restarted = run("restart", interrupt = true)
+      assert(restarted == ref,
+        s"restarted run diverged:\n  ref=$ref\n  got=$restarted")
+      // state restoration, not coincidence: the post-restart 10:20
+      // event merged into the pre-restart session (n_events = 2);
+      // lost session state would have emitted two singletons instead
+      assert(restarted.exists(r =>
+          r(1) == 1L && r(2) == 2L && r(3) == 3.0),
+        s"user 1's session did not merge across the restart: $restarted")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("file-source readStream over the events fixture: one " +
