@@ -50,16 +50,31 @@ object Tables {
 
   /** Content fingerprint: a plain file's (mtime, length); a DIRECTORY's
     * File.length() is just its inode size (constant), so fold the
-    * children's (name, mtime, length) instead — any part-file add,
-    * remove or rewrite changes it, including a delete+rewrite landing
-    * within one mtime tick of the directory itself. */
+    * children's (name, mtime, length) instead — RECURSIVELY, because a
+    * partitioned layout (key=… subdirectories) rewritten in place can
+    * change only files two levels down while every top-level entry
+    * keeps its (name, size) and, on coarse-mtime filesystems, its
+    * mtime tick. The walk is one stat per file of a table the caller
+    * is about to scan anyway, and it runs at most once per TTL window. */
   private def fingerprint(f: java.io.File): String =
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         .sortBy(_.getName)
-        .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+        .map(c => s"${c.getName}:${c.lastModified}:${c.length}" +
+          (if (c.isDirectory) s"{${fingerprint(c)}}" else ""))
         .mkString(";")
     else s"${f.lastModified}:${f.length}"
+
+  /** Explicit invalidation hook for in-app rewrites: drops every memo
+    * entry for `path` (all sessions) so the next [[t]] re-infers
+    * immediately instead of trusting the TTL window — the deterministic
+    * companion to the fingerprint check for code that KNOWS it just
+    * rewrote a table (same-size same-tick rewrites are invisible to
+    * any stat-based check). */
+  def invalidate(path: String): Unit = {
+    val it = schemaMemo.keySet.iterator()
+    while (it.hasNext) if (it.next().endsWith(s"@$path")) it.remove()
+  }
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

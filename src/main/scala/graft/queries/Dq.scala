@@ -149,7 +149,13 @@ object Dq {
     // of 0 — duplication below the sketch's noise floor is
     // indistinguishable from unique, which is the honest contract of an
     // approximate gate (run the exact twin to adjudicate a near-floor
-    // reading). Declared-approximate (SURVEY §2 rule 4 — no DuckDB
+    // reading). The 3·rsd band is EMPIRICAL, not a guaranteed bound:
+    // HLL++'s rsd is an asymptotic standard error, and tail behavior
+    // on a specific key set is not strictly 3σ-bounded — an unlucky
+    // cardinality could in principle push a unique key past the gate.
+    // The three shipped fixtures are what StatsApproxSpec pins; a
+    // near-band reading in production is exactly the "run the exact
+    // twin" case above. Declared-approximate (SURVEY §2 rule 4 — no DuckDB
     // oracle); StatsApproxSpec pins the four exact expectation rows
     // bit-identical to dq_expectations and the unique estimate within
     // ±5 %·N at all three SFs; ScaleAudit records the flattened

@@ -29,7 +29,13 @@ class AqeSkewSpec extends AnyFunSuite with SparkSuite {
 
   test("AQE skewJoin splits the hot key's shuffle partition into " +
       "parallel partial reads at runtime") {
-    val confs = Seq(
+    // a DEDICATED sibling session takes the seven conf overrides: it
+    // shares the SparkContext but owns its SQLConf, so the shared
+    // suite session's runtime conf is never touched — no restore
+    // bookkeeping, no mid-flight visibility to other suites, and no
+    // getOption-captured default re-set as an explicit value
+    val s = spark.newSession()
+    Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
@@ -39,46 +45,40 @@ class AqeSkewSpec extends AnyFunSuite with SparkSuite {
       // partitions to skew-split
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      // hot key 0: 800k rows land in ONE of the 4 reduce partitions;
-      // keys 1..100 spread ~50k rows over the rest (the median the
-      // skew factor compares against)
-      val left = spark.range(800000)
-        .select(lit(0L).as("k"), col("id").as("v"))
-        .unionAll(spark.range(50000)
-          .select((col("id") % 100 + 1).as("k"), col("id").as("v")))
-      val right = spark.range(101)
-        .select(col("id").as("k"), (col("id") * 2).as("w"))
-      val joined = left.join(right, "k").select(sum(col("v") + col("w")))
-      joined.collect() // AQE finalizes only on execution
-      val aqe = joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a
-        case p => fail(s"expected an adaptive plan, got ${p.nodeName}")
-      }
-      val fin = aqe.finalPhysicalPlan
-      // query stages are LEAF nodes wrapping their materialized
-      // sub-plan — TreeNode.collect stops at them, so flatten manually
-      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-        case q: QueryStageExec => flatten(q.plan)
-        case _ => p.children.flatMap(flatten)
-      })
-      val nodes = flatten(fin)
-      val joins = nodes.collect { case j: ShuffledJoin => j }
-      assert(joins.nonEmpty, s"no shuffled join in final plan:\n$fin")
-      assert(joins.exists(_.isSkewJoin),
-        s"AQE did not flag the join as skewed:\n$fin")
-      // the witness proper: the hot partition became MANY partial reads
-      val splitCounts = nodes.collect { case r: AQEShuffleReadExec =>
-        r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
-      }
-      assert(splitCounts.exists(_ > 1),
-        s"no partition was skew-split (partial-read counts per " +
-          s"AQEShuffleRead: $splitCounts):\n$fin")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+      .foreach { case (k, v) => s.conf.set(k, v) }
+    // hot key 0: 800k rows land in ONE of the 4 reduce partitions;
+    // keys 1..100 spread ~50k rows over the rest (the median the
+    // skew factor compares against)
+    val left = s.range(800000)
+      .select(lit(0L).as("k"), col("id").as("v"))
+      .unionAll(s.range(50000)
+        .select((col("id") % 100 + 1).as("k"), col("id").as("v")))
+    val right = s.range(101)
+      .select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = left.join(right, "k").select(sum(col("v") + col("w")))
+    joined.collect() // AQE finalizes only on execution
+    val aqe = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a
+      case p => fail(s"expected an adaptive plan, got ${p.nodeName}")
     }
+    val fin = aqe.finalPhysicalPlan
+    // query stages are LEAF nodes wrapping their materialized
+    // sub-plan — TreeNode.collect stops at them, so flatten manually
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(fin)
+    val joins = nodes.collect { case j: ShuffledJoin => j }
+    assert(joins.nonEmpty, s"no shuffled join in final plan:\n$fin")
+    assert(joins.exists(_.isSkewJoin),
+      s"AQE did not flag the join as skewed:\n$fin")
+    // the witness proper: the hot partition became MANY partial reads
+    val splitCounts = nodes.collect { case r: AQEShuffleReadExec =>
+      r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
+    }
+    assert(splitCounts.exists(_ > 1),
+      s"no partition was skew-split (partial-read counts per " +
+        s"AQEShuffleRead: $splitCounts):\n$fin")
   }
 }
