@@ -82,11 +82,21 @@ object Bench {
     // compile land on execution #1) from its steady-state plan cost
     // (execution #2+). The driver harness leaves it unset (n=1).
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // SPARK_GRAFT_TAKE=min + REPEAT=n: report each query ONCE as the
+    // minimum of its n executions — the official per-query record
+    // protocol (BASELINE.md round-10 note). Single-shot tails carry
+    // ~17% same-config run noise (JIT, page cache, listener timing);
+    // take-min is the standard way to read a deterministic plan cost
+    // out of a noisy box, at the price of hiding one-time costs (the
+    // first execution absorbs footer reads + codegen), so take-min
+    // totals are NOT comparable to single-shot totals — records state
+    // which protocol they used. The driver harness leaves both unset.
+    val takeMin = sys.env.get("SPARK_GRAFT_TAKE").contains("min")
     // name -> (wall_sec, task_sec, gc_sec, cpu_sec, load1-at-start)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
-      (1 to repeat).map { i =>
+      val runs = (1 to repeat).map { i =>
         drain(spark)
         val ld = load1
         val (r0, g0, c0) = clock.snap
@@ -99,8 +109,13 @@ object Bench {
           }
         drain(spark)
         val (r1, g1, c1) = clock.snap
-        (if (i == 1) name else s"$name#$i") ->
-          (sec, (r1 - r0) / 1e3, (g1 - g0) / 1e3, (c1 - c0) / 1e9, ld)
+        (sec, (r1 - r0) / 1e3, (g1 - g0) / 1e3, (c1 - c0) / 1e9, ld)
+      }
+      if (takeMin && repeat > 1) {
+        val ok = runs.filter(_._1 >= 0)
+        Seq(name -> (if (ok.nonEmpty) ok.minBy(_._1) else runs.head))
+      } else runs.zipWithIndex.map { case (r, idx) =>
+        (if (idx == 0) name else s"$name#${idx + 1}") -> r
       }
     }
     def jnum(v: Double): String = f"$v%.3f"

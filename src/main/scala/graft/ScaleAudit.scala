@@ -94,9 +94,9 @@ object ScaleAudit {
     "dq_expectations_approx" -> ("output-bounded: the uniqueness check " +
       "ships a fixed HLL sketch instead of the exact distinct's Expand"),
     "text_nb_train" -> ("vocab-bounded: (class x token) count partials " +
-      "+ a |classes|-row prior frame — model size, never corpus size"),
+      "+ an n_classes-row prior frame — model size, never corpus size"),
     "text_nb_classify" -> ("input-linear scoring: test tokens x " +
-      "|classes| terms into a (doc, class) partial+final aggregate; " +
+      "n_classes terms into a (doc, class) partial+final aggregate; " +
       "the model side is the vocab-bounded count table"),
     "text_bpe_learn" -> ("vocab-linear x 4 rounds: pair counts shuffle " +
       "over the DISTINCT word table (the corpus-sized rollup happens " +

@@ -475,13 +475,19 @@ object CatalogIO {
               col("n_chars"))).as("value"))
           .write.mode("overwrite").text(src)
       }
-      // n_keys (count of parsed doc_id) is load-bearing, not garnish:
-      // under CSV column pruning the univocity parser only parses the
-      // REQUIRED fields, and a wrong-arity line is detected as
-      // malformed only if a field it breaks is actually read — an
-      // aggregate referencing n_chars alone classified every corrupt
-      // line 'ok' (measured). Touching doc_id forces the key token's
-      // parse, which is exactly what a real quarantine gate keys on.
+      // The route KEY references doc_id alongside _corrupt_record, and
+      // that is load-bearing twice over (not garnish):
+      //  - under CSV column pruning the univocity parser only parses
+      //    the REQUIRED fields, and a wrong-arity line is detected as
+      //    malformed only if a field it breaks is actually read — an
+      //    aggregate keyed on _corrupt_record alone classified every
+      //    corrupt line 'ok' (measured);
+      //  - a downstream consumer that prunes the aggregates away (a
+      //    bare count() keeps only the grouping key) would otherwise
+      //    reduce the scan to the corrupt column alone, which Spark
+      //    rejects outright (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+      // Semantically it IS the gate: a row without a parseable key
+      // belongs in quarantine.
       s.read
         .schema(StructType(Seq(
           StructField("doc_id", LongType),
@@ -492,7 +498,8 @@ object CatalogIO {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(src)
-        .groupBy(when(col("_corrupt_record").isNull, "ok")
+        .groupBy(when(col("_corrupt_record").isNull
+            && col("doc_id").isNotNull, "ok")
           .otherwise("quarantine").as("route"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
           count(col("doc_id")).as("n_keys"))

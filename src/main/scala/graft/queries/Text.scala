@@ -1072,10 +1072,18 @@ object Text {
         .filter(col("doc_id") % 5 =!= 0 && col("text").isNotNull
           && col("lang").isNotNull)
       val tok = train.select(col("lang"), explode(toks).as("tok"))
+      // the (class, token) count table is the MODEL — vocab-bounded.
+      // Checkpoint it once: it feeds the top-k window, the class
+      // totals and the vocab size, and without the cut each consumer
+      // re-derives the corpus-wide explode+count (the cooccur_pmi /
+      // simjoin_prefix re-execution lesson).
       val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val cls = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       val ctot = cnt.groupBy("lang").agg(sum("c").as("ct"))
-      val v = broadcast(tok.agg(countDistinct("tok").as("v")))
+      // vocab size off the checkpointed MODEL table (same distinct-token
+      // set as the corpus stream, at vocab cost instead of corpus cost)
+      val v = broadcast(cnt.agg(countDistinct("tok").as("v")))
       val tot = broadcast(cls.agg(sum("n_docs").as("total")))
       def ln9(x: Column) =
         log(x).cast(DecimalType(20, 9)).cast(DoubleType)
@@ -1152,10 +1160,13 @@ object Text {
       val train = docs.filter(col("doc_id") % 5 =!= 0
         && col("text").isNotNull && col("lang").isNotNull)
       val tok = train.select(col("lang"), explode(toks).as("tok"))
+      // checkpointed once like in text_nb_train: the model table feeds
+      // the class totals, the vocab size AND the scoring join below
       val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val cls = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       val ctot = cnt.groupBy("lang").agg(sum("c").as("ct"))
-      val v = broadcast(tok.agg(countDistinct("tok").as("v")))
+      val v = broadcast(cnt.agg(countDistinct("tok").as("v")))
       val tot = broadcast(cls.agg(sum("n_docs").as("total")))
       def t9(x: Column) = log(x).cast(DecimalType(20, 9))
       val prior = cls.crossJoin(tot)

@@ -43,6 +43,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "target_encode", // broadcast single-row global-prior scalar cross
     "dq_expectations", // broadcast single-row orphan-count scalar cross
     "dq_expectations_approx", // same scaffold, sketch-backed uniqueness
+    "text_nb_train", // broadcast single-row vocab-size + doc-total scalars
+    "text_nb_classify", // same two training scalars feed the scoring fan-out
     "dq_volume_anomaly", // broadcast single-row window-stats scalar cross
     "dq_psi") // broadcast single-row midpoint + side-total scalar crosses
 
@@ -56,7 +58,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // the vertex-restricted component loop added the singleton-rejoin
     // (corpus ⋈ label-cardinality frame, AQE-broadcastable — exchanges
     // over graph-vertex data, never corpus text)
-    "dedup_near_keep" -> 8)
+    "dedup_near_keep" -> 8,
+    // NB training/scoring is a multi-aggregate pipeline: beyond the one
+    // corpus-sized count shuffle (checkpointed model table), every
+    // exchange is class- or vocab-bounded (class totals, vocab-size
+    // distinct, priors, the top-k window, the (doc, class) score agg)
+    "text_nb_train" -> 8,
+    "text_nb_classify" -> 10)
 
   /** The sf-proportional dimensions (customer/supplier/part) carry NO
     * broadcast hint — at 100 TB a forced broadcast OOMs every executor.
