@@ -91,7 +91,21 @@ object PlanDump {
       "exchanges end to end"),
     "multimodal_frame_delta" -> ("GIF decode + per-pixel SAD in one " +
       "mapPartitions pass; keyframe gate is integer arithmetic, only " +
-      "frame features reach the sort"))
+      "frame features reach the sort"),
+    "sim_ann_ivfpq" -> ("IVFADC: broadcast 5-row probe frame gates a " +
+      "BroadcastHashJoin on the cell key — ADC scans ~5/8 of the " +
+      "corpus, zero exchanges, two nested TakeOrdereds"),
+    "pq_fit_codebooks" -> ("distributed PQ fit: one explode to (sub, " +
+      "code, dim) rows, partial+final decimal means over ≤1024 keys"),
+    "text_nb_classify" -> ("NB scoring: checkpointed vocab-bounded " +
+      "model table joins the test-token fan-out; (doc, class) score " +
+      "agg partial+final; priors ride a broadcast frame"),
+    "dq_expectations_route" -> ("row-level gate in one pass: dim left " +
+      "join + key window + route split via ONE partitioned write; " +
+      "result aggregates the read-back of both routes"),
+    "scan_quarantine" -> ("PERMISSIVE parse per row; ok/quarantine " +
+      "split is one conditional projection + one partitioned write, " +
+      "no second pass"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
