@@ -76,6 +76,8 @@ object ScaleAudit {
       "two nested TakeOrdereds (approx candidates, exact re-rank)"),
     "sim_ann_ivfpq" -> ("shuffle-free cell-pruned ADC: broadcast probe " +
       "frame gates the scan to ~nProbe/nCells of the corpus"),
+    "sim_ann_ivfpq_residual" -> ("shuffle-free residual IVFADC: same " +
+      "probe gate, residual codes via per-cell bias constants"),
     "pq_fit_codebooks" -> ("output-bounded: <=1024 (sub, code, dim) " +
       "keys after map-side partials — the distributed PQ-fit shape"),
     "multimodal_phash" -> "output-bounded: 2-long hash-cluster partials",

@@ -139,7 +139,7 @@ object Similarity {
 
   /** Fixed seeded IVF centroids, shared by the ANN probe query and the
     * one-Lloyd-iteration fit query. */
-  private val ivfCentroids: Seq[Seq[Float]] = {
+  private[graft] val ivfCentroids: Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(7L)
     Seq.fill(IvfNumCells)(Seq.fill(64)((rnd.nextGaussian() * 0.15).toFloat))
   }
@@ -256,6 +256,132 @@ object Similarity {
         s"CAST('${new java.math.BigDecimal(pqHalfNorms(sub)(i))
           .toPlainString}' AS DOUBLE)), " +
         s"c := $i)").mkString(", ")}])).c"
+
+  // RESIDUAL product quantization — what production IVFADC actually
+  // encodes: not the raw vector but its residual x − c(cell) against
+  // the owning IVF centroid (residuals are centered, so a shared
+  // codebook fits them far better than raw vectors once cells carry
+  // structure). The algebra keeps every stage in the existing exact
+  // machinery: the residual never materializes —
+  //   argmin_i ‖(x − c)_sub − b_i‖² ⇔ argmax_i (dot(x_sub, b_i) − β),
+  //   β = dot(c_sub, b_i) + ‖b_i‖²/2  (a per-(cell, sub, code)
+  //   compile-time constant), and
+  //   dot(q, c + b̂) = dot(q, c(cell)) + Σ_sub table[code]
+  // so the ADC scan gains ONE per-probe-cell constant and the code
+  // assignment ONE 2D constant lookup — same chains, same argmax
+  // convention, fully oracled. Codebook σ = 0.15 matches the residual
+  // scale (raw subvector σ 0.125 ⊕ centroid σ 0.15 at these seeds).
+  // σ = 0.19 matches the MEASURED residual scale: cells come from
+  // max-dot against random σ0.15 centroids whose norm (≈1.2) exceeds
+  // the unit data norm, so ‖x − c‖² ≈ 1 + 1.44 − 2·bestdot ≈ 2.3 →
+  // per-dim sd ≈ 0.19. (Unfit random codebooks on residuals still
+  // trail raw-vector PQ on THIS corpus — quantizing a longer vector
+  // with the same 4 bits is noisier; the spec fits them and shows the
+  // production-relevant lift. See the Decl comment.)
+  private[graft] val pqResCodebooks: Seq[Seq[Seq[Float]]] = {
+    val rnd = new scala.util.Random(43L)
+    Seq.fill(PqSubspaces)(Seq.fill(PqCodes)(
+      Seq.fill(PqSubDim)((rnd.nextGaussian() * 0.19).toFloat)))
+  }
+
+  private def halfNormsOf(books: Seq[Seq[Seq[Float]]]): Seq[Seq[Double]] =
+    books.map(_.map(c => c.map(f => f.toDouble * f.toDouble).sum / 2.0))
+
+  /** β(cell)(sub)(code) = dot(centroid_sub, code) + ‖code‖²/2 — the
+    * residual-assignment bias, computed ONCE in exact driver doubles
+    * and embedded as the same literal in both engines (constants are
+    * never engine-computed, so no chain-order hazard exists here). */
+  private def resBiasOf(
+      books: Seq[Seq[Seq[Float]]]): Seq[Seq[Seq[Double]]] = {
+    val hn = halfNormsOf(books)
+    ivfCentroids.map { c =>
+      (0 until PqSubspaces).map { s2 =>
+        (0 until PqCodes).map { i =>
+          val sub = c.slice(s2 * PqSubDim, s2 * PqSubDim + PqSubDim)
+          sub.zip(books(s2)(i))
+            .foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble } +
+            hn(s2)(i)
+        }.toVector
+      }.toVector
+    }
+  }
+
+  private val ivfPqResBias: Seq[Seq[Seq[Double]]] = resBiasOf(pqResCodebooks)
+
+  /** Residual-PQ subspace code given the row's IVF cell: argmax over
+    * codes of (dot(x_sub, code) − β(cell, sub, code)) — the 16 dots
+    * are cell-independent, only the bias lookup is per-cell. */
+  private def resCodeOf(emb: Column, cellCol: Column, s2: Int,
+      books: Seq[Seq[Seq[Float]]], bias: Seq[Seq[Seq[Double]]]): Column = {
+    val bs = array((0 until IvfNumCells).map(k =>
+      array((0 until PqCodes).map(i =>
+        lit(bias(k)(s2)(i))): _*)): _*)
+    greatest((0 until PqCodes).map(i =>
+      struct((pqSubDot(emb, s2, books(s2)(i)) -
+          element_at(element_at(bs, cellCol + 1), i + 1)).as("s"),
+        lit(i).as("c"))): _*).getField("c")
+  }
+
+  /** Hopped-constant variant of [[sqlDotConst]]: identical 64-term
+    * left-associative chain, constants through the VARCHAR hop — for
+    * chains whose VALUE is oracled (the query-centroid dots below),
+    * not just its sign/argmax (see sqlPqSubDot's scaladoc for the
+    * DECIMAL(25,24) double-rounding trap the hop defuses). */
+  private def sqlDotConstHop(a: String, v: Seq[Float]): String =
+    v.zipWithIndex.map { case (c, i) =>
+      s"(CAST(($a)[${i + 1}] AS DOUBLE) * " +
+        s"CAST('${new java.math.BigDecimal(c.toDouble).toPlainString}' " +
+        "AS DOUBLE))"
+    }.mkString(" + ")
+
+  /** DuckDB 2D literal of β for subspace `s2`: [cell][code], hopped. */
+  private def sqlResBias(s2: Int): String =
+    (0 until IvfNumCells).map(k =>
+      (0 until PqCodes).map(i =>
+        s"CAST('${new java.math.BigDecimal(ivfPqResBias(k)(s2)(i))
+          .toPlainString}' AS DOUBLE)").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  /** Residual-encoded IVFADC retrieval (see the block comment above):
+    * probe the query's cells, ADC-score members off residual codes +
+    * the per-cell query⋅centroid constant, exact re-rank. Codebooks
+    * parameterized so the spec can feed residual-FIT books through
+    * the identical path. */
+  private[graft] def ivfPqResidualTopK(
+      s: SparkSession, d: String, qid: Long, cand: Int, k: Int,
+      books: Seq[Seq[Seq[Float]]] = pqResCodebooks): DataFrame = {
+    val bias =
+      if (books eq pqResCodebooks) ivfPqResBias else resBiasOf(books)
+    val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+    val enc0 = ne.select(col("vec_id"), col("embedding"),
+      ivfCellOf(col("embedding")).as("cell"))
+    val enc = enc0.select(
+      col("vec_id") +: col("embedding") +: col("cell") +:
+        (0 until PqSubspaces).map(s2 =>
+          resCodeOf(col("embedding"), col("cell"), s2, books, bias)
+            .as(s"c$s2")): _*)
+    val qcArr = array(ivfCentroids.map(c =>
+      dotConst(col("qv"), c)): _*)
+    val q = broadcast(ne.filter(col("vec_id") === qid).select(
+      col("embedding").as("qv") +: norm2(col("embedding")).as("qn2") +:
+        explode(ivfTopCells(col("embedding"))).as("pcell") +:
+        (0 until PqSubspaces).map(s2 =>
+          array((0 until PqCodes).map(i =>
+            pqSubDot(col("embedding"), s2, books(s2)(i))): _*)
+            .as(s"t$s2")): _*)
+      .withColumn("qc", element_at(qcArr, col("pcell") + 1)))
+    val approx = (col("qc") +: (0 until PqSubspaces)
+      .map(s2 => element_at(col(s"t$s2"), col(s"c$s2") + 1)))
+      .reduce(_ + _)
+    enc.join(q, col("cell") === col("pcell"))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("qn2"),
+        approx.as("approx"))
+      .orderBy(col("approx").desc, col("vec_id")).limit(cand)
+      .select(col("vec_id"), col("approx"),
+        cosineWithNorms(col("embedding"), col("qv"),
+          norm2(col("embedding")), col("qn2")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
 
   /** Two-stage PQ/ADC retrieval, parameterized for the recall spec:
     * stage 1 scores the corpus by asymmetric-distance approximation
@@ -984,6 +1110,70 @@ object Similarity {
          |FROM c ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
     }) { (s, d) =>
       ivfPqTopK(s, d, 0, 100, 10)
+    },
+
+    // RESIDUAL-encoded IVFADC (see ivfPqResidualTopK): the form
+    // production systems actually ship — PQ codes quantize the
+    // residual x − c(cell), folded into compile-time per-(cell, sub,
+    // code) bias constants so the residual never materializes; the
+    // ADC score gains one per-probe-cell query⋅centroid constant.
+    // Everything stays deterministic (shared 16-dot chains + a 2D
+    // constant lookup in the argmax; hopped constants where VALUES
+    // are oracled) ⇒ codes, candidate order and re-rank all replay
+    // exactly in DuckDB. Honest geometry, measured in
+    // SimilarityTextSpec: on THIS uniform corpus cells carry no
+    // structure, the residual is LONGER than the raw vector, and
+    // residual codes trail raw ones (0.405 vs 0.545 recall@10 — the
+    // ≥ 0.3 floor still 8× the random-candidate baseline); on a
+    // clustered corpus (the regime real embeddings live in) the same
+    // machinery with fit codebooks beats raw-fit PQ 0.680 vs 0.540
+    // at the identical 8×4-bit budget — the claim the production
+    // layout rests on, witnessed with both corpora.
+    Decl("sim_ann_ivfpq_residual", {
+      def dlist(s2: Int) = (0 until PqCodes)
+        .map(i => sqlPqSubDot("embedding", s2, pqResCodebooks(s2)(i)))
+        .mkString("[", ", ", "]")
+      def cosL(a: String, b: String) =
+        s"${sqlDotList(a, b)} / (sqrt(${sqlDotList(a, a)}) * " +
+          s"sqrt(${sqlDotList(b, b)}))"
+      val dcols = (0 until PqSubspaces)
+        .map(s2 => s"${dlist(s2)} AS d$s2").mkString(",\n")
+      val codes = (0 until PqSubspaces).map(s2 =>
+        s"(list_max(list_transform(range(0, $PqCodes), i -> " +
+          s"struct_pack(s := d$s2[i + 1] - " +
+          s"(${sqlResBias(s2)})[cell + 1][i + 1], " +
+          "c := CAST(i AS INTEGER))))).c AS c" + s2).mkString(",\n")
+      val qcArr = ivfCentroids
+        .map(c => s"(${sqlDotConstHop("embedding", c)})")
+        .mkString("[", ", ", "]")
+      val qTables = (0 until PqSubspaces)
+        .map(s2 => s"${dlist(s2)} AS t$s2").mkString(",\n")
+      val tcols = (0 until PqSubspaces).map(s => s"t$s").mkString(", ")
+      val approx = "p.qc_arr[p.pcell + 1] + " + (0 until PqSubspaces)
+        .map(s2 => s"(p.t$s2)[e.c$s2 + 1]").mkString(" + ")
+      s"""WITH ne AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE embedding IS NOT NULL),
+         |e0 AS (SELECT vec_id, embedding, $ivfCellSql AS cell,
+         |$dcols
+         |       FROM ne),
+         |e AS (SELECT vec_id, embedding, cell,
+         |$codes
+         |      FROM e0),
+         |q AS (SELECT embedding AS qv,
+         |        list_transform(list_reverse_sort(
+         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |          AS pcells,
+         |        $qcArr AS qc_arr,
+         |$qTables
+         |      FROM ne WHERE vec_id = 0),
+         |p AS (SELECT qv, qc_arr, $tcols, UNNEST(pcells) AS pcell FROM q),
+         |c AS (SELECT e.vec_id, e.embedding, p.qv, $approx AS approx
+         |      FROM e JOIN p ON e.cell = p.pcell
+         |      ORDER BY approx DESC, e.vec_id LIMIT 100)
+         |SELECT vec_id, approx, ${cosL("embedding", "qv")} AS sim
+         |FROM c ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      ivfPqResidualTopK(s, d, 0, 100, 10)
     },
 
     // PQ codebook training step — one Lloyd update per subspace over

@@ -30,6 +30,8 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(bytes("sim_topk_pq", big) === 0L)
     assert(bytes("sim_ann_ivfpq", small) === 0L)
     assert(bytes("sim_ann_ivfpq", big) === 0L)
+    assert(bytes("sim_ann_ivfpq_residual", small) === 0L)
+    assert(bytes("sim_ann_ivfpq_residual", big) === 0L)
   }
 
   test("PQ codebook fit shuffle is (sub x code x dim)-bounded: flat at " +
