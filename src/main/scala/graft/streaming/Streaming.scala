@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
@@ -446,6 +446,72 @@ object Streaming {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
+
+  /** STREAMING DEAD-LETTER channel — the quarantine surface under a
+    * stream: each micro-batch splits on a row-level gate, passing rows
+    * append to the main channel and failing rows to the dead-letter
+    * channel, exactly once. Same commit discipline as the additive
+    * upsert: both splits write per-batch directories (`b<batchId>` —
+    * a replay overwrites the same dirs deterministically), and the
+    * ledger row written LAST is the commit point; readers
+    * ([[gatedSplitRead]]) union only ledger-committed batch dirs, so
+    * a crash between the split writes and the ledger commit is
+    * invisible — the re-delivered batch lands exactly once on BOTH
+    * channels. At 100 TB/day this is how one poison record costs one
+    * dead-letter row instead of the stream (the batch analogue is
+    * dq_expectations_route / scan_quarantine). */
+  def gatedSplitBatch(batch: DataFrame, batchId: Long, gate: Column,
+      okPath: String, dlqPath: String, ledger: String): Unit = {
+    val spark = batch.sparkSession
+    if (readOpt(spark, ledger).exists(
+        _.filter(col("batch_id") === batchId).head(1).nonEmpty)) return
+    // a NULL gate verdict is a failing row — unjudgeable data belongs
+    // in the dead letter channel, never silently dropped
+    batch.filter(coalesce(gate, lit(false)))
+      .write.mode("overwrite").parquet(s"$okPath/b$batchId")
+    batch.filter(!coalesce(gate, lit(false)))
+      .write.mode("overwrite").parquet(s"$dlqPath/b$batchId")
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+  }
+
+  /** The split writes WITHOUT the ledger commit — exposed so
+    * StreamingSpec can stage the crash window. */
+  def gatedSplitVersion(batch: DataFrame, batchId: Long, gate: Column,
+      okPath: String, dlqPath: String): Unit = {
+    batch.filter(coalesce(gate, lit(false)))
+      .write.mode("overwrite").parquet(s"$okPath/b$batchId")
+    batch.filter(!coalesce(gate, lit(false)))
+      .write.mode("overwrite").parquet(s"$dlqPath/b$batchId")
+  }
+
+  /** Committed view of one channel: the union of ledger-committed
+    * batch directories (uncommitted torn writes are invisible).
+    * Empty-channel reads need the caller's schema — day-zero streams
+    * have no committed batch to infer from. */
+  def gatedSplitRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, ledger: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val ids = readOpt(spark, ledger)
+      .map(_.select("batch_id").collect().map(_.getLong(0)).sorted)
+      .getOrElse(Array.empty[Long])
+    val dirs = ids.map(id => s"$path/b$id")
+      .filter(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(p)))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.toSeq: _*)
+  }
+
+  /** Wire [[gatedSplitBatch]] under a streaming query. */
+  def gatedSplitSink(events: DataFrame, gate: Column, okPath: String,
+      dlqPath: String, ledger: String): org.apache.spark.sql.streaming
+      .DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch(
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        gatedSplitBatch(b.toDF(), id, gate, okPath, dlqPath, ledger))
 
   /** Wire [[additiveUpsertBatch]] under a streaming query. */
   def additiveUpsertSink(events: DataFrame, target: String,

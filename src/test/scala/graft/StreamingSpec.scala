@@ -647,6 +647,57 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"re-delivered batch did not land exactly once: $got")
   }
 
+  test("streaming dead-letter channel: the gate splits every " +
+    "micro-batch exactly once, a null verdict routes to dead-letter, " +
+    "and the torn-write crash window replays cleanly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dlq").toString
+    val (ok, dlq, ledger) = (s"$base/ok", s"$base/dlq", s"$base/ledger")
+    val gate = col("value") >= 0.0
+    val schema = Seq.empty[Ev].toDF().schema
+    def okRows = Streaming.gatedSplitRead(spark, ok, ledger, schema)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    def dlqRows = Streaming.gatedSplitRead(spark, dlq, ledger, schema)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    val input = MemoryStream[Ev]
+    val q = Streaming.gatedSplitSink(input.toDF(), gate, ok, dlq, ledger)
+      .option("checkpointLocation", s"$base/ck").start()
+    try {
+      input.addData(Ev(1, ts(5), "click", 1, 2.0),
+        Ev(2, ts(6), "click", 1, -3.0))
+      q.processAllAvailable()
+      // NaN passes a ">= 0" gate: Spark SQL orders NaN GREATER than
+      // every double (unlike Java's NaN-poisoned comparisons) — a
+      // real gate screening for garbage values must test isnan()
+      // explicitly; this pin documents the trap
+      input.addData(Ev(3, ts(7), "view", 2, Double.NaN),
+        Ev(4, ts(8), "view", 2, 7.0))
+      q.processAllAvailable()
+      assert(okRows == Set(1L, 3L, 4L), s"ok channel: $okRows")
+      assert(dlqRows == Set(2L), s"dlq channel: $dlqRows")
+    } finally q.stop()
+    // crash window: split written for a new batch, ledger not
+    // committed — both channels must NOT see it yet. The batch also
+    // carries a NULL value: a null gate verdict routes to the
+    // dead-letter channel (unjudgeable data is never silently dropped)
+    val b9 = Seq(
+      (9L, ts(9), "click", 3L, java.lang.Double.valueOf(1.0)),
+      (10L, ts(9), "click", 3L, java.lang.Double.valueOf(-1.0)),
+      (11L, ts(9), "click", 3L, null.asInstanceOf[java.lang.Double]))
+      .toDF("event_id", "ts", "event_type", "user_id", "value")
+    Streaming.gatedSplitVersion(b9, 99L, gate, ok, dlq)
+    assert(okRows == Set(1L, 3L, 4L) && dlqRows == Set(2L),
+      "uncommitted split must be invisible to readers")
+    // replay with the same id commits exactly once; a second replay
+    // is a no-op
+    Streaming.gatedSplitBatch(b9, 99L, gate, ok, dlq, ledger)
+    Streaming.gatedSplitBatch(b9, 99L, gate, ok, dlq, ledger)
+    assert(okRows == Set(1L, 3L, 4L, 9L), s"ok after replay: $okRows")
+    assert(dlqRows == Set(2L, 10L, 11L), s"dlq after replay: $dlqRows")
+  }
+
   test("restart from checkpoint: session-window aggregation state " +
     "survives — stopped after batch 1, restarted, the in-gap event " +
     "still MERGES into the open session (B38's operational path)") {
