@@ -95,6 +95,9 @@ object ScaleAudit {
       "every other expectation is an output-bounded conditional agg"),
     "dq_expectations_approx" -> ("output-bounded: the uniqueness check " +
       "ships a fixed HLL sketch instead of the exact distinct's Expand"),
+    "multimodal_pca_fit" -> ("model-bounded: power sums over <=110 " +
+      "(i, j) keys after map-side partials; each power-iteration " +
+      "round joins a 100-row covariance frame — never corpus-sized"),
     "text_nb_train" -> ("vocab-bounded: (class x token) count partials " +
       "+ an n_classes-row prior frame — model size, never corpus size"),
     "text_nb_classify" -> ("input-linear scoring: test tokens x " +

@@ -1016,6 +1016,130 @@ object Multimodal {
         .orderBy(col("sim").desc, col("doc_id")).limit(10)
     },
 
+    // PCA LEARNED IN THE ENGINE over real decoded pixels — the
+    // vision-side counterpart of text_nb_train: a principal component
+    // fit on the 10-dim pixel-feature vectors (real PNG decode →
+    // integer counts) by 8 power-iteration rounds, entirely as
+    // dataflow. Why this is exactly oracle-able: the features are
+    // exact integers, so the power sums (Σx_i, Σx_i·x_j) are exact
+    // decimals (VARCHAR-hopped back to doubles — their scaled
+    // integers exceed 2^53), the covariance entries are identical
+    // IEEE expressions of identical operands, and each iteration
+    // quantizes its mat-vec products at DECIMAL(30,12) before an
+    // order-independent exact sum — so all 8 iterates, the final
+    // loadings AND the eigenvalue estimate (the last iterate's norm)
+    // replay bit-exactly in DuckDB through the same unrolled rounds.
+    // Scale: two corpus-sized shuffles build the 10+100 power sums
+    // (map-side partials, feature-dim-bounded keys); each iteration
+    // is a join over a 100-row frame — model-sized, never
+    // corpus-sized, the distributed-PCA shape. MultimodalCodecSpec
+    // pins that the iterate actually converged (residual ‖Cv − λv‖
+    // small vs λ).
+    Decl("multimodal_pca_fit", {
+      val bins = (0 until 8).map(b =>
+        s"    CAST(SUM(CASE WHEN gray // 32 = $b THEN 1 ELSE 0 END) " +
+          "AS DOUBLE)").mkString(",\n")
+      val prev = "(doc_id * 31 + (x - 1) * 7 + y * 13) % 256"
+      def hopSum(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(30,12))) " +
+          "AS VARCHAR) AS DOUBLE)"
+      // every multiply-referenced CTE is MATERIALIZED: DuckDB's
+      // default inlining would re-evaluate u_r for both n_r and v_r —
+      // doubling per round = 2^8 evaluations of the whole corpus
+      // pipeline (measured: the un-hinted oracle burned minutes where
+      // the hinted one replays in seconds)
+      def round(r: Int): String = {
+        val pv = if (r == 1) "v0" else s"v${r - 1}"
+        s"""u$r AS MATERIALIZED (
+           |  SELECT c.i AS i, ${hopSum(s"c.c * $pv.v")} AS u
+           |  FROM c JOIN $pv ON $pv.i = c.j GROUP BY c.i),
+           |n$r AS MATERIALIZED (
+           |  SELECT sqrt(${hopSum("u * u")}) AS nrm FROM u$r),
+           |v$r AS MATERIALIZED (
+           |  SELECT i, u / nrm AS v FROM u$r, n$r)""".stripMargin
+      }
+      s"""WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w,
+         |      doc_id % 7 + 1 AS h FROM documents),
+         |px AS (SELECT doc_id, w, tx.x AS x, ty.y AS y,
+         |    (doc_id * 31 + tx.x * 7 + ty.y * 13) % 256 AS gray
+         |  FROM d, range(0, 13) tx(x), range(0, 7) ty(y)
+         |  WHERE tx.x < w AND ty.y < h),
+         |f AS (SELECT doc_id, [
+         |$bins,
+         |    CAST(SUM(CASE WHEN x > 0 AND gray < $prev
+         |      THEN 1 ELSE 0 END) AS DOUBLE),
+         |    CAST(SUM(CASE WHEN x > 0 AND gray >= $prev
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |  ] AS emb FROM px GROUP BY doc_id),
+         |fm AS MATERIALIZED (SELECT doc_id, emb FROM f),
+         |fi AS (SELECT t.i AS i, emb[t.i + 1] AS x
+         |       FROM fm, range(0, 10) t(i)),
+         |sums AS MATERIALIZED (
+         |  SELECT i, COUNT(*) AS n, ${hopSum("x")} AS s
+         |  FROM fi GROUP BY i),
+         |pr AS (SELECT ti.i AS i, tj.j AS j,
+         |    emb[ti.i + 1] * emb[tj.j + 1] AS p
+         |  FROM fm, range(0, 10) ti(i), range(0, 10) tj(j)),
+         |sp AS (SELECT i, j, ${hopSum("p")} AS sp FROM pr GROUP BY i, j),
+         |c AS MATERIALIZED (
+         |  SELECT sp.i, sp.j,
+         |    sp.sp / si.n - (si.s / si.n) * (sj.s / sj.n) AS c
+         |  FROM sp JOIN sums si ON si.i = sp.i
+         |  JOIN sums sj ON sj.i = sp.j),
+         |v0 AS (SELECT t.i AS i, 1.0 AS v FROM range(0, 10) t(i)),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT CAST(v8.i AS INTEGER) AS dim,
+         |  CAST(CAST(CAST(v8.v AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE)
+         |    AS loading9,
+         |  CAST(CAST(CAST(n8.nrm AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE)
+         |    AS lambda9
+         |FROM v8, n8 ORDER BY dim""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      implicit val enc = Encoders.product[PixelFeatures]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      val feats = pngOf(ids).mapPartitions(_.map(pixelEmbed))
+        .toDF("doc_id", "emb")
+        .localCheckpoint(false) // feeds both power-sum passes once
+      def dsum12(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(30, 12))).cast(DoubleType)
+      val fi = feats.select(posexplode(col("emb")).as(Seq("i", "x")))
+      val sums = fi.groupBy("i")
+        .agg(count(lit(1)).as("n"), dsum12(col("x")).as("s"))
+      val pr = feats.select(explode(expr(
+        "flatten(transform(emb, (xi, i) -> " +
+          "transform(emb, (xj, j) -> struct(i AS i, j AS j, " +
+          "xi * xj AS p))))")).as("t"))
+        .select(col("t.i"), col("t.j"), col("t.p"))
+      val sp = pr.groupBy("i", "j").agg(dsum12(col("p")).as("sp"))
+      val cM = sp
+        .join(sums.select(col("i"), col("n"), col("s").as("si")), "i")
+        .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
+        .select(col("i"), col("j"),
+          (col("sp") / col("n") -
+            (col("si") / col("n")) * (col("sj") / col("n"))).as("c"))
+        .localCheckpoint(false) // 100-row model frame drives the loop
+      val spark = s
+      import spark.implicits._
+      var v = (0 until 10).map(i => (i, 1.0)).toDF("i", "v")
+        .localCheckpoint(false)
+      var nrmF: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 8) {
+        val u = cM.join(v.select(col("i").as("j"), col("v")), "j")
+          .groupBy("i").agg(dsum12(col("c") * col("v")).as("u"))
+        nrmF = u.agg(sqrt(dsum12(col("u") * col("u"))).as("nrm"))
+        v = u.crossJoin(broadcast(nrmF))
+          .select(col("i"), (col("u") / col("nrm")).as("v"))
+          .localCheckpoint(false)
+      }
+      v.crossJoin(broadcast(nrmF))
+        .select(col("i").as("dim"),
+          col("v").cast(DecimalType(20, 9)).cast(DoubleType).as("loading9"),
+          col("nrm").cast(DecimalType(20, 9)).cast(DoubleType).as("lambda9"))
+        .orderBy("dim")
+    },
+
     // The full multimodal retrieval bridge: binary payload → stub
     // embedding model (mapPartitions, batched) → cosine top-k against
     // a query asset — media in, similarity ranking out, with the

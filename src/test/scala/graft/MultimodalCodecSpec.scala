@@ -108,6 +108,49 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodePngSafe(bad).status == "quarantine")
   }
 
+  test("multimodal_pca_fit: the power iterate is a genuine eigenvector " +
+      "of the pixel-feature covariance (residual small vs lambda)") {
+    val rows = SparkEntry.queries("multimodal_pca_fit")(spark, sf).collect()
+    assert(rows.length == 10)
+    val v = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val lambda = rows.head.getDouble(2)
+    assert(lambda > 0.0)
+    // independent covariance from generator arithmetic (no engine, no
+    // decimal quantization — agreement within tolerance shows the
+    // quantized dataflow converged to the true component)
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val feats = ids.map { id =>
+      val w = (id % 13 + 1).toInt
+      val h = (id % 7 + 1).toInt
+      val hist = new Array[Double](10)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = Multimodal.pngGray(id, x, y)
+        hist(g >> 5) += 1
+        if (x > 0) {
+          val p = Multimodal.pngGray(id, x - 1, y)
+          if (g >= p) hist(9) += 1 else hist(8) += 1
+        }
+      }
+      hist
+    }
+    val n = feats.length.toDouble
+    val mu = (0 until 10).map(i => feats.map(_(i)).sum / n)
+    def cov(i: Int, j: Int): Double =
+      feats.map(f => f(i) * f(j)).sum / n - mu(i) * mu(j)
+    val cv = (0 until 10).map(i =>
+      (0 until 10).map(j => cov(i, j) * v(j)).sum)
+    val resid = math.sqrt((0 until 10)
+      .map(i => { val r = cv(i) - lambda * v(i); r * r }).sum)
+    info(f"lambda=$lambda%.3f residual ||Cv - lv|| = $resid%.4f " +
+      f"(${resid / lambda}%.5f relative)")
+    assert(resid / lambda < 0.05,
+      f"power iterate not converged: relative residual ${resid / lambda}%.4f")
+    // and the loadings are a unit vector
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"loadings norm $norm != 1")
+  }
+
   test("GIF multi-frame round-trip: frame count, dims and every pixel " +
       "exact across the generator seed space") {
     // GIF is palette-lossless, so unlike JPEG the bound is EXACTNESS:

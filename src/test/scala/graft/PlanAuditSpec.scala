@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dq_expectations_approx", // same scaffold, sketch-backed uniqueness
     "text_nb_train", // broadcast single-row vocab-size + doc-total scalars
     "text_nb_classify", // same two training scalars feed the scoring fan-out
+    "multimodal_pca_fit", // broadcast single-row iterate-norm scalar cross
     "dq_volume_anomaly", // broadcast single-row window-stats scalar cross
     "dq_psi") // broadcast single-row midpoint + side-total scalar crosses
 

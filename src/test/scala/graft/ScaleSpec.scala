@@ -71,6 +71,16 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("multimodal_pca_fit shuffle is model-bounded: flat at 10x rows " +
+      "(power-sum partials over <=110 feature-pair keys)") {
+    val b1 = bytes("multimodal_pca_fit", small)
+    val b2 = bytes("multimodal_pca_fit", big)
+    assert(b1 > 0, "expected a (bounded) shuffle at sf0.01")
+    assert(b2 <= 2 * b1,
+      s"multimodal_pca_fit shuffle grew $b1 -> $b2 bytes at 10x rows — " +
+        "the power-sum partials have regressed to row shipping")
+  }
+
   test("text_nb_train count shuffle is (class x vocab)-bounded: flat " +
       "at 10x rows after map-side partials") {
     val b1 = bytes("text_nb_train", small)
