@@ -598,6 +598,111 @@ object Multimodal {
     PhashRow(m.doc_id, hi, lo)
   }
 
+  /** Shared PCA machinery (multimodal_pca_fit + _project): the DuckDB
+    * WITH-chain up to the 8th power iterate, and the Spark frames
+    * (features, per-dim power sums, final iterate v + its norm). */
+  private def pcaHopSum(x: String): String =
+    s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(30,12))) " +
+      "AS VARCHAR) AS DOUBLE)"
+
+  private def pcaSqlWith: String = {
+    val bins = (0 until 8).map(b =>
+      s"    CAST(SUM(CASE WHEN gray // 32 = $b THEN 1 ELSE 0 END) " +
+        "AS DOUBLE)").mkString(",\n")
+    val prev = "(doc_id * 31 + (x - 1) * 7 + y * 13) % 256"
+    // every multiply-referenced CTE is MATERIALIZED: DuckDB's default
+    // inlining would re-evaluate u_r for both n_r and v_r — doubling
+    // per round = 2^8 evaluations of the whole corpus pipeline
+    // (measured: the un-hinted oracle burned minutes where the hinted
+    // one replays in seconds)
+    def round(r: Int): String = {
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""u$r AS MATERIALIZED (
+         |  SELECT c.i AS i, ${pcaHopSum(s"c.c * $pv.v")} AS u
+         |  FROM c JOIN $pv ON $pv.i = c.j GROUP BY c.i),
+         |n$r AS MATERIALIZED (
+         |  SELECT sqrt(${pcaHopSum("u * u")}) AS nrm FROM u$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, u / nrm AS v FROM u$r, n$r)""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w,
+       |      doc_id % 7 + 1 AS h FROM documents),
+       |px AS (SELECT doc_id, w, tx.x AS x, ty.y AS y,
+       |    (doc_id * 31 + tx.x * 7 + ty.y * 13) % 256 AS gray
+       |  FROM d, range(0, 13) tx(x), range(0, 7) ty(y)
+       |  WHERE tx.x < w AND ty.y < h),
+       |f AS (SELECT doc_id, [
+       |$bins,
+       |    CAST(SUM(CASE WHEN x > 0 AND gray < $prev
+       |      THEN 1 ELSE 0 END) AS DOUBLE),
+       |    CAST(SUM(CASE WHEN x > 0 AND gray >= $prev
+       |      THEN 1 ELSE 0 END) AS DOUBLE)
+       |  ] AS emb FROM px GROUP BY doc_id),
+       |fm AS MATERIALIZED (SELECT doc_id, emb FROM f),
+       |fi AS (SELECT t.i AS i, emb[t.i + 1] AS x
+       |       FROM fm, range(0, 10) t(i)),
+       |sums AS MATERIALIZED (
+       |  SELECT i, COUNT(*) AS n, ${pcaHopSum("x")} AS s
+       |  FROM fi GROUP BY i),
+       |pr AS (SELECT ti.i AS i, tj.j AS j,
+       |    emb[ti.i + 1] * emb[tj.j + 1] AS p
+       |  FROM fm, range(0, 10) ti(i), range(0, 10) tj(j)),
+       |sp AS (SELECT i, j, ${pcaHopSum("p")} AS sp FROM pr GROUP BY i, j),
+       |c AS MATERIALIZED (
+       |  SELECT sp.i, sp.j,
+       |    sp.sp / si.n - (si.s / si.n) * (sj.s / sj.n) AS c
+       |  FROM sp JOIN sums si ON si.i = sp.i
+       |  JOIN sums sj ON sj.i = sp.j),
+       |v0 AS (SELECT t.i AS i, 1.0 AS v FROM range(0, 10) t(i)),
+       |${(1 to 8).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** Spark side of the shared PCA pipeline: (features, per-dim sums,
+    * final iterate v(i, v), final norm 1-row frame). */
+  private def pcaFrames(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    implicit val enc = Encoders.product[PixelFeatures]
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id")).as(Encoders.LONG)
+    val feats = pngOf(ids).mapPartitions(_.map(pixelEmbed))
+      .toDF("doc_id", "emb")
+      .localCheckpoint(false) // feeds both power-sum passes once
+    def dsum12(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(30, 12))).cast(DoubleType)
+    val fi = feats.select(posexplode(col("emb")).as(Seq("i", "x")))
+    val sums = fi.groupBy("i")
+      .agg(count(lit(1)).as("n"), dsum12(col("x")).as("s"))
+    val pr = feats.select(explode(expr(
+      "flatten(transform(emb, (xi, i) -> " +
+        "transform(emb, (xj, j) -> struct(i AS i, j AS j, " +
+        "xi * xj AS p))))")).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"))
+    val sp = pr.groupBy("i", "j").agg(dsum12(col("p")).as("sp"))
+    val cM = sp
+      .join(sums.select(col("i"), col("n"), col("s").as("si")), "i")
+      .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
+      .select(col("i"), col("j"),
+        (col("sp") / col("n") -
+          (col("si") / col("n")) * (col("sj") / col("n"))).as("c"))
+      .localCheckpoint(false) // 100-row model frame drives the loop
+    val spark = s
+    import spark.implicits._
+    var v = (0 until 10).map(i => (i, 1.0)).toDF("i", "v")
+      .localCheckpoint(false)
+    var nrmF: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 8) {
+      val u = cM.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i").agg(dsum12(col("c") * col("v")).as("u"))
+      nrmF = u.agg(sqrt(dsum12(col("u") * col("u"))).as("nrm"))
+      v = u.crossJoin(broadcast(nrmF))
+        .select(col("i"), (col("u") / col("nrm")).as("v"))
+        .localCheckpoint(false)
+    }
+    (feats, sums, v, nrmF)
+  }
+
   def decls: Seq[Decl] = Seq(
 
     // Image near-dup detection end-to-end: synthesize REAL PNGs (JDK
@@ -1036,58 +1141,7 @@ object Multimodal {
     // pins that the iterate actually converged (residual ‖Cv − λv‖
     // small vs λ).
     Decl("multimodal_pca_fit", {
-      val bins = (0 until 8).map(b =>
-        s"    CAST(SUM(CASE WHEN gray // 32 = $b THEN 1 ELSE 0 END) " +
-          "AS DOUBLE)").mkString(",\n")
-      val prev = "(doc_id * 31 + (x - 1) * 7 + y * 13) % 256"
-      def hopSum(x: String) =
-        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(30,12))) " +
-          "AS VARCHAR) AS DOUBLE)"
-      // every multiply-referenced CTE is MATERIALIZED: DuckDB's
-      // default inlining would re-evaluate u_r for both n_r and v_r —
-      // doubling per round = 2^8 evaluations of the whole corpus
-      // pipeline (measured: the un-hinted oracle burned minutes where
-      // the hinted one replays in seconds)
-      def round(r: Int): String = {
-        val pv = if (r == 1) "v0" else s"v${r - 1}"
-        s"""u$r AS MATERIALIZED (
-           |  SELECT c.i AS i, ${hopSum(s"c.c * $pv.v")} AS u
-           |  FROM c JOIN $pv ON $pv.i = c.j GROUP BY c.i),
-           |n$r AS MATERIALIZED (
-           |  SELECT sqrt(${hopSum("u * u")}) AS nrm FROM u$r),
-           |v$r AS MATERIALIZED (
-           |  SELECT i, u / nrm AS v FROM u$r, n$r)""".stripMargin
-      }
-      s"""WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w,
-         |      doc_id % 7 + 1 AS h FROM documents),
-         |px AS (SELECT doc_id, w, tx.x AS x, ty.y AS y,
-         |    (doc_id * 31 + tx.x * 7 + ty.y * 13) % 256 AS gray
-         |  FROM d, range(0, 13) tx(x), range(0, 7) ty(y)
-         |  WHERE tx.x < w AND ty.y < h),
-         |f AS (SELECT doc_id, [
-         |$bins,
-         |    CAST(SUM(CASE WHEN x > 0 AND gray < $prev
-         |      THEN 1 ELSE 0 END) AS DOUBLE),
-         |    CAST(SUM(CASE WHEN x > 0 AND gray >= $prev
-         |      THEN 1 ELSE 0 END) AS DOUBLE)
-         |  ] AS emb FROM px GROUP BY doc_id),
-         |fm AS MATERIALIZED (SELECT doc_id, emb FROM f),
-         |fi AS (SELECT t.i AS i, emb[t.i + 1] AS x
-         |       FROM fm, range(0, 10) t(i)),
-         |sums AS MATERIALIZED (
-         |  SELECT i, COUNT(*) AS n, ${hopSum("x")} AS s
-         |  FROM fi GROUP BY i),
-         |pr AS (SELECT ti.i AS i, tj.j AS j,
-         |    emb[ti.i + 1] * emb[tj.j + 1] AS p
-         |  FROM fm, range(0, 10) ti(i), range(0, 10) tj(j)),
-         |sp AS (SELECT i, j, ${hopSum("p")} AS sp FROM pr GROUP BY i, j),
-         |c AS MATERIALIZED (
-         |  SELECT sp.i, sp.j,
-         |    sp.sp / si.n - (si.s / si.n) * (sj.s / sj.n) AS c
-         |  FROM sp JOIN sums si ON si.i = sp.i
-         |  JOIN sums sj ON sj.i = sp.j),
-         |v0 AS (SELECT t.i AS i, 1.0 AS v FROM range(0, 10) t(i)),
-         |${(1 to 8).map(round).mkString(",\n")}
+      s"""${pcaSqlWith}
          |SELECT CAST(v8.i AS INTEGER) AS dim,
          |  CAST(CAST(CAST(v8.v AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE)
          |    AS loading9,
@@ -1096,48 +1150,48 @@ object Multimodal {
          |FROM v8, n8 ORDER BY dim""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
-      implicit val enc = Encoders.product[PixelFeatures]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
-      val feats = pngOf(ids).mapPartitions(_.map(pixelEmbed))
-        .toDF("doc_id", "emb")
-        .localCheckpoint(false) // feeds both power-sum passes once
-      def dsum12(c: org.apache.spark.sql.Column) =
-        sum(c.cast(DecimalType(30, 12))).cast(DoubleType)
-      val fi = feats.select(posexplode(col("emb")).as(Seq("i", "x")))
-      val sums = fi.groupBy("i")
-        .agg(count(lit(1)).as("n"), dsum12(col("x")).as("s"))
-      val pr = feats.select(explode(expr(
-        "flatten(transform(emb, (xi, i) -> " +
-          "transform(emb, (xj, j) -> struct(i AS i, j AS j, " +
-          "xi * xj AS p))))")).as("t"))
-        .select(col("t.i"), col("t.j"), col("t.p"))
-      val sp = pr.groupBy("i", "j").agg(dsum12(col("p")).as("sp"))
-      val cM = sp
-        .join(sums.select(col("i"), col("n"), col("s").as("si")), "i")
-        .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
-        .select(col("i"), col("j"),
-          (col("sp") / col("n") -
-            (col("si") / col("n")) * (col("sj") / col("n"))).as("c"))
-        .localCheckpoint(false) // 100-row model frame drives the loop
-      val spark = s
-      import spark.implicits._
-      var v = (0 until 10).map(i => (i, 1.0)).toDF("i", "v")
-        .localCheckpoint(false)
-      var nrmF: org.apache.spark.sql.DataFrame = null
-      for (_ <- 1 to 8) {
-        val u = cM.join(v.select(col("i").as("j"), col("v")), "j")
-          .groupBy("i").agg(dsum12(col("c") * col("v")).as("u"))
-        nrmF = u.agg(sqrt(dsum12(col("u") * col("u"))).as("nrm"))
-        v = u.crossJoin(broadcast(nrmF))
-          .select(col("i"), (col("u") / col("nrm")).as("v"))
-          .localCheckpoint(false)
-      }
+      val (_, _, v, nrmF) = pcaFrames(s, d)
       v.crossJoin(broadcast(nrmF))
         .select(col("i").as("dim"),
           col("v").cast(DecimalType(20, 9)).cast(DoubleType).as("loading9"),
           col("nrm").cast(DecimalType(20, 9)).cast(DoubleType).as("lambda9"))
         .orderBy("dim")
+    },
+
+    // The learned component APPLIED in the same plan: every document's
+    // pixel-feature vector projected onto the fit's principal axis
+    // (centered: Σ (f_i − μ_i)·v_i with the products quantized at
+    // DECIMAL(30,12) before the exact sum — the iteration discipline
+    // carried into scoring). fit → transform in ONE declared dataflow,
+    // which is the pipeline shape a feature-reduction stage actually
+    // runs — and the per-document scores are exactly oracled through
+    // the identical unrolled chain. Scale: the model side (means +
+    // iterate) rides broadcast frames; scoring is one map over the
+    // corpus + a (doc)-keyed partial+final aggregate.
+    Decl("multimodal_pca_project", {
+      s"""${pcaSqlWith},
+         |m AS (SELECT i, s / n AS mu FROM sums),
+         |fd AS (SELECT doc_id, t.i AS i, emb[t.i + 1] AS x
+         |       FROM fm, range(0, 10) t(i))
+         |SELECT fd.doc_id,
+         |  CAST(CAST(CAST(${pcaHopSum("(fd.x - m.mu) * v8.v")}
+         |    AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) AS pc1_9
+         |FROM fd JOIN m ON m.i = fd.i JOIN v8 ON v8.i = fd.i
+         |GROUP BY fd.doc_id ORDER BY fd.doc_id""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val (feats, sums, v, _) = pcaFrames(s, d)
+      val means = broadcast(sums.select(col("i"),
+        (col("s") / col("n")).as("mu")))
+      feats.select(col("doc_id"), posexplode(col("emb")).as(Seq("i", "x")))
+        .join(means, "i")
+        .join(broadcast(v), "i")
+        .groupBy("doc_id")
+        .agg(sum(((col("x") - col("mu")) * col("v"))
+            .cast(DecimalType(30, 12)))
+          .cast(DoubleType).cast(DecimalType(20, 9)).cast(DoubleType)
+          .as("pc1_9"))
+        .orderBy("doc_id")
     },
 
     // The full multimodal retrieval bridge: binary payload → stub

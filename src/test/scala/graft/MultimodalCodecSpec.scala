@@ -151,6 +151,30 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(norm - 1.0) < 1e-6, s"loadings norm $norm != 1")
   }
 
+  test("multimodal_pca_project: scores are centered and their variance " +
+      "recovers the eigenvalue (Var(X v) = v'Cv = lambda)") {
+    // The eigen-identity ties the two queries together end-to-end: if
+    // the projection used the wrong means, the wrong loadings, or a
+    // drifted feature pipeline, the score variance would NOT land on
+    // the fit's lambda. Tolerance covers the iterate's convergence
+    // residual (<5% pinned above) plus the scale-9 score quantization.
+    val fit = SparkEntry.queries("multimodal_pca_fit")(spark, sf).collect()
+    val lambda = fit.head.getDouble(2)
+    val scores = SparkEntry.queries("multimodal_pca_project")(spark, sf)
+      .collect().map(_.getDouble(1))
+    val n = scores.length.toDouble
+    assert(n > 0)
+    val mean = scores.sum / n
+    val varS = scores.map(x => (x - mean) * (x - mean)).sum / n
+    info(f"n=${scores.length} mean=$mean%.6f var=$varS%.3f lambda=$lambda%.3f")
+    // centered projection: mean score must be ~0 relative to the spread
+    assert(math.abs(mean) < 1e-6 * math.sqrt(varS) + 1e-9,
+      f"projected scores not centered: mean=$mean%.9f")
+    assert(math.abs(varS - lambda) / lambda < 0.06,
+      f"score variance $varS%.4f != lambda $lambda%.4f — projection " +
+        "disagrees with the fit it claims to apply")
+  }
+
   test("GIF multi-frame round-trip: frame count, dims and every pixel " +
       "exact across the generator seed space") {
     // GIF is palette-lossless, so unlike JPEG the bound is EXACTNESS:
