@@ -303,6 +303,57 @@ object CatalogIO {
         .orderBy("o_orderpriority")
     },
 
+    // Dynamic partition pruning end-to-end: a fact table laid out by
+    // partitionBy(event_type) joined to a dim whose FILTER (not the
+    // fact's) decides which partitions matter. At 100 TB this is the
+    // star-schema workhorse — the dim filter's surviving keys reach
+    // the fact scan as a runtime partition predicate (Spark reuses the
+    // broadcast exchange as the pruning subquery), so the fact reads
+    // 2/5ths of its directories here and the same fraction of a
+    // petabyte layout in production. Static pruning (partition_prune)
+    // needs the literal in the query; this is the case where the
+    // literal only EXISTS after scanning the dim. PlanShapeSpec pins
+    // the dynamicpruning subquery + the scanned-partition count; the
+    // oracle recomputes the join relationally from the source table.
+    Decl("join_dpp",
+      s"""WITH dim AS (SELECT DISTINCT event_type,
+         |    CASE WHEN event_type IN ('error', 'purchase')
+         |         THEN 'alert' ELSE 'routine' END AS severity
+         |  FROM events)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |  ${sqlSum("e.value")} AS sum_value
+         |FROM events e JOIN dim ON dim.event_type = e.event_type
+         |WHERE dim.severity = 'alert'
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) {
+      (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "value", "event_type")
+      val factPath = Catalog.scratch(d, "events_by_type")
+      Catalog.once(s, d, factPath) {
+        // repartition on the partition column first (see show_partitions:
+        // tasks × types sliver files otherwise)
+        ev.repartition(col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(factPath)
+      }
+      val dim = Tables.events(s, d).select("event_type").distinct()
+        .withColumn("severity",
+          when(col("event_type").isin("error", "purchase"), "alert")
+            .otherwise("routine"))
+      val dimPath = Catalog.scratch(d, "event_type_dim")
+      Catalog.once(s, d, dimPath) {
+        dim.coalesce(1).write.mode("overwrite").parquet(dimPath)
+      }
+      // writer-schema reads (see show_partitions): empty-safe
+      val fact = s.read.schema(ev.schema).parquet(factPath)
+      val dimR = s.read.schema(dim.schema).parquet(dimPath)
+        .filter(col("severity") === "alert")
+      fact.join(dimR, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // A10c: JSON-LINES sink — the LLM-training interchange format
     // (every tokenizer/trainer ingests gzip'd jsonl shards). Write the
     // corpus out compressed, read it back with an EXPLICIT schema (a

@@ -316,6 +316,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("dynamic partition pruning: the dim filter reaches the " +
+    "partitioned fact scan as a runtime subquery (star-schema DPP)") {
+    // join_dpp's pruning literal only exists after scanning the dim, so
+    // static pruning cannot help — the optimizer must inject a
+    // dynamicpruning subquery on the fact's partition column (reusing
+    // the dim's broadcast exchange). useStats=false because the local
+    // fixture has no table stats for the benefit estimate; a warehouse
+    // deployment has ANALYZE stats and keeps the default.
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("join_dpp")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"expected a dynamicpruning subquery on the fact scan:\n${p.take(2000)}")
+      // the fact scan must touch only the 2 'alert' directories of 5
+      def flatten(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (pl +: pl.children.flatMap(flatten)) ++ (pl match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            flatten(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case _ => Nil
+        })
+      val factScan = flatten(df.queryExecution.executedPlan).collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.partitionFilters.exists(
+              _.toString.contains("dynamicpruning")) => f
+      }
+      assert(factScan.nonEmpty, "no dynamically-pruned fact scan found")
+      val parts = factScan.get.metrics.get("numPartitions").map(_.value)
+      assert(parts.contains(2L),
+        s"fact scan read $parts partitions — expected exactly the 2 " +
+          "dim-selected ones of 5")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE skew-join splits a pathologically skewed shuffle join at " +
     "runtime (the no-code-change alternative to manual salting)") {
     // 90% of the left side lands on ONE key — the shape that stalls a
