@@ -130,6 +130,36 @@ object StreamingBatch {
         .orderBy("click_id", "error_id")
     },
 
+    // Streaming INFERENCE with the in-engine-trained model: the
+    // prediction-distribution monitor of a scoring stream. The NB
+    // model (text_nb_train) is trained batch-side; Text.nbScore scores
+    // documents against it per micro-batch under foreachBatch
+    // (StreamingSpec drives the chunked/exactly-once form through
+    // Streaming.transformSink and proves chunked ≡ batch bit-exactly —
+    // each doc's score depends only on its own tokens plus the static
+    // model). This batch twin is the converged monitor: predictions
+    // per class + the exact decimal sum of their scores, which is what
+    // a production scoring stream alerts on (prediction-drift = class
+    // mix shifting against the training distribution). Scale: model
+    // frames broadcast; scoring is one (doc, class)-keyed partial+final
+    // aggregate per batch; the monitor is |classes| rows.
+    Decl("stream_nb_classify",
+      s"""${Text.nbSqlRanked}
+         |SELECT r.clang AS pred_lang, COUNT(*) AS n,
+         |  CAST(CAST(SUM(r.sc) AS VARCHAR) AS DOUBLE) AS sum_score9
+         |FROM ranked r WHERE r.rn = 1
+         |GROUP BY r.clang ORDER BY pred_lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val test = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      Text.nbScore(test, Text.nbModel(s, d))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("sc").cast(DecimalType(30, 9))).cast(DoubleType)
+            .as("sum_score9"))
+        .orderBy("pred_lang")
+    },
+
     // Stream ⋈ static enrichment through the SAME library function the
     // MemoryStream spec drives (Streaming.enrichWithDim): every event
     // tagged with its user's market segment from the customer

@@ -24,6 +24,111 @@ object Text {
 
   private val toks = split(col("text"), " ")
 
+  /** The trained Naive Bayes model as frames (text_nb_train's
+    * parameters, shaped for scoring): the (class, token) count table,
+    * the per-class totals, the vocabulary size, and the log-priors.
+    * All model frames are (class × vocab)-bounded — broadcastable —
+    * and the count table is checkpointed once so every consumer
+    * (batch classify, the streaming monitor, each micro-batch of a
+    * streaming scorer) reuses one materialization instead of
+    * re-deriving the corpus-wide explode+count. */
+  final case class NbModel(cnt: DataFrame, classes: DataFrame,
+      v: DataFrame, prior: DataFrame)
+
+  private[graft] def nbModel(s: org.apache.spark.sql.SparkSession,
+      d: String): NbModel = {
+    val train = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 =!= 0
+        && col("text").isNotNull && col("lang").isNotNull)
+    val tok = train.select(col("lang"), explode(toks).as("tok"))
+    val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cls = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val ctot = cnt.groupBy("lang").agg(sum("c").as("ct"))
+    val v = broadcast(cnt.agg(countDistinct("tok").as("v")))
+    val tot = broadcast(cls.agg(sum("n_docs").as("total")))
+    def t9(x: Column) = log(x).cast(DecimalType(20, 9))
+    val prior = cls.crossJoin(tot)
+      .select(col("lang").as("clang"),
+        t9(col("n_docs").cast(DoubleType) / col("total")).as("p9"))
+    // the class table is |classes| rows — broadcast by construction;
+    // cnt is (class × vocab)-bounded and stays UNHINTED (the planner
+    // broadcasts it at test scale and demotes to a token-key shuffle
+    // join when a real vocabulary outgrows the threshold)
+    val classes = broadcast(cls.join(ctot, "lang")
+      .select(col("lang").as("clang"), col("ct")))
+    NbModel(cnt, classes, v, prior)
+  }
+
+  /** Score documents (doc_id, lang, text) against a trained [[NbModel]]:
+    * argmax over classes of prior + Σ smoothed token log-likelihoods,
+    * every term DECIMAL(20,9)-quantized and the per-(doc, class) score
+    * an exact decimal sum — the prediction AND score replay exactly in
+    * DuckDB (see text_nb_classify). Works identically on a full test
+    * split or one micro-batch: each doc's score depends only on its
+    * own tokens plus the static model, so chunked streaming scoring
+    * is bit-equal to batch scoring (StreamingSpec witnesses this). */
+  private[graft] def nbScore(docs: DataFrame, m: NbModel): DataFrame = {
+    val ttok = docs.select(col("doc_id"), explode(toks).as("tok"))
+    def t9(x: Column) = log(x).cast(DecimalType(20, 9))
+    val term = ttok.crossJoin(m.classes).crossJoin(m.v)
+      .join(m.cnt.select(col("lang").as("clang"), col("tok"), col("c")),
+        Seq("clang", "tok"), "left")
+      .select(col("doc_id"), col("clang"),
+        t9((coalesce(col("c"), lit(0L)) + 1).cast(DoubleType) /
+          (col("ct") + col("v")).cast(DoubleType)).as("t9"))
+    val score = term.groupBy("doc_id", "clang")
+      .agg(sum(col("t9")).as("ts"))
+      .join(broadcast(m.prior), "clang")
+      .withColumn("sc", col("ts") + col("p9"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("sc").desc, col("clang"))
+    score.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clang").as("pred_lang"),
+        col("sc"))
+  }
+
+  /** The classify oracle's WITH-chain up through the ranked scores —
+    * shared by text_nb_classify (per-doc predictions) and
+    * stream_nb_classify (the prediction-distribution monitor). */
+  private[queries] def nbSqlRanked: String = {
+    def t9(x: String) =
+      s"CAST(CAST(ln($x) AS VARCHAR) AS DECIMAL(20,9))"
+    s"""WITH train AS (SELECT lang, text FROM documents
+       |  WHERE doc_id % 5 != 0 AND text IS NOT NULL AND lang IS NOT NULL),
+       |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM train),
+       |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+       |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang),
+       |ctot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ct FROM cnt
+       |         GROUP BY lang),
+       |v AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cls),
+       |prior AS (SELECT cls.lang,
+       |    ${t9("CAST(cls.n_docs AS DOUBLE) / tot.total")} AS p9
+       |  FROM cls, tot),
+       |test AS (SELECT doc_id, lang, text FROM documents
+       |         WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+       |ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |         FROM test),
+       |term AS (SELECT tt.doc_id, cl.lang AS clang,
+       |    ${t9("CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / " +
+             "CAST(ctot.ct + v.v AS DOUBLE)")} AS t9
+       |  FROM ttok tt
+       |  CROSS JOIN cls cl
+       |  JOIN ctot ON ctot.lang = cl.lang
+       |  CROSS JOIN v
+       |  LEFT JOIN cnt c ON c.lang = cl.lang AND c.tok = tt.tok),
+       |score AS (SELECT doc_id, clang, SUM(t9) AS ts
+       |          FROM term GROUP BY doc_id, clang),
+       |ranked AS (SELECT s.doc_id, s.clang, s.ts + pr.p9 AS sc,
+       |    row_number() OVER (PARTITION BY s.doc_id
+       |                       ORDER BY s.ts + pr.p9 DESC, s.clang) AS rn
+       |  FROM score s JOIN prior pr ON pr.lang = s.clang)""".stripMargin
+  }
+
   def decls: Seq[Decl] = Seq(
 
     // C6: corpus statistics by language (all-exact arithmetic).
@@ -1117,85 +1222,16 @@ object Text {
     // vocab outgrows memory, then a plain shuffle join on the token
     // key — stopwords are the skewed keys, AQE territory), and the
     // score aggregate is partial+final on (doc, class).
-    Decl("text_nb_classify", {
-      def t9(x: String) =
-        s"CAST(CAST(ln($x) AS VARCHAR) AS DECIMAL(20,9))"
-      s"""WITH train AS (SELECT lang, text FROM documents
-         |  WHERE doc_id % 5 != 0 AND text IS NOT NULL AND lang IS NOT NULL),
-         |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
-         |        FROM train),
-         |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
-         |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang),
-         |ctot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ct FROM cnt
-         |         GROUP BY lang),
-         |v AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
-         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cls),
-         |prior AS (SELECT cls.lang,
-         |    ${t9("CAST(cls.n_docs AS DOUBLE) / tot.total")} AS p9
-         |  FROM cls, tot),
-         |test AS (SELECT doc_id, lang, text FROM documents
-         |         WHERE doc_id % 5 = 0 AND text IS NOT NULL),
-         |ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |         FROM test),
-         |term AS (SELECT tt.doc_id, cl.lang AS clang,
-         |    ${t9("CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / " +
-               "CAST(ctot.ct + v.v AS DOUBLE)")} AS t9
-         |  FROM ttok tt
-         |  CROSS JOIN cls cl
-         |  JOIN ctot ON ctot.lang = cl.lang
-         |  CROSS JOIN v
-         |  LEFT JOIN cnt c ON c.lang = cl.lang AND c.tok = tt.tok),
-         |score AS (SELECT doc_id, clang, SUM(t9) AS ts
-         |          FROM term GROUP BY doc_id, clang),
-         |ranked AS (SELECT s.doc_id, s.clang, s.ts + pr.p9 AS sc,
-         |    row_number() OVER (PARTITION BY s.doc_id
-         |                       ORDER BY s.ts + pr.p9 DESC, s.clang) AS rn
-         |  FROM score s JOIN prior pr ON pr.lang = s.clang)
+    Decl("text_nb_classify",
+      s"""$nbSqlRanked
          |SELECT r.doc_id, te.lang, r.clang AS pred_lang,
          |  CAST(CAST(r.sc AS VARCHAR) AS DOUBLE) AS score9
          |FROM ranked r JOIN test te ON te.doc_id = r.doc_id
-         |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin
-    }) { (s, d) =>
+         |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val train = docs.filter(col("doc_id") % 5 =!= 0
-        && col("text").isNotNull && col("lang").isNotNull)
-      val tok = train.select(col("lang"), explode(toks).as("tok"))
-      // checkpointed once like in text_nb_train: the model table feeds
-      // the class totals, the vocab size AND the scoring join below
-      val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
-      val cls = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val ctot = cnt.groupBy("lang").agg(sum("c").as("ct"))
-      val v = broadcast(cnt.agg(countDistinct("tok").as("v")))
-      val tot = broadcast(cls.agg(sum("n_docs").as("total")))
-      def t9(x: Column) = log(x).cast(DecimalType(20, 9))
-      val prior = cls.crossJoin(tot)
-        .select(col("lang").as("clang"),
-          t9(col("n_docs").cast(DoubleType) / col("total")).as("p9"))
       val test = docs.filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
-      val ttok = test.select(col("doc_id"), explode(toks).as("tok"))
-      // the class table is |classes| rows — broadcast by construction;
-      // cnt is (class × vocab)-bounded and stays UNHINTED (the planner
-      // broadcasts it at test scale and demotes to a token-key shuffle
-      // join when a real vocabulary outgrows the threshold)
-      val classes = broadcast(cls.join(ctot, "lang")
-        .select(col("lang").as("clang"), col("ct")))
-      val term = ttok.crossJoin(classes).crossJoin(v)
-        .join(cnt.select(col("lang").as("clang"), col("tok"), col("c")),
-          Seq("clang", "tok"), "left")
-        .select(col("doc_id"), col("clang"),
-          t9((coalesce(col("c"), lit(0L)) + 1).cast(DoubleType) /
-            (col("ct") + col("v")).cast(DoubleType)).as("t9"))
-      val score = term.groupBy("doc_id", "clang")
-        .agg(sum(col("t9")).as("ts"))
-        .join(broadcast(prior), "clang")
-        .withColumn("sc", col("ts") + col("p9"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("sc").desc, col("clang"))
-      score.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .join(test.select(col("doc_id"), col("lang")), "doc_id")
-        .select(col("doc_id"), col("lang"), col("clang").as("pred_lang"),
+      nbScore(test, nbModel(s, d))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
           col("sc").cast(DoubleType).as("score9"))
         .orderBy("doc_id")
     }

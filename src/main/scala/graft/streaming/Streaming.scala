@@ -505,6 +505,34 @@ object Streaming {
     else spark.read.schema(schema).parquet(dirs.toSeq: _*)
   }
 
+  /** STREAMING INFERENCE channel — apply an arbitrary batch transform
+    * (e.g. scoring a micro-batch against a broadcast model,
+    * Text.nbScore) and land the results exactly once: per-batch
+    * directory write, then the ledger row as the commit point — the
+    * same discipline as [[gatedSplitBatch]]. A replayed batch id
+    * short-circuits on the ledger check (or deterministically
+    * overwrites its own directory if the crash hit the window), so
+    * at-least-once delivery from the source becomes exactly-once
+    * output. Readers union committed dirs via [[gatedSplitRead]]. */
+  def transformSinkBatch(batch: DataFrame, batchId: Long,
+      transform: DataFrame => DataFrame, target: String,
+      ledger: String): Unit = {
+    val spark = batch.sparkSession
+    if (readOpt(spark, ledger).exists(
+        _.filter(col("batch_id") === batchId).head(1).nonEmpty)) return
+    transform(batch).write.mode("overwrite").parquet(s"$target/b$batchId")
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+  }
+
+  /** Wire [[transformSinkBatch]] under a streaming query. */
+  def transformSink(events: DataFrame, transform: DataFrame => DataFrame,
+      target: String, ledger: String): org.apache.spark.sql.streaming
+      .DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch(
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        transformSinkBatch(b.toDF(), id, transform, target, ledger))
+
   /** Wire [[gatedSplitBatch]] under a streaming query. */
   def gatedSplitSink(events: DataFrame, gate: Column, okPath: String,
       dlqPath: String, ledger: String): org.apache.spark.sql.streaming

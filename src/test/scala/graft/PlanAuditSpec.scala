@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dq_expectations_approx", // same scaffold, sketch-backed uniqueness
     "text_nb_train", // broadcast single-row vocab-size + doc-total scalars
     "text_nb_classify", // same two training scalars feed the scoring fan-out
+    "stream_nb_classify", // same scoring scaffold under the stream monitor
     "multimodal_pca_fit", // broadcast single-row iterate-norm scalar cross
     "dq_volume_anomaly", // broadcast single-row window-stats scalar cross
     "dq_psi") // broadcast single-row midpoint + side-total scalar crosses
@@ -65,7 +66,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // exchange is class- or vocab-bounded (class totals, vocab-size
     // distinct, priors, the top-k window, the (doc, class) score agg)
     "text_nb_train" -> 8,
-    "text_nb_classify" -> 10)
+    "text_nb_classify" -> 10,
+    // the monitor adds one |classes|-row final aggregate on top of the
+    // classify scaffold
+    "stream_nb_classify" -> 11)
 
   /** The sf-proportional dimensions (customer/supplier/part) carry NO
     * broadcast hint — at 100 TB a forced broadcast OOMs every executor.

@@ -851,4 +851,52 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(direct(u)._2 - s) < 1e-6, s"user $u: $s vs ${direct(u)._2}")
     }
   }
+
+  test("streaming inference: NB scoring per micro-batch through the " +
+    "exactly-once transform sink is bit-equal to batch scoring, and " +
+    "a re-delivered batch lands once") {
+    // the production scoring pipeline: model trained batch-side
+    // (text_nb_train), a document stream scored per micro-batch in
+    // foreachBatch against the static model frames, predictions landed
+    // under the per-batch-dir + ledger commit discipline. Chunking must
+    // not change a single bit of any score: each doc's argmax depends
+    // only on its own tokens plus the model.
+    import graft.queries.Text
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_nbstream").toString
+    val (src, target, ledger) = (s"$base/src", s"$base/out", s"$base/led")
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select("doc_id", "lang", "text")
+    // three appended single-file chunks + maxFilesPerTrigger=1 force
+    // at least three micro-batches
+    for (i <- 0 until 3)
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(src)
+    val model = Text.nbModel(spark, sf)
+    val expected = Text.nbScore(docs, model).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDecimal(3))).toSet
+    assert(expected.nonEmpty)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Streaming.transformSink(
+        stream, b => Text.nbScore(b, model), target, ledger)
+      .option("checkpointLocation", s"$base/ck").start()
+    try q.processAllAvailable() finally q.stop()
+    val committed = spark.read.parquet(ledger)
+      .collect().map(_.getLong(0)).sorted
+    assert(committed.length >= 3,
+      s"expected >=3 micro-batches, got ${committed.toSeq}")
+    val outSchema = Text.nbScore(docs, model).schema
+    def got = Streaming.gatedSplitRead(spark, target, ledger, outSchema)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDecimal(3)))
+    assert(got.toSet == expected && got.length == expected.size,
+      "streamed predictions differ from batch scoring")
+    // at-least-once delivery: replaying a committed batch id (with
+    // whatever rows the source re-delivers) must be a no-op
+    Streaming.transformSinkBatch(docs.limit(3), committed.head,
+      b => Text.nbScore(b, model), target, ledger)
+    assert(got.length == expected.size,
+      "re-delivered committed batch landed twice")
+  }
 }
