@@ -53,6 +53,34 @@ object Warehouse {
         s"((($y) >> $k) & 1) * ${1L << (2 * k + 1)}"
     }.mkString("(", " + ", ")")
 
+  /** part projected onto the 8-bit (x, y) grid with its Morton key —
+    * the frame both the z-ordered scratch layout and its oracle
+    * recompute share. x scales p_size (1..50) by 5; y spreads the
+    * price's varying decimals (FLOOR(price·10) mod 256 — one IEEE
+    * multiply of identical operands, floor replays cross-engine, and
+    * the mapping stays spread at every SF's price range). */
+  private[graft] def zorderedPart(s: SparkSession, d: String)
+      : DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      ((col("p_size") * 5) % 256).cast(LongType).as("x"),
+      (floor(col("p_retailprice") * 10.0).cast(LongType) % 256).as("y"))
+    .withColumn("zval", morton(col("x"), col("y")))
+
+  /** Memoized z-ordered layout of [[zorderedPart]]: range-partitioned
+    * on the Morton key, sorted within files — 16 files each covering a
+    * compact z-interval, i.e. a tight (x, y) stats box. */
+  private[graft] def zorderedPartPath(s: SparkSession, d: String)
+      : String = {
+    val path = Catalog.scratch(d, "part_zorder")
+    Catalog.once(s, d, path) {
+      zorderedPart(s, d)
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def decls: Seq[Decl] = Seq(
 
     // MERGE-style upsert: apply a change set (updates keyed to existing
@@ -218,6 +246,35 @@ object Warehouse {
           (floor(col("p_retailprice") / 8.0).cast(LongType) % 256).as("y"))
         .withColumn("zval", morton(col("x"), col("y")))
         .orderBy("zval", "p_partkey")
+    },
+
+    // The z-order PAYOFF: a 2-D box query over the part table laid out
+    // as a range-partitioned sort on the Morton key (the physical form
+    // OPTIMIZE ZORDER produces). Because a z-sorted file covers a
+    // compact z-interval, its per-column min/max stats describe a tight
+    // (x, y) box, so the parquet reader's row-group stats skip most of
+    // the table for a box predicate on EITHER dimension — the reason
+    // this layout exists at 100 TB. The oracle recomputes the box
+    // relationally from the source (layout must never change results);
+    // WarehouseSpec measures the skipping itself: scan-output rows on
+    // the z-ordered layout vs a key-ordered twin of the same bytes.
+    // x/y here are genuine attributes scaled onto the 8-bit grids the
+    // morton key interleaves (p_size 1..50 → ×5; the price's varying
+    // decimals via FLOOR(price·10) mod 256) and the box is an aligned
+    // 64×64 tile — one contiguous z-interval, the clustered case's
+    // best shape.
+    Decl("zorder_prune",
+      """SELECT COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+        |FROM (SELECT p_partkey, (p_size * 5) % 256 AS x,
+        |    CAST(FLOOR(p_retailprice * 10.0) AS BIGINT) % 256 AS y
+        |  FROM part)
+        |WHERE x BETWEEN 64 AND 127 AND y BETWEEN 64 AND 127""".stripMargin) {
+      (s, d) =>
+      val z = zorderedPart(s, d)
+      s.read.schema(z.schema).parquet(zorderedPartPath(s, d))
+        .filter(col("x").between(64, 127) && col("y").between(64, 127))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_partkey")).cast(LongType).as("sum_key"))
     },
 
     // Bucketed co-located join: orders and lineitem written ONCE as

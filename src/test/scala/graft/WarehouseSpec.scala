@@ -115,6 +115,57 @@ class WarehouseSpec extends AnyFunSuite with SparkSuite {
     assert(zs.sameElements(zs.sorted))
   }
 
+  test("zorder_prune: the z-ordered layout's row-group stats skip most " +
+    "of the table for a 2-D box, a key-ordered twin skips nothing") {
+    // same rows, same filter, two layouts — the scan's output-row
+    // metric (rows surviving parquet row-group min/max pruning) is the
+    // direct measure of the layout's worth
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(flatten)) ++ (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            flatten(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case _ => Nil
+        })
+      flatten(df.queryExecution.executedPlan).collectFirst {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.get
+    }
+    // sf0.01: at the suite's sf0.001 each of the 8 files holds only 25
+    // rows, so the z-intervals are too coarse for the stats boxes to
+    // separate (measured 100/200) — the layout needs enough rows per
+    // file for "compact z-interval" to mean "tight box"
+    val sfz = "/root/testdata/sf0.01"
+    val z = graft.queries.Warehouse.zorderedPart(spark, sfz)
+    val zPath = graft.queries.Warehouse.zorderedPartPath(spark, sfz)
+    // the unclustered twin: identical rows in ARRIVAL (round-robin)
+    // order — not key order, because the generator correlates price
+    // with p_partkey, which would give a key sort tight y-stats for
+    // free and poison the baseline
+    val linPath = Catalog.scratch(sfz, "part_rrorder")
+    z.repartition(8).write.mode("overwrite").parquet(linPath)
+    val box = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("x").between(64, 127) && col("y").between(64, 127))
+    val total = spark.read.schema(z.schema).parquet(zPath).count()
+    val zRows = scanRows(box(spark.read.schema(z.schema).parquet(zPath)))
+    val linRows = scanRows(box(spark.read.schema(z.schema).parquet(linPath)))
+    info(s"total=$total z-ordered scan rows=$zRows key-ordered=$linRows")
+    assert(linRows == total,
+      "key-ordered twin unexpectedly skipped row groups — the " +
+        "comparison baseline is broken")
+    assert(zRows * 2 < linRows,
+      s"z-ordered layout skipped too little: $zRows vs $linRows — " +
+        "the morton sort is not producing tight stats boxes")
+    // and the layout never changes the answer
+    assert(box(spark.read.schema(z.schema).parquet(zPath)).count() ==
+      box(spark.read.schema(z.schema).parquet(linPath)).count())
+  }
+
   test("bucketed_join: co-located join has no exchange on either side") {
     // build the bucketed tables via the declared query first
     q("bucketed_join").collect()
