@@ -90,6 +90,118 @@ object Text {
         col("sc"))
   }
 
+  /** Canonical-leftmost BPE merge application, carry columns preserved:
+    * fold each row's sep-prefixed repr with the broadcast 1-row best
+    * pair (see text_bpe_learn's fold-boundary notes — the suffix test
+    * is boundary-exact and a symbol merged this round can't chain).
+    * array_remove drops the split's leading '' (repr is sep-prefixed);
+    * symbols are never empty so nothing else matches. NOT
+    * slice(arr, 2, Int.MaxValue): Spark's slice computes start +
+    * length in Int and silently overflows to an EMPTY result
+    * (measured — the whole fold returned ''). */
+  private def bpeApply(df: DataFrame, best: DataFrame,
+      carry: String*): DataFrame =
+    df.crossJoin(
+        broadcast(best.select(col("pl").as("bl"), col("pr").as("br"))))
+      .select(expr(
+        "aggregate(array_remove(split(repr, chr(1)), ''), '', " +
+          "(acc, x) -> CASE WHEN endswith(acc, chr(1) || bl) " +
+          "AND x = br THEN acc || x " +
+          "ELSE acc || chr(1) || x END)").as("repr")
+        +: carry.map(col): _*)
+      .localCheckpoint(false)
+
+  /** 4 rounds of BPE merge learning over the doc_id < 200 training
+    * slice (frequency-weighted distinct-word table): returns the
+    * per-round best-pair frames (1 row each: pl, pr, n). Each round is
+    * one vocabulary-sized pair-count shuffle + a broadcast best pair +
+    * a map-side fold; localCheckpoint bounds the lineage per round. */
+  private def bpeLearnRounds(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[DataFrame] = {
+    val words = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("doc_id") < 200)
+      .select(explode(toks).as("w"))
+      .filter(col("w").rlike("\\A[a-z]{2,12}\\z"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var cur = words.select(
+      expr("concat(chr(1), array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), chr(1)))").as("repr"),
+      col("freq"))
+      .localCheckpoint(false)
+    val toksCol = expr("array_remove(split(repr, chr(1)), '')")
+    val bests = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to 4) {
+      val best = cur
+        .select(col("freq"), toksCol.as("t"))
+        .filter(size(col("t")) >= 2) // sequence() turns descending at 0
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS pl, " +
+            "element_at(t, i + 1) AS pr))")).as("pair"))
+        .groupBy(col("pair.pl").as("pl"), col("pair.pr").as("pr"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pl"), col("pr")).limit(1)
+        .localCheckpoint(false)
+      bests += best
+      if (r < 4) cur = bpeApply(cur, best, "freq")
+    }
+    bests.toSeq
+  }
+
+  /** The BPE learning oracle's WITH-chain through the 4 best pairs
+    * (b1..b4) — shared by text_bpe_learn and text_bpe_encode. The
+    * multiply-referenced per-round frames are MATERIALIZED: DuckDB's
+    * default inlining re-evaluates w_r for both p_{r+1} and w_{r+1}
+    * (and the encode chain re-references every b_r), doubling per
+    * round — the PCA oracle's lesson applied here. */
+  private[queries] def bpeSqlChain: String = {
+    def toksD(src: String) =
+      s"(SELECT freq, string_split(repr, chr(1))[2:] AS t FROM $src)"
+    def pairsD(r: Int, src: String) =
+      s"""p$r AS (SELECT (pair).pl AS pl, (pair).pr AS pr,
+         |    CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(t)),
+         |      i -> struct_pack(pl := t[i], pr := t[i + 1]))) AS pair
+         |    FROM ${toksD(src)})
+         |  GROUP BY pl, pr),
+         |b$r AS MATERIALIZED (SELECT pl, pr, n FROM p$r
+         |        ORDER BY n DESC, pl, pr LIMIT 1)""".stripMargin
+    def applyD(r: Int, src: String) =
+      s"""w$r AS MATERIALIZED (SELECT list_reduce(string_split(repr, chr(1)),
+         |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || b$r.pl)
+         |        AND x = b$r.pr
+         |      THEN acc || x ELSE acc || chr(1) || x END) AS repr, freq
+         |  FROM $src, b$r)""".stripMargin
+    s"""wr AS (SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE text IS NOT NULL AND doc_id < 200)
+       |  WHERE regexp_matches(w, '\\A[a-z]{2,12}\\z') GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT chr(1) || array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> w[i]), chr(1))
+       |    AS repr, freq FROM wr),
+       |${pairsD(1, "w0")},
+       |${applyD(1, "w0")},
+       |${pairsD(2, "w1")},
+       |${applyD(2, "w1")},
+       |${pairsD(3, "w2")},
+       |${applyD(3, "w2")},
+       |${pairsD(4, "w3")}""".stripMargin
+  }
+
+  /** The encode oracle's merge-application chain: fold the full-corpus
+    * vocabulary (enc0) through each learned pair in rank order — the
+    * identical list_reduce the learning chain uses, with the word
+    * carried alongside. */
+  private[queries] def bpeSqlEncChain: String =
+    (1 to 4).map { r =>
+      val src = if (r == 1) "enc0" else s"enc${r - 1}"
+      s"""enc$r AS (SELECT w, list_reduce(string_split(repr, chr(1)),
+         |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || b$r.pl)
+         |        AND x = b$r.pr
+         |      THEN acc || x ELSE acc || chr(1) || x END) AS repr
+         |  FROM $src, b$r)""".stripMargin
+    }.mkString(",\n")
+
   /** The classify oracle's WITH-chain up through the ranked scores —
     * shared by text_nb_classify (per-doc predictions) and
     * stream_nb_classify (the prediction-distribution monitor). */
@@ -796,89 +908,70 @@ object Text {
     // word-freq rollup happens once up front) + a broadcast 1-row
     // best-pair frame + a map-side fold; K rounds = K bounded shuffles,
     // the graph_components loop pattern applied to tokenizer training.
-    Decl("text_bpe_learn", {
-      def toksD(src: String) =
-        s"(SELECT freq, string_split(repr, chr(1))[2:] AS t FROM $src)"
-      def pairsD(r: Int, src: String) =
-        s"""p$r AS (SELECT (pair).pl AS pl, (pair).pr AS pr,
-           |    CAST(SUM(freq) AS BIGINT) AS n
-           |  FROM (SELECT freq, unnest(list_transform(range(1, len(t)),
-           |      i -> struct_pack(pl := t[i], pr := t[i + 1]))) AS pair
-           |    FROM ${toksD(src)})
-           |  GROUP BY pl, pr),
-           |b$r AS (SELECT pl, pr, n FROM p$r
-           |        ORDER BY n DESC, pl, pr LIMIT 1)""".stripMargin
-      def applyD(r: Int, src: String) =
-        s"""w$r AS (SELECT list_reduce(string_split(repr, chr(1)),
-           |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || b$r.pl)
-           |        AND x = b$r.pr
-           |      THEN acc || x ELSE acc || chr(1) || x END) AS repr, freq
-           |  FROM $src, b$r)""".stripMargin
-      s"""WITH wr AS (SELECT w, COUNT(*) AS freq FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
-         |    WHERE text IS NOT NULL AND doc_id < 200)
-         |  WHERE regexp_matches(w, '\\A[a-z]{2,12}\\z') GROUP BY w),
-         |w0 AS (SELECT chr(1) || array_to_string(
-         |    list_transform(range(1, len(w) + 1), i -> w[i]), chr(1))
-         |    AS repr, freq FROM wr),
-         |${pairsD(1, "w0")},
-         |${applyD(1, "w0")},
-         |${pairsD(2, "w1")},
-         |${applyD(2, "w1")},
-         |${pairsD(3, "w2")},
-         |${applyD(3, "w2")},
-         |${pairsD(4, "w3")}
+    Decl("text_bpe_learn",
+      s"""WITH $bpeSqlChain
          |SELECT * FROM (
          |  SELECT 1 AS mrank, pl, pr, n FROM b1
          |  UNION ALL SELECT 2, pl, pr, n FROM b2
          |  UNION ALL SELECT 3, pl, pr, n FROM b3
          |  UNION ALL SELECT 4, pl, pr, n FROM b4)
-         |ORDER BY mrank""".stripMargin
-    }) { (s, d) =>
-      val words = Tables.documents(s, d)
-        .filter(col("text").isNotNull && col("doc_id") < 200)
-        .select(explode(toks).as("w"))
-        .filter(col("w").rlike("\\A[a-z]{2,12}\\z"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      var cur = words.select(
-        expr("concat(chr(1), array_join(transform(sequence(1, length(w)), " +
-          "i -> substring(w, i, 1)), chr(1)))").as("repr"),
-        col("freq"))
+         |ORDER BY mrank""".stripMargin) { (s, d) =>
+      bpeLearnRounds(s, d).zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("mrank"), col("pl"), col("pr"), col("n"))
+      }.reduce(_.unionAll(_)).orderBy("mrank")
+    },
+
+    // The learned tokenizer APPLIED — train→encode in one declared
+    // dataflow, the same discipline as text_nb_classify and
+    // multimodal_pca_project: the 4 merges learned on the doc_id < 200
+    // slice encode the FULL corpus, and the per-document outcome (word
+    // count, character-symbol count, post-merge BPE token count — the
+    // compression a tokenizer team actually tracks) is pure integer
+    // arithmetic, exactly oracled through the identical fold chain.
+    // Scale: encoding runs over the DISTINCT word table (the merge
+    // folds are vocabulary-bounded work, never corpus-sized), then one
+    // token-keyed join fans the symbol counts back to the corpus —
+    // stopwords are the skewed keys, AQE territory, same shape as
+    // text_unigram_nll's count join.
+    Decl("text_bpe_encode",
+      s"""WITH $bpeSqlChain,
+         |enc0 AS (SELECT w, chr(1) || array_to_string(
+         |    list_transform(range(1, len(w) + 1), i -> w[i]), chr(1))
+         |    AS repr FROM (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE text IS NOT NULL)
+         |  WHERE regexp_matches(w, '\\A[a-z]{2,12}\\z'))),
+         |${bpeSqlEncChain},
+         |encn AS (SELECT w,
+         |    len(string_split(repr, chr(1))) - 1 AS n_sym FROM enc4),
+         |td AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE regexp_matches(w, '\\A[a-z]{2,12}\\z'))
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+         |FROM td JOIN encn USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bests = bpeLearnRounds(s, d)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val keep = col("w").rlike("\\A[a-z]{2,12}\\z")
+      var enc = docs.select(explode(toks).as("w")).filter(keep).distinct()
+        .select(col("w"), expr(
+          "concat(chr(1), array_join(transform(sequence(1, length(w)), " +
+            "i -> substring(w, i, 1)), chr(1)))").as("repr"))
         .localCheckpoint(false)
-      // array_remove drops the split's leading '' (repr is sep-
-      // prefixed); symbols are never empty so nothing else matches.
-      // NOT slice(arr, 2, Int.MaxValue): Spark's slice computes
-      // start + length in Int and silently overflows to an EMPTY
-      // result (measured — the whole fold returned '').
-      val toksCol = expr("array_remove(split(repr, chr(1)), '')")
-      var out: DataFrame = null
-      for (r <- 1 to 4) {
-        val best = cur
-          .select(col("freq"), toksCol.as("t"))
-          .filter(size(col("t")) >= 2) // sequence() turns descending at 0
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(t) - 1), " +
-              "i -> struct(element_at(t, i) AS pl, " +
-              "element_at(t, i + 1) AS pr))")).as("pair"))
-          .groupBy(col("pair.pl").as("pl"), col("pair.pr").as("pr"))
-          .agg(sum("freq").as("n"))
-          .orderBy(col("n").desc, col("pl"), col("pr")).limit(1)
-          .localCheckpoint(false)
-        val row = best.select(lit(r).as("mrank"), col("pl"), col("pr"),
-          col("n"))
-        out = if (out == null) row else out.unionAll(row)
-        if (r < 4)
-          cur = cur.crossJoin(
-              broadcast(best.select(col("pl").as("bl"), col("pr").as("br"))))
-            .select(expr(
-              "aggregate(array_remove(split(repr, chr(1)), ''), '', " +
-                "(acc, x) -> CASE WHEN endswith(acc, chr(1) || bl) " +
-                "AND x = br THEN acc || x " +
-                "ELSE acc || chr(1) || x END)").as("repr"),
-              col("freq"))
-            .localCheckpoint(false)
-      }
-      out.orderBy("mrank")
+      for (b <- bests) enc = bpeApply(enc, b, "w")
+      val nsym = enc.select(col("w"),
+        size(expr("array_remove(split(repr, chr(1)), '')")).as("n_sym"))
+      docs.select(col("doc_id"), explode(toks).as("w")).filter(keep)
+        .join(nsym, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast(LongType).as("n_chars"),
+          sum(col("n_sym")).cast(LongType).as("n_bpe"))
+        .orderBy("doc_id")
     },
 
     // Unigram-LM negative log-likelihood per document — the perplexity
