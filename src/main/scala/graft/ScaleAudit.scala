@@ -106,7 +106,19 @@ object ScaleAudit {
     "text_bpe_learn" -> ("vocab-linear x 4 rounds: pair counts shuffle " +
       "over the DISTINCT word table (the corpus-sized rollup happens " +
       "once up front), best pair rides a broadcast 1-row frame"),
-    "dq_psi" -> "output-bounded: <=12 bucket rows per partition partial")
+    "dq_psi" -> "output-bounded: <=12 bucket rows per partition partial",
+    "multimodal_pca_project" -> ("input-linear scoring atop a " +
+      "model-bounded fit: means + final iterate ride broadcast frames, " +
+      "scoring is one (doc)-keyed partial+final aggregate"),
+    "stream_nb_classify" -> ("class-bounded monitor atop the classify " +
+      "scoring shuffle: the final aggregate is |classes| rows"),
+    "text_bpe_encode" -> ("vocab-bounded merge folds + one token-keyed " +
+      "join fanning symbol counts back to the corpus (input-linear)"),
+    "join_dpp" -> ("input-linear on the SURVIVING partitions only: the " +
+      "dim filter reaches the partitioned fact scan as a runtime " +
+      "pruning subquery before the aggregate's partial+final exchange"),
+    "zorder_prune" -> ("output-bounded: row-group stats prune the " +
+      "z-clustered scan before a single partial+final box aggregate"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

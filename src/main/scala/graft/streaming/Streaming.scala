@@ -437,6 +437,46 @@ object Streaming {
     }
   }
 
+  /** Retention vacuum for [[additiveUpsertBatch]]'s version
+    * directories — the piece the upsert docstring promises a
+    * transactional format would add: delete `v<id>` snapshots older
+    * than the newest committed version, retaining the last `keep`
+    * committed ones. Never touches dirs at-or-above the newest
+    * committed id (a dir there is an in-flight or torn write that its
+    * own replay deterministically overwrites) and never the ledger
+    * (the append-only commit log is the atomicity anchor; compacting
+    * it needs a write-then-swap protocol — a real table format's job,
+    * documented not imitated). Safe at any point between batches:
+    * readers resolve through the ledger max, which `keep >= 1`
+    * preserves by construction. Returns the deleted version ids. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession,
+      target: String, ledger: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "must retain at least the newest committed version")
+    val committed = readOpt(spark, ledger)
+      .map(_.select("batch_id").collect().map(_.getLong(0)).sorted)
+      .getOrElse(Array.empty[Long])
+    if (committed.isEmpty) return Nil
+    val retained = committed.takeRight(keep).toSet
+    val newest = committed.last
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    // a sub-cutoff dir is either a superseded committed snapshot or an
+    // abandoned torn write whose id later recommitted into the same
+    // path — both are dead weight
+    val dead = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v"))
+          n.drop(1).toLongOption.map(id => id -> st.getPath)
+        else None
+      }
+      .filter { case (id, _) => id < newest && !retained(id) }
+    dead.foreach { case (_, dir) => fs.delete(dir, true) }
+    dead.map(_._1).sorted
+  }
+
   /** Existence-guarded parquet read via the Hadoop FS API — the paths
     * may live on any filesystem (HDFS/object store), not just local
     * disk. */

@@ -570,6 +570,45 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("version-dir retention vacuum: superseded snapshots and " +
+    "abandoned torn writes are deleted, the committed view is " +
+    "untouched, and in-flight dirs above the newest commit survive") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vacuum").toString
+    val (target, ledger) = (s"$base/target", s"$base/ledger")
+    def state() = Streaming.additiveUpsertRead(spark, target, ledger)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    def dirs() = new java.io.File(target).list().toSet
+    for (i <- 0 to 2)
+      Streaming.additiveUpsertBatch(
+        Seq(Ev(10 + i, ts(5 + i), "click", 1, 2.0)).toDF(), i, target, ledger)
+    // plus a torn write above the newest commit (in-flight batch 7)
+    Streaming.additiveUpsertVersion(
+      Seq(Ev(20, ts(9), "view", 2, 1.0)).toDF(), 7L, target, ledger)
+    val before = state()
+    assert(before == Map(1L -> ((6.0, 3L))) && dirs() ==
+      Set("v0", "v1", "v2", "v7"), s"setup: ${dirs()} $before")
+    val deleted = Streaming.vacuumVersions(spark, target, ledger, keep = 1)
+    assert(deleted == Seq(0L, 1L), s"deleted: $deleted")
+    assert(dirs() == Set("v2", "v7"),
+      s"must retain the newest commit and the in-flight dir: ${dirs()}")
+    assert(state() == before, "vacuum changed the committed view")
+    // idempotent, and the retention floor is enforced
+    assert(Streaming.vacuumVersions(spark, target, ledger, keep = 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      Streaming.vacuumVersions(spark, target, ledger, keep = 0)
+    }
+    // batch 7 later commits normally through its replay — the vacuumed
+    // store keeps working end-to-end
+    Streaming.additiveUpsertBatch(
+      Seq(Ev(20, ts(9), "view", 2, 1.0)).toDF(), 7L, target, ledger)
+    assert(state() == Map(1L -> ((6.0, 3L)), 2L -> ((1.0, 1L))))
+    assert(Streaming.vacuumVersions(spark, target, ledger, keep = 1)
+      == Seq(2L))
+  }
+
   test("foreachBatch crash BETWEEN sink write and ledger commit: the " +
     "replay re-merges from the committed base — exactly-once through " +
     "the torn-write window (the round-9 in-place merge double-counted " +
