@@ -111,14 +111,17 @@ object ScaleAudit {
       "model-bounded fit: means + final iterate ride broadcast frames, " +
       "scoring is one (doc)-keyed partial+final aggregate"),
     "stream_nb_classify" -> ("class-bounded monitor atop the classify " +
-      "scoring shuffle: the final aggregate is |classes| rows"),
+      "scoring shuffle: the final aggregate is n_classes rows"),
     "text_bpe_encode" -> ("vocab-bounded merge folds + one token-keyed " +
       "join fanning symbol counts back to the corpus (input-linear)"),
     "join_dpp" -> ("input-linear on the SURVIVING partitions only: the " +
       "dim filter reaches the partitioned fact scan as a runtime " +
       "pruning subquery before the aggregate's partial+final exchange"),
-    "zorder_prune" -> ("output-bounded: row-group stats prune the " +
-      "z-clustered scan before a single partial+final box aggregate"))
+    "zorder_prune" -> ("amortized input-linear: the fingerprint is the " +
+      "ONE-TIME repartitionByRange clustering write (first touch in " +
+      "the fresh audit JVM — the same adjudication as bucketed_join); " +
+      "every later box query is a pruned scan + one partial+final " +
+      "aggregate, no shuffle beyond the 1-row partials"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);
