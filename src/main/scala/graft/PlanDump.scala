@@ -105,7 +105,19 @@ object PlanDump {
       "result aggregates the read-back of both routes"),
     "scan_quarantine" -> ("PERMISSIVE parse per row; ok/quarantine " +
       "split is one conditional projection + one partitioned write, " +
-      "no second pass"))
+      "no second pass"),
+    "join_dpp" -> ("dynamic partition pruning: the dim filter reaches " +
+      "the partitioned fact scan as a dynamicpruning subquery reusing " +
+      "the dim broadcast — 2 of 5 directories read"),
+    "zorder_prune" -> ("2-D box over the Morton-clustered layout: " +
+      "both range predicates pushed to the parquet scan, whose " +
+      "row-group stats skip the off-tile files"),
+    "text_bpe_encode" -> ("learned merges applied over the DISTINCT " +
+      "word table (vocab-bounded folds between checkpoints); one " +
+      "token-keyed join fans symbol counts back to documents"),
+    "multimodal_pca_project" -> ("fit → transform in one plan: means " +
+      "and the converged iterate ride broadcast frames into a single " +
+      "(doc)-keyed partial+final score aggregate"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
