@@ -605,26 +605,34 @@ object Multimodal {
     s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(30,12))) " +
       "AS VARCHAR) AS DOUBLE)"
 
+  /** One unrolled power-iteration round over covariance CTE `mat`,
+    * with CTE-name prefixes (`up`/`np`/`vp` for the mat-vec product,
+    * its norm, and the normalized iterate) so the same chain can run
+    * once on `c` (first component, names u/n/v for the original
+    * oracles) and once on the deflated `c2` (second component,
+    * names wu/wn/w). Every multiply-referenced CTE is MATERIALIZED:
+    * DuckDB's default inlining would re-evaluate u_r for both n_r and
+    * v_r — doubling per round = 2^8 evaluations of the whole corpus
+    * pipeline (measured: the un-hinted oracle burned minutes where
+    * the hinted one replays in seconds). */
+  private def pcaRound(mat: String, up: String, np: String, vp: String)(
+      r: Int): String = {
+    val pv = if (r == 1) s"${vp}0" else s"$vp${r - 1}"
+    s"""$up$r AS MATERIALIZED (
+       |  SELECT cm.i AS i, ${pcaHopSum(s"cm.c * $pv.v")} AS u
+       |  FROM $mat cm JOIN $pv ON $pv.i = cm.j GROUP BY cm.i),
+       |$np$r AS MATERIALIZED (
+       |  SELECT sqrt(${pcaHopSum("u * u")}) AS nrm FROM $up$r),
+       |$vp$r AS MATERIALIZED (
+       |  SELECT i, u / nrm AS v FROM $up$r, $np$r)""".stripMargin
+  }
+
   private def pcaSqlWith: String = {
     val bins = (0 until 8).map(b =>
       s"    CAST(SUM(CASE WHEN gray // 32 = $b THEN 1 ELSE 0 END) " +
         "AS DOUBLE)").mkString(",\n")
     val prev = "(doc_id * 31 + (x - 1) * 7 + y * 13) % 256"
-    // every multiply-referenced CTE is MATERIALIZED: DuckDB's default
-    // inlining would re-evaluate u_r for both n_r and v_r — doubling
-    // per round = 2^8 evaluations of the whole corpus pipeline
-    // (measured: the un-hinted oracle burned minutes where the hinted
-    // one replays in seconds)
-    def round(r: Int): String = {
-      val pv = if (r == 1) "v0" else s"v${r - 1}"
-      s"""u$r AS MATERIALIZED (
-         |  SELECT c.i AS i, ${pcaHopSum(s"c.c * $pv.v")} AS u
-         |  FROM c JOIN $pv ON $pv.i = c.j GROUP BY c.i),
-         |n$r AS MATERIALIZED (
-         |  SELECT sqrt(${pcaHopSum("u * u")}) AS nrm FROM u$r),
-         |v$r AS MATERIALIZED (
-         |  SELECT i, u / nrm AS v FROM u$r, n$r)""".stripMargin
-    }
+    val round = pcaRound("c", "u", "n", "v") _
     s"""WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w,
        |      doc_id % 7 + 1 AS h FROM documents),
        |px AS (SELECT doc_id, w, tx.x AS x, ty.y AS y,
@@ -657,11 +665,33 @@ object Multimodal {
        |${(1 to 8).map(round).mkString(",\n")}""".stripMargin
   }
 
-  /** Spark side of the shared PCA pipeline: (features, per-dim sums,
-    * final iterate v(i, v), final norm 1-row frame). */
-  private def pcaFrames(s: org.apache.spark.sql.SparkSession, d: String)
+  /** [[pcaSqlWith]] extended by Hotelling deflation and a second
+    * unrolled power iteration: c2 = c − λ₁·v₁v₁ᵀ (λ₁ = ‖u₈‖, the fit's
+    * eigenvalue estimate; plain double arithmetic, identical operand
+    * order in both engines), then 8 more rounds on c2 from the same
+    * all-ones seed → the second principal axis `w8`. Deflation +
+    * power iteration is the classical top-k eigensolver; every step
+    * stays inside the established exact-replay discipline (mat-vec
+    * products quantized at DECIMAL(30,12) before order-independent
+    * sums), so the second axis replays bit-exactly too. */
+  private def pcaSqlWithDeflated: String =
+    s"""${pcaSqlWith},
+       |c2 AS MATERIALIZED (
+       |  SELECT ci.i AS i, ci.j AS j, ci.c - n8.nrm * vi.v * vj.v AS c
+       |  FROM c ci, n8, v8 vi, v8 vj
+       |  WHERE vi.i = ci.i AND vj.i = ci.j),
+       |w0 AS (SELECT t.i AS i, 1.0 AS v FROM range(0, 10) t(i)),
+       |${(1 to 8).map(pcaRound("c2", "wu", "wn", "w")).mkString(",\n")}"""
+      .stripMargin
+
+  /** Shared corpus-side core of the PCA pipeline: decoded pixel
+    * features, per-dim power sums, and the checkpointed 100-row
+    * covariance frame `cM(i, j, c)` — computed ONCE per caller; both
+    * power runs of the two-component fit iterate over the same
+    * checkpoint. */
+  private def pcaCore(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+         org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     implicit val enc = Encoders.product[PixelFeatures]
     val ids = Tables.documents(s, d)
@@ -687,6 +717,30 @@ object Multimodal {
         (col("sp") / col("n") -
           (col("si") / col("n")) * (col("sj") / col("n"))).as("c"))
       .localCheckpoint(false) // 100-row model frame drives the loop
+    (feats, sums, cM)
+  }
+
+  /** Spark side of the shared PCA pipeline: (features, per-dim sums,
+    * final iterate v(i, v), final norm 1-row frame). */
+  private def pcaFrames(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (feats, sums, cM) = pcaCore(s, d)
+    val (v, nrmF) = pcaPower(s, cM)
+    (feats, sums, v, nrmF)
+  }
+
+  /** 8 unrolled power-iteration rounds over a checkpointed covariance
+    * frame `cM(i, j, c)` from the all-ones seed; returns the final
+    * normalized iterate `v(i, v)` and its pre-normalization norm
+    * (1-row frame — the eigenvalue estimate). Spark twin of
+    * [[pcaRound]]'s SQL chain. */
+  private def pcaPower(s: org.apache.spark.sql.SparkSession,
+      cM: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def dsum12(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(30, 12))).cast(DoubleType)
     val spark = s
     import spark.implicits._
     var v = (0 until 10).map(i => (i, 1.0)).toDF("i", "v")
@@ -700,7 +754,29 @@ object Multimodal {
         .select(col("i"), (col("u") / col("nrm")).as("v"))
         .localCheckpoint(false)
     }
-    (feats, sums, v, nrmF)
+    (v, nrmF)
+  }
+
+  /** Spark side of the two-component fit ([[pcaSqlWithDeflated]]'s
+    * twin): the shared core (features, power sums, covariance), the
+    * first axis from [[pcaPower]], Hotelling deflation
+    * c2 = c − λ₁·v₁v₁ᵀ with the identical double expression the
+    * oracle evaluates, and the second axis from a fresh power run on
+    * the deflated frame. Returns (features, per-dim sums, v1, v2). */
+  private def pcaFrames2(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (feats, sums, cM) = pcaCore(s, d)
+    val (v1, n1) = pcaPower(s, cM)
+    val c2 = cM
+      .crossJoin(broadcast(n1))
+      .join(broadcast(v1.select(col("i"), col("v").as("vi"))), "i")
+      .join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), "j")
+      .select(col("i"), col("j"),
+        (col("c") - col("nrm") * col("vi") * col("vj")).as("c"))
+      .localCheckpoint(false)
+    val (v2, _) = pcaPower(s, c2)
+    (feats, sums, v1, v2)
   }
 
   def decls: Seq[Decl] = Seq(
@@ -1191,6 +1267,50 @@ object Multimodal {
             .cast(DecimalType(30, 12)))
           .cast(DoubleType).cast(DecimalType(20, 9)).cast(DoubleType)
           .as("pc1_9"))
+        .orderBy("doc_id")
+    },
+
+    // Two-component PCA projection — the dimensionality-reduction
+    // stage as production runs it (k > 1): first axis from the power
+    // fit, SECOND axis from Hotelling deflation (c2 = c − λ₁·v₁v₁ᵀ)
+    // and a fresh 8-round power run over the deflated 100-row frame,
+    // then every document scored against BOTH axes in one centered
+    // aggregate. The deflation arithmetic is plain doubles with
+    // identical operand order in both engines, and the mat-vec chain
+    // keeps the DECIMAL(30,12) quantize-then-sum discipline, so the
+    // second axis — and the per-doc (pc1, pc2) pairs — replay
+    // bit-exactly through the unrolled DuckDB chain. Scale: the model
+    // side never leaves 100-row/10-row broadcast frames (deflation is
+    // a 100-row map, each power round a model-sized join); scoring is
+    // one corpus map + a doc-keyed partial+final aggregate — adding a
+    // component adds zero corpus-sized shuffles.
+    Decl("multimodal_pca_project2", {
+      s"""${pcaSqlWithDeflated},
+         |m AS (SELECT i, s / n AS mu FROM sums),
+         |fd AS (SELECT doc_id, t.i AS i, emb[t.i + 1] AS x
+         |       FROM fm, range(0, 10) t(i))
+         |SELECT fd.doc_id,
+         |  CAST(CAST(CAST(${pcaHopSum("(fd.x - m.mu) * v8.v")}
+         |    AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) AS pc1_9,
+         |  CAST(CAST(CAST(${pcaHopSum("(fd.x - m.mu) * w8.v")}
+         |    AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) AS pc2_9
+         |FROM fd JOIN m ON m.i = fd.i JOIN v8 ON v8.i = fd.i
+         |JOIN w8 ON w8.i = fd.i
+         |GROUP BY fd.doc_id ORDER BY fd.doc_id""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val (feats, sums, v1, v2) = pcaFrames2(s, d)
+      val means = broadcast(sums.select(col("i"),
+        (col("s") / col("n")).as("mu")))
+      def pc(v: org.apache.spark.sql.Column) =
+        sum(((col("x") - col("mu")) * v).cast(DecimalType(30, 12)))
+          .cast(DoubleType).cast(DecimalType(20, 9)).cast(DoubleType)
+      feats.select(col("doc_id"), posexplode(col("emb")).as(Seq("i", "x")))
+        .join(means, "i")
+        .join(broadcast(v1.select(col("i"), col("v").as("v1"))), "i")
+        .join(broadcast(v2.select(col("i"), col("v").as("v2"))), "i")
+        .groupBy("doc_id")
+        .agg(pc(col("v1")).as("pc1_9"), pc(col("v2")).as("pc2_9"))
         .orderBy("doc_id")
     },
 

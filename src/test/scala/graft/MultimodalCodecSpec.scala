@@ -175,6 +175,37 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSuite {
         "disagrees with the fit it claims to apply")
   }
 
+  test("multimodal_pca_project2: pc1 agrees with the one-component " +
+      "projection, both axes centered, and the scores are uncorrelated") {
+    // Hotelling deflation guarantees the second iterate converges to an
+    // eigenvector of c − λ₁·v₁v₁ᵀ; if it did, (a) pc1 is unchanged by
+    // adding a component, (b) both score columns are centered, and
+    // (c) Cov(pc1, pc2) = v₁ᵀCv₂ = λ₂·(v₁·v₂) ≈ 0 — correlated scores
+    // would mean the deflation failed and the 'second' axis is still
+    // chasing the first.
+    val one = SparkEntry.queries("multimodal_pca_project")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = SparkEntry.queries("multimodal_pca_project2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(two.nonEmpty)
+    two.foreach { case (id, pc1, _) =>
+      assert(one(id) == pc1, s"doc $id: pc1 drifted adding a component")
+    }
+    val n = two.length.toDouble
+    val (m1, m2) = (two.map(_._2).sum / n, two.map(_._3).sum / n)
+    val v1 = two.map(t => (t._2 - m1) * (t._2 - m1)).sum / n
+    val v2 = two.map(t => (t._3 - m2) * (t._3 - m2)).sum / n
+    val cv = two.map(t => (t._2 - m1) * (t._3 - m2)).sum / n
+    val corr = cv / math.sqrt(v1 * v2)
+    info(f"var(pc1)=$v1%.3f var(pc2)=$v2%.3f corr=$corr%.5f")
+    assert(math.abs(m2) < 1e-6 * math.sqrt(v2) + 1e-9,
+      f"pc2 not centered: mean=$m2%.9f")
+    assert(v2 > 0 && v2 <= v1 * 1.001,
+      f"second component variance $v2%.3f exceeds the first ($v1%.3f)")
+    assert(math.abs(corr) < 0.05,
+      f"pc1/pc2 correlation $corr%.4f — deflation did not orthogonalize")
+  }
+
   test("GIF multi-frame round-trip: frame count, dims and every pixel " +
       "exact across the generator seed space") {
     // GIF is palette-lossless, so unlike JPEG the bound is EXACTNESS:
