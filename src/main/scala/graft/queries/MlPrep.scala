@@ -272,6 +272,91 @@ object MlPrep {
         .orderBy("source")
     },
 
+    // Importance-weighted data selection (the DSIR recipe — Data
+    // Selection via Importance Resampling, Xie et al. 2023, see
+    // PAPERS.md): fit two hashed-unigram bag models — one on the
+    // TARGET domain (lang = 'en', the quality-corpus proxy), one on
+    // the full RAW corpus — and score every raw document by its log
+    // importance weight Σ_b n_b·(ln p_target(b) − ln p_raw(b)) over
+    // B = 1024 sha-60 token buckets. Selection is the paper's actual
+    // Gumbel-top-k resample (not a plain sort): score = logw + Gumbel
+    // noise keyed by the same cross-engine sha-60 residue the sample
+    // family uses, so the draw is WITHOUT replacement ∝ exp(logw) yet
+    // fully deterministic and value-oracled. ln() rides the NB/NLL
+    // DECIMAL(20,9) VARCHAR-hop discipline; per-doc sums are exact
+    // DECIMAL(30,12). Scale: the model pass is ONE corpus-sized
+    // map + a 1024-row shuffle (both corpora counted in the same
+    // conditional aggregate); λ is a 1024-row broadcast; scoring is a
+    // map + (doc)-keyed partial+final aggregate; the resample is
+    // TakeOrdered — model-bounded everywhere, the shape that lets
+    // DSIR select from 100 TB with a model that fits in one executor.
+    Decl("mix_importance_weights", {
+      def ln9(x: String) =
+        s"CAST(CAST(CAST(ln($x) AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE)"
+      val u = "(CAST(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR))," +
+        " 1, 15)) AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0"
+      s"""WITH tokb AS (SELECT doc_id, lang,
+         |    CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) % 1024
+         |      AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split(text, ' ')) AS tok
+         |        FROM documents WHERE text IS NOT NULL)),
+         |m AS (SELECT b, COUNT(*) AS cr,
+         |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         |      FROM tokb GROUP BY b),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+         |               CAST(SUM(ct) AS BIGINT) AS nt FROM m),
+         |lam AS (SELECT b,
+         |    ${ln9("CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)")} -
+         |    ${ln9("CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)")}
+         |      AS lam
+         |  FROM m, tot),
+         |w AS (SELECT t.doc_id, t.lang,
+         |        CAST(CAST(SUM(CAST(CAST(l.lam AS VARCHAR)
+         |          AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS logw9
+         |      FROM tokb t JOIN lam l ON l.b = t.b
+         |      GROUP BY t.doc_id, t.lang),
+         |g AS (SELECT doc_id, lang, logw9,
+         |        -${ln9(s"-${ln9(u)}")} AS gumbel9
+         |      FROM w)
+         |SELECT doc_id, lang, logw9, gumbel9,
+         |  logw9 + gumbel9 AS score9
+         |FROM g ORDER BY score9 DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.XHash.sha60
+      def ln9(x: org.apache.spark.sql.Column) =
+        log(x).cast(DecimalType(20, 9)).cast(DoubleType)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val tokb = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          (sha60(col("tok")) % 1024).as("b"))
+      // the 1024-row model table feeds both the totals and λ —
+      // checkpoint so the corpus-sized count pass runs once (the
+      // text_nb_train consumer-sharing discipline)
+      val m = tokb.groupBy("b")
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint(false)
+      val tot = broadcast(m.agg(sum("cr").as("nr"), sum("ct").as("nt")))
+      val lam = m.crossJoin(tot)
+        .select(col("b"),
+          (ln9((col("ct") + 1).cast(DoubleType) /
+              (col("nt") + 1024).cast(DoubleType)) -
+            ln9((col("cr") + 1).cast(DoubleType) /
+              (col("nr") + 1024).cast(DoubleType))).as("lam"))
+      val w = tokb.join(broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("lam").cast(DecimalType(30, 12)))
+          .cast(DoubleType).as("logw9"))
+      val u = (sha60(col("doc_id").cast(StringType)).cast(DoubleType)
+        + 0.5) / 1152921504606846976.0
+      val g9 = -ln9(-ln9(u))
+      w.select(col("doc_id"), col("lang"), col("logw9"),
+          g9.as("gumbel9"), (col("logw9") + g9).as("score9"))
+        .orderBy(col("score9").desc, col("doc_id")).limit(50)
+    },
+
     // Lag-feature generation for forecasting training sets: per-user
     // series ordered by (ts, event_id) — event_id breaks timestamp
     // ties, making every window pick deterministic — with lag-1/lag-2

@@ -1278,6 +1278,96 @@ object Similarity {
               .as("n_sem_dups"))
           .orderBy("bucket")
       }
+    },
+
+    // Contrastive-pair mining — the training-data prep step for dense
+    // retrievers / embedding models (in-batch negatives are easy; the
+    // pairs that move a model are ANN-MINED HARD negatives: the most
+    // similar vector that is NOT the anchor's class). Per probe anchor:
+    //   positive  = argmax-cosine SAME-label vector (label-blocked
+    //               join, the dedup_embedding candidate discipline —
+    //               O(n·class), never O(n²));
+    //   hard neg  = argmax-cosine DIFFERENT-label vector among the
+    //               anchor's IvfNProbe probe cells (the sim_ann_ivf
+    //               index path — candidates are a fixed cell fraction
+    //               of the corpus, which is what makes mining viable
+    //               at billions of vectors);
+    //   margin    = pos_sim − neg_sim, the curriculum/difficulty
+    //               signal mining pipelines sort by.
+    // Both argmaxes are row_number picks ordered by (sim DESC, vec_id)
+    // over bit-identical decimal-kernel cosines, so the whole triplet
+    // set replays exactly in DuckDB (QUALIFY twin). Anchors whose
+    // probe cells hold no cross-label candidate drop via the inner
+    // join — deterministic on both engines.
+    Decl("sim_hard_negatives",
+      s"""WITH a AS (SELECT vec_id, label, embedding, $ivfCellSql AS cell
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |anc AS (SELECT vec_id AS aid, label AS albl,
+         |          embedding AS av,
+         |          list_transform(list_reverse_sort(
+         |            [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |            AS pcells
+         |        FROM a WHERE vec_id % 20 = 0),
+         |pos AS (SELECT aid,
+         |          a.vec_id AS pos_id,
+         |          ${sqlDotList("av", "a.embedding")} /
+         |            (sqrt(${sqlDotList("av", "av")}) *
+         |             sqrt(${sqlDotList("a.embedding", "a.embedding")}))
+         |            AS pos_sim
+         |        FROM anc JOIN a
+         |          ON a.label = anc.albl AND a.vec_id <> anc.aid
+         |        QUALIFY row_number() OVER (PARTITION BY aid
+         |          ORDER BY pos_sim DESC, a.vec_id) = 1),
+         |pr AS (SELECT aid, albl, av, UNNEST(pcells) AS pc FROM anc),
+         |neg AS (SELECT aid,
+         |          a.vec_id AS neg_id,
+         |          ${sqlDotList("av", "a.embedding")} /
+         |            (sqrt(${sqlDotList("av", "av")}) *
+         |             sqrt(${sqlDotList("a.embedding", "a.embedding")}))
+         |            AS neg_sim
+         |        FROM pr JOIN a
+         |          ON a.cell = pr.pc AND a.label <> pr.albl
+         |        QUALIFY row_number() OVER (PARTITION BY aid
+         |          ORDER BY neg_sim DESC, a.vec_id) = 1)
+         |SELECT pos.aid AS anchor_id, pos_id, pos_sim,
+         |  neg_id, neg_sim, pos_sim - neg_sim AS margin
+         |FROM pos JOIN neg ON neg.aid = pos.aid
+         |ORDER BY anchor_id""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.{cosineWithNorms, norm2}
+      val e = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          ivfCellOf(col("embedding")).as("cell"),
+          norm2(col("embedding")).as("n2"))
+      val anc = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("aid"), col("label").as("albl"),
+          col("embedding").as("av"), col("n2").as("an2"),
+          ivfTopCells(col("embedding")).as("pcells"))
+      val cand = e.select(col("vec_id"), col("label"),
+        col("embedding"), col("cell"), col("n2"))
+      def pick(df: DataFrame, simName: String, idName: String) =
+        df.withColumn("rn", row_number().over(Window.partitionBy("aid")
+            .orderBy(col(simName).desc, col("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("aid"), col("vec_id").as(idName), col(simName))
+      val pos = pick(
+        anc.join(cand,
+            col("label") === col("albl") && col("vec_id") =!= col("aid"))
+          .withColumn("pos_sim", cosineWithNorms(col("av"),
+            col("embedding"), col("an2"), col("n2"))),
+        "pos_sim", "pos_id")
+      val neg = pick(
+        anc.withColumn("pc", explode(col("pcells")))
+          .join(cand,
+            col("cell") === col("pc") && col("label") =!= col("albl"))
+          .withColumn("neg_sim", cosineWithNorms(col("av"),
+            col("embedding"), col("an2"), col("n2"))),
+        "neg_sim", "neg_id")
+      pos.join(neg, "aid")
+        .select(col("aid").as("anchor_id"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"),
+          (col("pos_sim") - col("neg_sim")).as("margin"))
+        .orderBy("anchor_id")
     }
   )
 }

@@ -25,6 +25,66 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("mix_importance_weights: weights match a brute-force DSIR " +
+      "recompute, the target domain scores higher on average, and the " +
+      "emitted top-50 is the true Gumbel-score ranking") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("mix_importance_weights")(spark, d)
+      .collect()
+    assert(rows.length == 50)
+    // brute-force DSIR from the raw fixture (plain doubles — agreement
+    // within tolerance; the engines' own bit-exactness is the oracle's
+    // job, this test pins the SEMANTICS against an independent impl)
+    val docs = Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    val B = 1024
+    def bucket(tok: String): Int =
+      (graft.functions.Sha60.hashBytes(
+        tok.getBytes("UTF-8")) % B).toInt
+    val cr = new Array[Long](B); val ct = new Array[Long](B)
+    docs.foreach { case (_, lang, text) =>
+      text.split(" ", -1).foreach { t =>
+        val b = bucket(t); cr(b) += 1
+        if (lang.contains("en")) ct(b) += 1
+      }
+    }
+    val (nr, nt) = (cr.sum, ct.sum)
+    val lam = (0 until B).map(b =>
+      math.log((ct(b) + 1.0) / (nt + B)) -
+        math.log((cr(b) + 1.0) / (nr + B)))
+    val logw = docs.map { case (id, lang, text) =>
+      id -> (lang, text.split(" ", -1).map(t => lam(bucket(t))).sum)
+    }.toMap
+    // (a) per-doc weights agree with the brute recompute
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val got = r.getDouble(r.fieldIndex("logw9"))
+      assert(math.abs(got - logw(id)._2) < 1e-6,
+        s"doc $id: logw $got vs brute ${logw(id)._2}")
+      assert(r.getDouble(r.fieldIndex("score9")) ==
+        got + r.getDouble(r.fieldIndex("gumbel9")))
+    }
+    // (b) the importance signal exists: target-domain docs weigh more
+    val en = logw.values.collect { case (Some("en"), w) => w }
+    val rest = logw.values.collect {
+      case (l, w) if !l.contains("en") => w }
+    val sep = en.sum / en.size - rest.sum / rest.size
+    info(f"mean logw: en=${en.sum / en.size}%.4f " +
+      f"rest=${rest.sum / rest.size}%.4f separation=$sep%.4f")
+    assert(sep > 0.1,
+      f"DSIR separation $sep%.4f — target model indistinguishable from raw")
+    // (c) selection ∝ exp(logw): the pure-logw top-50 is en-enriched
+    // over the corpus base rate (the Gumbel draw is noisy by design,
+    // so the enrichment pin is on the deterministic weight ranking)
+    val top50 = logw.toSeq.sortBy { case (id, (_, w)) => (-w, id) }.take(50)
+    val enTop = top50.count(_._2._1.contains("en")) / 50.0
+    val base = en.size.toDouble / logw.size
+    info(f"en share: top-50 by logw $enTop%.3f vs corpus $base%.3f")
+    assert(enTop > base, "importance ranking does not enrich the target")
+  }
+
   test("window_rolling_median matches a brute-force sliding median") {
     val got = SparkEntry.queries("window_rolling_median")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))

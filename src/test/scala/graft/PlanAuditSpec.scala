@@ -44,6 +44,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dq_expectations", // broadcast single-row orphan-count scalar cross
     "dq_expectations_approx", // same scaffold, sketch-backed uniqueness
     "text_nb_train", // broadcast single-row vocab-size + doc-total scalars
+    "mix_importance_weights", // broadcast single-row corpus-totals cross
+    // feeding the 1024-row λ model (DSIR)
     "text_nb_classify", // same two training scalars feed the scoring fan-out
     "stream_nb_classify", // same scoring scaffold under the stream monitor
     "multimodal_pca_fit", // broadcast single-row iterate-norm scalar cross

@@ -415,6 +415,60 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("sim_hard_negatives: triplets are label-valid, the positive is " +
+      "the true same-label argmax, and IVF mining recalls most global " +
+      "hard negatives") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // brute-force ground truth from collected vectors (500 × 25 — cheap)
+    val all = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val byId = all.map(t => t._1 -> t).toMap
+    var negHits = 0
+    rows.foreach { r =>
+      val aid = r.getLong(r.fieldIndex("anchor_id"))
+      val pid = r.getLong(r.fieldIndex("pos_id"))
+      val nid = r.getLong(r.fieldIndex("neg_id"))
+      val (_, albl, av) = byId(aid)
+      // label validity
+      assert(byId(pid)._2 == albl, s"anchor $aid: positive $pid crosses label")
+      assert(byId(nid)._2 != albl, s"anchor $aid: negative $nid shares label")
+      assert(r.getDouble(r.fieldIndex("margin")) ==
+        r.getDouble(r.fieldIndex("pos_sim")) -
+          r.getDouble(r.fieldIndex("neg_sim")))
+      // positive optimality: label-blocked candidates are exhaustive, so
+      // the mined positive must BE the brute-force same-label argmax
+      // (tie → smallest id; float-sum tolerance on the test's own cosine)
+      val bestPos = all.filter(t => t._2 == albl && t._1 != aid)
+        .maxBy(t => (cos(av, t._3), -t._1.toDouble))._1
+      assert(pid == bestPos ||
+        math.abs(cos(av, byId(pid)._3) - cos(av, byId(bestPos)._3)) < 1e-9,
+        s"anchor $aid: positive $pid is not the same-label argmax $bestPos")
+      // negative: counted against the GLOBAL cross-label argmax — probe
+      // mining is allowed to miss (that is the nProbe/nCells trade), but
+      // must land the true hardest negative most of the time
+      val bestNeg = all.filter(_._2 != albl)
+        .maxBy(t => (cos(av, t._3), -t._1.toDouble))._1
+      if (nid == bestNeg) negHits += 1
+    }
+    val hitRate = negHits.toDouble / rows.length
+    info(f"anchors=${rows.length} global-hard-negative hit rate $hitRate%.3f")
+    assert(hitRate >= 0.6,
+      f"IVF-mined hard negatives recall only $hitRate%.3f of global argmaxes")
+  }
+
   test("knn predictions are valid labels with ≥1 vote") {
     SparkEntry.queries("knn_classify")(spark, sf).collect().foreach { r =>
       assert((0 to 9).contains(r.getAs[Int]("pred_label")))
