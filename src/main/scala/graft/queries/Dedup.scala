@@ -656,6 +656,101 @@ object Dedup {
         .orderBy("label")
     },
 
+    // Leakage-safe train/valid/test split — the eval-hygiene twin of
+    // split_train_test: a per-DOC hash split lets near-duplicates
+    // straddle train and test (the benchmark-inflation trap), so the
+    // split gate is applied to the near-dup CLUSTER label instead —
+    // every member of a component lands in the same split BY
+    // CONSTRUCTION. The output proves it: per split, doc and cluster
+    // counts plus the count of verified near-dup edges (jaccard ≥ 0.3,
+    // keyed by d1's split) crossing split boundaries under the
+    // cluster gate (always 0) and under the naive doc gate (the
+    // hazard, nonzero on this corpus — DedupSpec pins both). Same
+    // sha-60 'split' residue as split_train_test, so the naive column
+    // IS that operator's assignment. Scale: rides the memoized
+    // candidate/component frames (label-cardinality, never corpus
+    // text); the split gate is a per-row map; the leak audit joins the
+    // edge list (candidates ≪ corpus) against the label frame twice.
+    Decl("split_leakage_safe", {
+      def gate(x: String) =
+        s"(CAST(('0x' || substr(sha256('split' || CAST($x AS VARCHAR)), " +
+          "1, 15)) AS BIGINT) % 100)"
+      def splitOf(x: String) =
+        s"CASE WHEN ${gate(x)} < 80 THEN 'train' " +
+          s"WHEN ${gate(x)} < 90 THEN 'valid' ELSE 'test' END"
+      s"""WITH RECURSIVE $sqlNearDupCtes,
+         |edges AS MATERIALIZED (SELECT d1, d2 FROM jac
+         |         WHERE jaccard >= 0.3),
+         |bidir AS (SELECT d1, d2 FROM edges
+         |          UNION SELECT d2, d1 FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT r.src, b.d2 FROM reach r JOIN bidir b ON r.dst = b.d1),
+         |comp AS MATERIALIZED (SELECT src AS doc_id, MIN(dst) AS label
+         |         FROM reach GROUP BY src),
+         |asg AS (SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS label
+         |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |g AS MATERIALIZED (SELECT doc_id, label,
+         |        ${splitOf("label")} AS sc,
+         |        ${splitOf("doc_id")} AS sn
+         |      FROM asg),
+         |d0 AS (SELECT sc AS split, COUNT(*) AS n_docs,
+         |         COUNT(DISTINCT label) AS n_clusters
+         |       FROM g GROUP BY 1),
+         |pj AS MATERIALIZED (SELECT g1.sc AS s1c, g2.sc AS s2c,
+         |         g1.sn AS s1n, g2.sn AS s2n
+         |       FROM edges e JOIN g g1 ON g1.doc_id = e.d1
+         |                    JOIN g g2 ON g2.doc_id = e.d2),
+         |lc AS (SELECT s1c AS split, COUNT(*) AS lk FROM pj
+         |       WHERE s1c <> s2c GROUP BY 1),
+         |ln_ AS (SELECT s1n AS split, COUNT(*) AS lk FROM pj
+         |        WHERE s1n <> s2n GROUP BY 1)
+         |SELECT d0.split, n_docs, n_clusters,
+         |  COALESCE(lc.lk, 0) AS leaked_cluster,
+         |  COALESCE(ln_.lk, 0) AS leaked_naive
+         |FROM d0 LEFT JOIN lc ON lc.split = d0.split
+         |        LEFT JOIN ln_ ON ln_.split = d0.split
+         |ORDER BY d0.split""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.XHash.sha60
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val g = sha60(concat(lit("split"), c.cast(StringType))) % 100
+        when(g < 80, "train").when(g < 90, "valid").otherwise("test")
+      }
+      val labels = nearDupComponentsFor(s, d)
+      // all documents get a split — null-text docs are singletons by
+      // definition (they carry no shingles, hence no edges)
+      val asg = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels.withColumnRenamed("doc_id", "vid"),
+          col("doc_id") === col("vid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("label"))
+        .withColumn("sc", splitOf(col("label")))
+        .withColumn("sn", splitOf(col("doc_id")))
+        .localCheckpoint(false) // feeds the doc agg + both leak joins
+      val d0 = asg.groupBy(col("sc").as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("label")).as("n_clusters"))
+      val edges = nearDupPairsFor(s, d)
+        .filter(col("jaccard") >= 0.3).select("d1", "d2")
+      val pj = edges
+        .join(asg.select(col("doc_id").as("d1"), col("sc").as("s1c"),
+          col("sn").as("s1n")), "d1")
+        .join(asg.select(col("doc_id").as("d2"), col("sc").as("s2c"),
+          col("sn").as("s2n")), "d2")
+        .localCheckpoint(false) // candidate-cardinality; two consumers
+      val lc = pj.filter(col("s1c") =!= col("s2c"))
+        .groupBy(col("s1c").as("split")).agg(count(lit(1)).as("lkc"))
+      val ln = pj.filter(col("s1n") =!= col("s2n"))
+        .groupBy(col("s1n").as("split")).agg(count(lit(1)).as("lkn"))
+      d0.join(lc, Seq("split"), "left").join(ln, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          coalesce(col("lkc"), lit(0L)).as("leaked_cluster"),
+          coalesce(col("lkn"), lit(0L)).as("leaked_naive"))
+        .orderBy("split")
+    },
+
     // Recency dedup — keep the NEWEST event per (user, hour): the
     // snapshot-compaction primitive (CDC upserts, profile updates,
     // "latest state wins" feeds). One shuffle on the composite key;

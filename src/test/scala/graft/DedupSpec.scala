@@ -159,6 +159,37 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       == fresh.orderBy("doc_id").collect().toSeq)
   }
 
+  test("split_leakage_safe: clusters are split-pure (zero cluster-gate " +
+      "leaks), the naive doc gate DOES leak on this corpus, and every " +
+      "component member shares its cluster's split") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("split_leakage_safe")(spark, d).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq
+      == Seq("test", "train", "valid"))
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == Tables.documents(spark, d).count(),
+      s"split must cover every document, got $nDocs")
+    assert(rows.map(_.getLong(3)).sum == 0L,
+      "cluster-gate split leaked a near-dup edge across splits")
+    // the hazard is real: the per-doc gate (split_train_test's
+    // assignment) separates near-dup pairs on this very corpus —
+    // without that, this operator would be indistinguishable from it
+    assert(rows.map(_.getLong(4)).sum > 0L,
+      "fixture has no naive-split leaks — the op's premise is untestable")
+    // cluster accounting: clusters ≤ docs per split, and the global
+    // cluster count equals the component-label cardinality over the
+    // full corpus (no cluster counted under two splits — a cluster's
+    // split is a function of its label, so the per-split distinct
+    // counts must partition the global one)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val globalClusters = Dedup.nearDupComponentsFor(spark, d)
+      .select("label").distinct().count() +
+      (nDocs - Dedup.nearDupComponentsFor(spark, d).count()) // null-text singletons
+    assert(rows.map(_.getLong(2)).sum == globalClusters,
+      s"per-split cluster counts ${rows.map(_.getLong(2)).sum} do not " +
+        s"partition the $globalClusters global components")
+  }
+
   test("signatures are invariant under repartitioning") {
     def sigOf(np: Int) =
       Dedup.signatures(docsWithDup.repartition(np)).collect()
