@@ -1368,6 +1368,133 @@ object Similarity {
           col("neg_id"), col("neg_sim"),
           (col("pos_sim") - col("neg_sim")).as("margin"))
         .orderBy("anchor_id")
+    },
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019 — the scoring
+    // rule behind the CCMatrix/WikiMatrix parallel-corpus pipelines,
+    // see PAPERS.md): across two corpus sides (label 0 → label 1 as
+    // the two languages), a candidate pair's raw cosine is normalized
+    // by its NEIGHBORHOODS — margin = cos(x,y) / (½·(avg_k cos(x,NNᵏ_B)
+    // + avg_k cos(y,NNᵏ_A))) — which suppresses hubs (vectors close to
+    // everything) that a raw-cosine threshold would mis-mine. Emitted:
+    // each source vector's best-margin target plus the MUTUAL flag
+    // (x is also y's best source — the high-precision filter). Scale:
+    // candidates come from the shared IVF probe structure in BOTH
+    // directions (cell fraction of |A|×|B|, never the cross product);
+    // the k-NN denominators are windowed top-4 averages over those
+    // same candidates (exact DECIMAL(30,12) sums — order-free); every
+    // downstream value is ratios of bit-identical doubles, so the
+    // mined pair set replays exactly in DuckDB.
+    Decl("sim_bitext_mine", {
+      val cosXY =
+        s"""${sqlDotList("a.embedding", "b.embedding")} /
+           |      (sqrt(${sqlDotList("a.embedding", "a.embedding")}) *
+           |       sqrt(${sqlDotList("b.embedding", "b.embedding")}))"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |        $ivfCellSql AS cell,
+         |        list_transform(list_reverse_sort(
+         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |          AS pcells
+         |      FROM embeddings
+         |      WHERE embedding IS NOT NULL AND label IN (0, 1)),
+         |a AS (SELECT * FROM e WHERE label = 0),
+         |b AS (SELECT * FROM e WHERE label = 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT xid, yid FROM (
+         |    SELECT a.vec_id AS xid, b.vec_id AS yid
+         |    FROM a, UNNEST(a.pcells) AS u(pc) JOIN b ON b.cell = u.pc
+         |    UNION ALL
+         |    SELECT a.vec_id, b.vec_id
+         |    FROM b, UNNEST(b.pcells) AS v(pc) JOIN a ON a.cell = v.pc)),
+         |cosm AS MATERIALIZED (
+         |  SELECT xid, yid, $cosXY AS c
+         |  FROM cand JOIN a ON a.vec_id = xid JOIN b ON b.vec_id = yid),
+         |fk AS (SELECT xid, c FROM cosm QUALIFY row_number() OVER (
+         |         PARTITION BY xid ORDER BY c DESC, yid) <= 4),
+         |fden AS MATERIALIZED (SELECT xid,
+         |         CAST(CAST(SUM(CAST(CAST(c AS VARCHAR)
+         |           AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+         |           AS dx
+         |       FROM fk GROUP BY xid),
+         |bk AS (SELECT yid, c FROM cosm QUALIFY row_number() OVER (
+         |         PARTITION BY yid ORDER BY c DESC, xid) <= 4),
+         |bden AS MATERIALIZED (SELECT yid,
+         |         CAST(CAST(SUM(CAST(CAST(c AS VARCHAR)
+         |           AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+         |           AS dy
+         |       FROM bk GROUP BY yid),
+         |marg AS MATERIALIZED (
+         |  SELECT xid, yid, c, c / (0.5 * (dx + dy)) AS margin
+         |  FROM cosm JOIN fden USING (xid) JOIN bden USING (yid)),
+         |fwd AS (SELECT xid, yid, c, margin FROM marg
+         |        QUALIFY row_number() OVER (PARTITION BY xid
+         |          ORDER BY margin DESC, yid) = 1),
+         |bwd AS (SELECT xid AS bx, yid AS byid FROM marg
+         |        QUALIFY row_number() OVER (PARTITION BY yid
+         |          ORDER BY margin DESC, xid) = 1)
+         |SELECT f.xid AS src_id, f.yid AS tgt_id, f.c AS cos_sim,
+         |  f.margin AS margin,
+         |  CASE WHEN bwd.bx IS NOT NULL THEN 1 ELSE 0 END AS mutual
+         |FROM fwd f LEFT JOIN bwd
+         |  ON bwd.bx = f.xid AND bwd.byid = f.yid
+         |ORDER BY src_id""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.VectorOps.{cosineWithNorms, norm2}
+      val e = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull && col("label").isin(0, 1))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          ivfCellOf(col("embedding")).as("cell"),
+          ivfTopCells(col("embedding")).as("pcells"),
+          norm2(col("embedding")).as("n2"))
+      val aS = e.filter(col("label") === 0)
+      val bS = e.filter(col("label") === 1)
+      val cfwd = aS.select(col("vec_id").as("xid"),
+          explode(col("pcells")).as("pc"))
+        .join(bS.select(col("vec_id").as("yid"), col("cell")),
+          col("cell") === col("pc"))
+        .select("xid", "yid")
+      val cbwd = bS.select(col("vec_id").as("yid"),
+          explode(col("pcells")).as("pc"))
+        .join(aS.select(col("vec_id").as("xid"), col("cell")),
+          col("cell") === col("pc"))
+        .select("xid", "yid")
+      val cand = cfwd.unionByName(cbwd).distinct()
+      val cosm = cand
+        .join(aS.select(col("vec_id").as("xid"), col("embedding").as("xe"),
+          col("n2").as("xn2")), "xid")
+        .join(bS.select(col("vec_id").as("yid"), col("embedding").as("ye"),
+          col("n2").as("yn2")), "yid")
+        .select(col("xid"), col("yid"),
+          cosineWithNorms(col("xe"), col("ye"), col("xn2"), col("yn2"))
+            .as("c"))
+        .localCheckpoint(false) // feeds both denominators + the margin
+      def den(key: String, tie: String, out: String) = {
+        val w = Window.partitionBy(key).orderBy(col("c").desc, col(tie))
+        cosm.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .groupBy(key)
+          .agg((sum(col("c").cast(DecimalType(30, 12))).cast(DoubleType) /
+            count(lit(1))).as(out))
+      }
+      val marg = cosm
+        .join(den("xid", "yid", "dx"), "xid")
+        .join(den("yid", "xid", "dy"), "yid")
+        .select(col("xid"), col("yid"), col("c"),
+          (col("c") / (lit(0.5) * (col("dx") + col("dy")))).as("margin"))
+        .localCheckpoint(false) // forward + backward best both read it
+      val wf = Window.partitionBy("xid").orderBy(col("margin").desc, col("yid"))
+      val fwd = marg.withColumn("rn", row_number().over(wf))
+        .filter(col("rn") === 1).drop("rn")
+      val wb = Window.partitionBy("yid").orderBy(col("margin").desc, col("xid"))
+      val bwd = marg.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1)
+        .select(col("xid").as("bx"), col("yid").as("byid"))
+      fwd.join(bwd,
+          col("bx") === col("xid") && col("byid") === col("yid"), "left")
+        .select(col("xid").as("src_id"), col("yid").as("tgt_id"),
+          col("c").as("cos_sim"), col("margin"),
+          when(col("bx").isNotNull, 1).otherwise(0).as("mutual"))
+        .orderBy("src_id")
     }
   )
 }

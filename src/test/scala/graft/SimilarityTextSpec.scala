@@ -469,6 +469,65 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       f"IVF-mined hard negatives recall only $hitRate%.3f of global argmaxes")
   }
 
+  test("sim_bitext_mine: mined pairs track the full-candidate margin " +
+      "ranking (best-target hit rate and mutual-flag precision)") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("sim_bitext_mine")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // brute-force ground truth: margins over ALL A×B pairs (no probe
+    // restriction), k = 4 neighborhoods — what a single-box miner
+    // would compute; the operator approximates it through IVF probes
+    val sides = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && col("label").isin(0, 1))
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val aS = sides.filter(_._2 == 0); val bS = sides.filter(_._2 == 1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val cm = aS.map(x => bS.map(y => cos(x._3, y._3)))
+    def topAvg(v: Seq[Double]) =
+      v.sorted(Ordering[Double].reverse).take(4).sum / 4.0
+    val dx = cm.map(r => topAvg(r.toSeq))
+    val dy = bS.indices.map(j => topAvg(cm.map(_(j)).toSeq))
+    def margin(i: Int, j: Int) = cm(i)(j) / (0.5 * (dx(i) + dy(j)))
+    val bestY = aS.indices.map(i =>
+      bS(bS.indices.maxBy(j => (margin(i, j), -bS(j)._1.toDouble)))._1)
+    val bestX = bS.indices.map(j =>
+      aS(aS.indices.maxBy(i => (margin(i, j), -aS(i)._1.toDouble)))._1)
+    val aIdx = aS.map(_._1).zipWithIndex.toMap
+    val bIdx = bS.map(_._1).zipWithIndex.toMap
+    val hits = rows.count { r =>
+      bestY(aIdx(r.getLong(r.fieldIndex("src_id")))) ==
+        r.getLong(r.fieldIndex("tgt_id"))
+    }
+    val hitRate = hits.toDouble / rows.length
+    val mutualRows = rows.filter(_.getInt(4) == 1)
+    val trueMutual = mutualRows.count { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      bestY(aIdx(x)) == y && bestX(bIdx(y)) == x
+    }
+    val prec =
+      if (mutualRows.isEmpty) 1.0 else trueMutual.toDouble / mutualRows.length
+    info(f"pairs=${rows.length} mutual=${mutualRows.length} " +
+      f"best-target hit rate $hitRate%.3f mutual precision $prec%.3f")
+    assert(hitRate >= 0.6,
+      f"probe-mined best targets recall only $hitRate%.3f of full ranking")
+    assert(mutualRows.nonEmpty, "no mutual pairs mined on this corpus")
+    assert(prec >= 0.7,
+      f"mutual flag precision $prec%.3f vs full-candidate mutual bests")
+    // margins must sit around 1 (the neighborhood-normalized scale):
+    // a systematic drift means a denominator bug, not corpus noise
+    val ms = rows.map(_.getDouble(3))
+    assert(ms.min > 0.5 && ms.max < 3.0,
+      s"margin range [${ms.min}, ${ms.max}] off the normalized scale")
+  }
+
   test("knn predictions are valid labels with ≥1 vote") {
     SparkEntry.queries("knn_classify")(spark, sf).collect().foreach { r =>
       assert((0 to 9).contains(r.getAs[Int]("pred_label")))
