@@ -121,7 +121,39 @@ object ScaleAudit {
       "ONE-TIME repartitionByRange clustering write (first touch in " +
       "the fresh audit JVM — the same adjudication as bucketed_join); " +
       "every later box query is a pruned scan + one partial+final " +
-      "aggregate, no shuffle beyond the 1-row partials"))
+      "aggregate, no shuffle beyond the 1-row partials"),
+    "multimodal_pca_project2" -> ("input-linear scoring atop the " +
+      "model-bounded two-component fit: deflation is a map over the " +
+      "100-row covariance frame, the second power run joins the same " +
+      "broadcast-scale frames — adding a component adds zero " +
+      "corpus-sized shuffles"),
+    "sim_hard_negatives" -> ("candidate-bounded mining: label-blocked " +
+      "positives + IVF-probe-cell negatives into anchor-keyed windowed " +
+      "argmaxes — candidates are a class/cell fraction, never " +
+      "anchors x corpus"),
+    "mix_importance_weights" -> ("model-bounded fit + input-linear " +
+      "scoring: one conditional-aggregate corpus pass into 1024 " +
+      "bucket partials, a broadcast lambda table, then a (doc)-keyed " +
+      "partial+final exact-decimal sum and a TakeOrdered resample"),
+    "split_leakage_safe" -> ("component-bounded: rides the memoized " +
+      "candidate/component frames (label cardinality); the split gate " +
+      "is a per-row map and the leak audit joins the edge list " +
+      "(candidates << corpus) against it twice"),
+    "sim_bitext_mine" -> ("cell-blocked cross-side candidates (a " +
+      "probe fraction of |A|x|B|, never the cross product); margins " +
+      "and both best-picks are windows over the candidate-cardinality " +
+      "frame. At FIXED cell count the per-cell pair space grows " +
+      "quadratically in side size (the >10x second hop here) — a " +
+      "deployment raises IvfNumCells with the corpus (the documented " +
+      "ANN-params rule, ~sqrt(n) cells) keeping per-cell membership " +
+      "and the candidate fraction flat"),
+    "mix_temperature" -> ("domain-bounded: one lang-keyed count " +
+      "aggregate (map-side partials) + a broadcast 1-row normalizer — " +
+      "the whole model is |langs| rows"),
+    "text_bigram_nll" -> ("model-bounded fit + input-linear scoring: " +
+      "the bigram count table is bigram-TYPE-bounded (vocab^2, " +
+      "Zipf-truncated in practice); scoring joins test bigrams " +
+      "against it on token keys"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

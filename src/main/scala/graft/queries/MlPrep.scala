@@ -272,6 +272,52 @@ object MlPrep {
         .orderBy("source")
     },
 
+    // Temperature-based language sampling (the multilingual-pretraining
+    // mix recipe: sample language i with probability ∝ (n_i/N)^α so
+    // low-resource languages are upsampled relative to their corpus
+    // share — α = 0.5 here, the square-root flavor of the mT5/XLM-R
+    // family, chosen because sqrt is an exactly-rounded IEEE primitive
+    // in BOTH engines: the whole computation needs no libm
+    // quantization except the one normalizing sum, which rides the
+    // DECIMAL(30,12) discipline). Output per language: corpus share,
+    // temperature share, and the sampling multiplier (α-share /
+    // raw-share — the factor a batch sampler applies; > 1 means
+    // upsampled). Scale: one lang-keyed count aggregate (domain
+    // cardinality) + a broadcast 1-row normalizer — model-sized
+    // everywhere, the data pass is the count.
+    Decl("mix_temperature", {
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+         |           WHERE lang IS NOT NULL GROUP BY lang),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+         |        CAST(CAST(SUM(CAST(CAST(
+         |          sqrt(CAST(n AS DOUBLE)) AS VARCHAR)
+         |          AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS z
+         |      FROM c)
+         |SELECT lang, n AS n_docs,
+         |  CAST(n AS DOUBLE) / total AS raw_share,
+         |  sqrt(CAST(n AS DOUBLE)) / z AS temp_share,
+         |  (sqrt(CAST(n AS DOUBLE)) / z) /
+         |    (CAST(n AS DOUBLE) / total) AS multiplier
+         |FROM c, t ORDER BY lang""".stripMargin
+      // z = Σ sqrt(n_i): each sqrt is the same exactly-rounded double
+      // in both engines, and because Σ sqrt(n)/sqrt(N) ≠ 1 the
+      // normalizer is the SQRT SUM, not sqrt(total) — the decimal
+      // quantization makes the sum order-free, mirroring Spark's cast
+    }) { (s, d) =>
+      val c = Tables.documents(s, d).filter(col("lang").isNotNull)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // lang-cardinality; feeds t and the output
+      val t = broadcast(c.agg(sum("n").as("total"),
+        sum(sqrt(col("n").cast(DoubleType)).cast(DecimalType(30, 12)))
+          .cast(DoubleType).as("z")))
+      val raw = col("n").cast(DoubleType) / col("total")
+      val temp = sqrt(col("n").cast(DoubleType)) / col("z")
+      c.crossJoin(t)
+        .select(col("lang"), col("n").as("n_docs"), raw.as("raw_share"),
+          temp.as("temp_share"), (temp / raw).as("multiplier"))
+        .orderBy("lang")
+    },
+
     // Importance-weighted data selection (the DSIR recipe — Data
     // Selection via Importance Resampling, Xie et al. 2023, see
     // PAPERS.md): fit two hashed-unigram bag models — one on the

@@ -1012,6 +1012,113 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Interpolated bigram-LM negative log-likelihood — the step up
+    // from text_unigram_nll that a perplexity filter actually ships:
+    // p̂(w2|w1) = 0.75·c(w1 w2)/c(w1 ·) + 0.25·(c(w2)+1)/(N+V)
+    // (Jelinek-Mercer interpolation with a Laplace-smoothed unigram
+    // floor, so unseen bigrams — and entirely unseen words — score
+    // finite instead of infinite). Model trained on the 80% doc_id
+    // split, held-out 20% scored: the text_nb_train split discipline,
+    // which is what makes the score a FILTER (train on corpus, score
+    // incoming docs) rather than self-description. Every p̂ is plain
+    // IEEE arithmetic on integer-valued doubles (two divides, two
+    // multiplies, one add — identical operand order both engines);
+    // each -ln term rides the DECIMAL(20,9) VARCHAR-hop idiom and the
+    // per-doc sum is exact. Scale: the bigram model is
+    // bigram-TYPE-bounded (vocab², in practice Zipf-truncated — the
+    // model table of any production LM filter), context totals roll
+    // up from it, scoring joins test bigrams against the model on the
+    // token keys (stopword bigrams are the skewed keys, AQE
+    // territory), and only the 1-row (N, V) frame broadcasts.
+    Decl("text_bigram_nll", {
+      def ln9(x: String) =
+        s"CAST(CAST(CAST(ln($x) AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE)"
+      val pHat =
+        """0.75 * (CASE WHEN ctx.c1 > 0
+          |      THEN CAST(COALESCE(big.c12, 0) AS DOUBLE) /
+          |           CAST(ctx.c1 AS DOUBLE) ELSE 0.0 END)
+          |    + 0.25 * (CAST(COALESCE(uni.c2, 0) + 1 AS DOUBLE) /
+          |              CAST(nv.n + nv.v AS DOUBLE))""".stripMargin
+      s"""WITH train AS (SELECT text FROM documents
+         |  WHERE doc_id % 5 != 0 AND text IS NOT NULL),
+         |ttk AS (SELECT string_split(text, ' ') AS tks FROM train),
+         |big AS MATERIALIZED (
+         |  SELECT tks[i] AS w1, tks[i + 1] AS w2, COUNT(*) AS c12
+         |  FROM ttk, UNNEST(range(1, len(tks))) AS u(i) GROUP BY 1, 2),
+         |ctx AS MATERIALIZED (
+         |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+         |uni AS MATERIALIZED (
+         |  SELECT tok, COUNT(*) AS c2 FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM train)
+         |  GROUP BY tok),
+         |nv AS (SELECT CAST(SUM(c2) AS BIGINT) AS n,
+         |         COUNT(*) AS v FROM uni),
+         |test AS (SELECT doc_id, string_split(text, ' ') AS tks
+         |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+         |    AND len(string_split(text, ' ')) >= 2),
+         |tb AS (SELECT doc_id, tks[i] AS w1, tks[i + 1] AS w2
+         |       FROM test, UNNEST(range(1, len(tks))) AS u(i)),
+         |sc AS (SELECT tb.doc_id, -${ln9(s"($pHat)")} AS nll
+         |  FROM tb LEFT JOIN big ON big.w1 = tb.w1 AND big.w2 = tb.w2
+         |          LEFT JOIN ctx ON ctx.w1 = tb.w1
+         |          LEFT JOIN uni ON uni.tok = tb.w2, nv)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(CAST(nll AS VARCHAR) AS DECIMAL(20,9)))
+         |    AS DOUBLE) AS nll_sum,
+         |  CAST(SUM(CAST(CAST(nll AS VARCHAR) AS DECIMAL(20,9)))
+         |    AS DOUBLE) / COUNT(*) AS avg_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      // size >= 2 guard: sequence(0, size - 2) turns DESCENDING for a
+      // 1-token doc (the dedup_ngram lesson); DuckDB's range(1, len)
+      // is just empty there
+      def bigrams(df: DataFrame): DataFrame =
+        df.filter(size(col("tks")) >= 2)
+          .withColumn("bg", explode(expr(
+            "transform(sequence(0, size(tks) - 2), " +
+              "i -> struct(tks[i] AS w1, tks[i + 1] AS w2))")))
+          .select(col("doc_id"), col("bg.w1").as("w1"),
+            col("bg.w2").as("w2"))
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 5 =!= 0
+          && col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+      // the bigram count table IS the model — bigram-type-bounded;
+      // checkpoint once: it feeds ctx and the scoring join
+      val big = bigrams(train)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false)
+      val ctx = big.groupBy("w1").agg(sum("c12").as("c1"))
+      val uni = train.select(explode(col("tks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(false) // feeds (N, V) and the scoring join
+      val nv = broadcast(uni.agg(sum("c2").as("n"),
+        count(lit(1)).as("v")))
+      val test = docs.filter(col("doc_id") % 5 === 0
+          && col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .filter(size(col("tks")) >= 2)
+      val tb = bigrams(test)
+      val p = lit(0.75) *
+        when(col("c1") > 0,
+          coalesce(col("c12"), lit(0L)).cast(DoubleType) /
+            col("c1").cast(DoubleType)).otherwise(0.0) +
+        lit(0.25) * ((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType) /
+          (col("n") + col("v")).cast(DoubleType))
+      tb.join(big, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"), "left")
+        .crossJoin(nv)
+        .select(col("doc_id"),
+          (-log(p).cast(DecimalType(20, 9)).cast(DoubleType)).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("nll").cast(DecimalType(20, 9))).cast(DoubleType)
+            .as("nll_sum"))
+        .withColumn("avg_nll", col("nll_sum") / col("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
     // Fixed-weight linear quality classifier — the fasttext-style
     // "trained filter" stage of a data pipeline, reduced to its exact
     // arithmetic skeleton: three integer features (uniqueness percent,

@@ -25,6 +25,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("mix_temperature: shares normalize, upsampling inverts the " +
+      "resource ordering, and the multiplier flips around the mean share") {
+    val rows = SparkEntry.queries("mix_temperature")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = rows.map(_.getDouble(2)); val temp = rows.map(_.getDouble(3))
+    assert(math.abs(raw.sum - 1.0) < 1e-9 && math.abs(temp.sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getDouble(3) / r.getDouble(2))
+        < 1e-12)
+      // sqrt flattens: temperature share sits between uniform and raw
+      val uni = 1.0 / rows.length
+      val (rs, ts) = (r.getDouble(2), r.getDouble(3))
+      assert((ts - rs) * (ts - uni) <= 1e-12,
+        s"${r.getString(0)}: temp share $ts not between raw $rs and $uni")
+    }
+    // the ordering of multipliers is the REVERSE of the share ordering —
+    // that inversion is the whole point of temperature sampling
+    val byShare = rows.sortBy(_.getDouble(2)).map(_.getDouble(4)).toSeq
+    assert(byShare == byShare.sorted.reverse,
+      s"multipliers not antitone in share: $byShare")
+    // low-resource langs upsample, the dominant one downsamples
+    assert(byShare.head > 1.0 && byShare.last < 1.0)
+  }
+
   test("mix_importance_weights: weights match a brute-force DSIR " +
       "recompute, the target domain scores higher on average, and the " +
       "emitted top-50 is the true Gumbel-score ranking") {

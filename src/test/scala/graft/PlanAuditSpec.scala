@@ -46,6 +46,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "text_nb_train", // broadcast single-row vocab-size + doc-total scalars
     "mix_importance_weights", // broadcast single-row corpus-totals cross
     // feeding the 1024-row λ model (DSIR)
+    "mix_temperature", // broadcast single-row (total, sqrt-sum) normalizer
+    "text_bigram_nll", // broadcast single-row (N, V) smoothing scalars
     "text_nb_classify", // same two training scalars feed the scoring fan-out
     "stream_nb_classify", // same scoring scaffold under the stream monitor
     "multimodal_pca_fit", // broadcast single-row iterate-norm scalar cross

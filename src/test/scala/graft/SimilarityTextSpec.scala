@@ -469,6 +469,44 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       f"IVF-mined hard negatives recall only $hitRate%.3f of global argmaxes")
   }
 
+  test("text_bigram_nll: scores match a brute-force interpolated " +
+      "bigram LM and every term is a finite positive surprisal") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("text_bigram_nll")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val train = docs.filter(_._1 % 5 != 0)
+    val big = scala.collection.mutable.Map[(String, String), Long]()
+    val uni = scala.collection.mutable.Map[String, Long]()
+    train.foreach { case (_, tks) =>
+      tks.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      tks.sliding(2).filter(_.length == 2).foreach(p =>
+        big((p(0), p(1))) = big.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val ctx = big.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n = uni.values.sum.toDouble; val v = uni.size.toDouble
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val tks = docs.find(_._1 == id).get._2
+      val terms = tks.sliding(2).filter(_.length == 2).map { p =>
+        val c1 = ctx.getOrElse(p(0), 0L)
+        val cond = if (c1 > 0)
+          big.getOrElse((p(0), p(1)), 0L).toDouble / c1 else 0.0
+        val ph = 0.75 * cond + 0.25 * ((uni.getOrElse(p(1), 0L) + 1) / (n + v))
+        assert(ph > 0 && ph < 1, s"doc $id: p-hat $ph out of (0,1)")
+        -math.log(ph)
+      }.toSeq
+      assert(r.getLong(1) == terms.length,
+        s"doc $id: bigram count ${r.getLong(1)} vs ${terms.length}")
+      assert(math.abs(r.getDouble(2) - terms.sum) < 1e-6,
+        s"doc $id: nll ${r.getDouble(2)} vs brute ${terms.sum}")
+      assert(r.getDouble(3) == r.getDouble(2) / r.getLong(1))
+    }
+  }
+
   test("sim_bitext_mine: mined pairs track the full-candidate margin " +
       "ranking (best-target hit rate and mutual-flag precision)") {
     val d = "/root/testdata/sf0.01"
