@@ -75,6 +75,118 @@ object Multimodal {
   final case class PngFeatures(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, pixel_sum: Long)
 
+  // ------------------------------------------------------------------
+  // Audio: REAL WAV (PCM16) codec work via javax.sound.sampled — the
+  // audio leg of the multimodal contract, same discipline as the
+  // PNG/GIF legs: synthesize genuine WAV containers on the executors,
+  // decode them back through the JDK's own parser, and because PCM is
+  // lossless every decoded sample equals the generator value, so all
+  // downstream features are exact integers the DuckDB oracle replays
+  // from the closed-form waveform.
+  // ------------------------------------------------------------------
+
+  final case class WavRow(doc_id: Long, payload: Array[Byte])
+  final case class WavFeatures(doc_id: Long, n_samples: Long, sum_v: Long,
+      peak: Long, energy: Long, zero_crossings: Long)
+  final case class WavSegments(doc_id: Long, n_runs: Long,
+      active_samples: Long, longest_run: Long)
+
+  /** Deterministic waveform: a square wave of per-asset period and
+    * amplitude, GATED silent on every third 50-sample block (the
+    * silence/speech alternation a VAD/segmenter keys on). Pure integer
+    * arithmetic — shared by the encoder and (as SQL) the oracle. */
+  @inline def wavSample(id: Long, i: Int): Int = {
+    if ((i / 50) % 3 == 2) 0
+    else {
+      val p = (id % 20 + 10).toInt
+      val amp = ((id % 97 + 31) * 64).toInt
+      if ((i % p) * 2 < p) amp else -amp
+    }
+  }
+
+  /** Samples per asset: 100–499 (mono, 16-bit, 8 kHz). */
+  @inline def wavLen(id: Long): Int = (id % 400 + 100).toInt
+
+  /** Synthesize a REAL RIFF/WAVE file per asset (PCM16LE mono 8 kHz)
+    * through the JDK's own writer — the payload a real audio table
+    * would carry. */
+  def wavOf(ids: Dataset[java.lang.Long]): Dataset[WavRow] = {
+    implicit val enc = Encoders.product[WavRow]
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = wavLen(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = wavSample(id, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      WavRow(id, bos.toByteArray)
+    })
+  }
+
+  /** Decode a WAV payload via the JDK parser and fold the PCM stream
+    * to integer features in one pass. Zero crossings count STRICT
+    * adjacent sign flips (a zero sample breaks the run — mirrored in
+    * the oracle's v(i-1)·v(i) < 0 form). */
+  def decodeWavFeatures(m: WavRow): WavFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian && fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"unexpected decoded format $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sum = 0L; var peak = 0L; var energy = 0L; var zc = 0L
+      var prev = 0; var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
+        sum += s
+        val a = math.abs(s); if (a > peak) peak = a
+        energy += s.toLong * s
+        if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0))) zc += 1
+        prev = s; i += 1
+      }
+      WavFeatures(m.doc_id, n, sum, peak, energy, zc)
+    } finally ais.close()
+  }
+
+  /** Run-length segmentation of the decoded stream — the ASR-prep
+    * primitive (split on silence): count maximal nonzero runs, total
+    * active samples, and the longest run. */
+  def decodeWavSegments(m: WavRow): WavSegments = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    try {
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var runs = 0L; var active = 0L; var longest = 0L; var cur = 0L
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
+        if (s != 0) {
+          if (cur == 0) runs += 1
+          cur += 1; active += 1
+          if (cur > longest) longest = cur
+        } else cur = 0
+        i += 1
+      }
+      WavSegments(m.doc_id, runs, active, longest)
+    } finally ais.close()
+  }
+
   /** Deterministic pixel function for the synthesized PNGs: gray level
     * of pixel (x, y) of asset `id`. Shared by the encoder below and
     * (as SQL arithmetic) by the DuckDB oracle. */
@@ -1216,6 +1328,76 @@ object Multimodal {
     // corpus-sized, the distributed-PCA shape. MultimodalCodecSpec
     // pins that the iterate actually converged (residual ‖Cv − λv‖
     // small vs λ).
+    // Audio decode — the WAV leg of the multimodal contract: synthesize
+    // REAL RIFF/WAVE containers (JDK javax.sound writer), decode them
+    // back through the JDK parser, and fold the PCM16 stream to
+    // integer features (count, sum, peak, energy, strict-sign zero
+    // crossings). PCM is lossless, so every decoded sample equals the
+    // closed-form generator value and the whole feature row oracles
+    // exactly — the same codec discipline as the PNG/GIF legs. Scale:
+    // the payload dies inside the per-partition decode (column
+    // pruning); only the 6-long feature row reaches the output, and
+    // there is no shuffle at all before the final sort.
+    Decl("multimodal_audio_decode",
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 100 AS n,
+        |        doc_id % 20 + 10 AS p, (doc_id % 97 + 31) * 64 AS amp
+        |      FROM documents),
+        |s AS (SELECT doc_id, i,
+        |        CASE WHEN (i // 50) % 3 = 2 THEN 0
+        |             WHEN (i % p) * 2 < p THEN amp ELSE -amp END AS v,
+        |        CASE WHEN i = 0 THEN 0
+        |             WHEN ((i - 1) // 50) % 3 = 2 THEN 0
+        |             WHEN ((i - 1) % p) * 2 < p THEN amp
+        |             ELSE -amp END AS vp
+        |      FROM d, UNNEST(range(0, n)) AS u(i))
+        |SELECT doc_id, COUNT(*) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN i > 0 AND vp * v < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[WavFeatures]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      wavOf(ids).mapPartitions(_.map(decodeWavFeatures))
+        .toDF().orderBy("doc_id")
+    },
+
+    // Silence segmentation over the decoded stream — the ASR-prep
+    // primitive (cut on silence, keep voiced spans): maximal nonzero
+    // runs, total active samples, longest run. Spark folds the REAL
+    // decoded PCM; the oracle rebuilds the runs from the closed-form
+    // waveform with a per-doc running run-id window. Integer-exact.
+    Decl("multimodal_audio_segments",
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 100 AS n,
+        |        doc_id % 20 + 10 AS p, (doc_id % 97 + 31) * 64 AS amp
+        |      FROM documents),
+        |s AS (SELECT doc_id, i,
+        |        CASE WHEN (i // 50) % 3 = 2 THEN 0
+        |             WHEN (i % p) * 2 < p THEN amp ELSE -amp END AS v,
+        |        CASE WHEN i = 0 THEN 0
+        |             WHEN ((i - 1) // 50) % 3 = 2 THEN 0
+        |             WHEN ((i - 1) % p) * 2 < p THEN amp
+        |             ELSE -amp END AS vp
+        |      FROM d, UNNEST(range(0, n)) AS u(i)),
+        |runs AS (SELECT doc_id, v,
+        |    SUM(CASE WHEN v <> 0 AND (i = 0 OR vp = 0) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS rid
+        |  FROM s),
+        |rl AS (SELECT doc_id, rid, COUNT(*) AS len FROM runs
+        |       WHERE v <> 0 GROUP BY doc_id, rid)
+        |SELECT doc_id, COUNT(*) AS n_runs,
+        |  CAST(SUM(len) AS BIGINT) AS active_samples,
+        |  CAST(MAX(len) AS BIGINT) AS longest_run
+        |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[WavSegments]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      wavOf(ids).mapPartitions(_.map(decodeWavSegments))
+        .toDF().orderBy("doc_id")
+    },
+
     Decl("multimodal_pca_fit", {
       s"""${pcaSqlWith}
          |SELECT CAST(v8.i AS INTEGER) AS dim,

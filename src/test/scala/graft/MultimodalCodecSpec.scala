@@ -206,6 +206,60 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSuite {
       f"pc1/pc2 correlation $corr%.4f — deflation did not orthogonalize")
   }
 
+  test("WAV round-trip: decoded PCM features equal the closed-form " +
+      "waveform across 1000 seeds, and the container is the declared " +
+      "PCM16LE mono format") {
+    // PCM is lossless — the bound is EXACTNESS, the GIF discipline:
+    // every feature of every asset must match the generator recompute
+    // bit-for-bit. 1000 ids cover all (n, period, amplitude) classes.
+    val ids = spark.range(1000).select(F.col("id")).as(Encoders.LONG)
+    val bad = Multimodal.wavOf(ids).mapPartitions { it =>
+      it.flatMap { m =>
+        val f = Multimodal.decodeWavFeatures(m)
+        val g = Multimodal.decodeWavSegments(m)
+        val n = Multimodal.wavLen(m.doc_id)
+        var sum = 0L; var peak = 0L; var energy = 0L; var zc = 0L
+        var runs = 0L; var active = 0L; var longest = 0L; var cur = 0L
+        var prev = 0; var i = 0
+        while (i < n) {
+          val s = Multimodal.wavSample(m.doc_id, i)
+          sum += s; val a = math.abs(s); if (a > peak) peak = a
+          energy += s.toLong * s
+          if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0))) zc += 1
+          if (s != 0) {
+            if (cur == 0) runs += 1
+            cur += 1; active += 1; if (cur > longest) longest = cur
+          } else cur = 0
+          prev = s; i += 1
+        }
+        val ok = f.n_samples == n && f.sum_v == sum && f.peak == peak &&
+          f.energy == energy && f.zero_crossings == zc &&
+          g.n_runs == runs && g.active_samples == active &&
+          g.longest_run == longest
+        if (ok) Iterator.empty else Iterator.single(m.doc_id)
+      }
+    }(Encoders.scalaLong).collect()
+    assert(bad.isEmpty, s"codec round-trip drifted for ids ${bad.take(5)}")
+    // container sanity on one asset: the JDK parser must see the
+    // declared format, not a transcoded one
+    val one = Multimodal.wavOf(
+      spark.range(1).select(F.col("id")).as(Encoders.LONG)).head()
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(one.payload))
+    try {
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      assert(ais.getFrameLength == Multimodal.wavLen(0L).toLong)
+    } finally ais.close()
+    // a malformed payload fails loudly (the strict path — media
+    // quarantine routing is multimodal_decode_quarantine's job)
+    intercept[Exception] {
+      Multimodal.decodeWavFeatures(
+        Multimodal.WavRow(7L, "not a riff container".getBytes("UTF-8")))
+    }
+  }
+
   test("GIF multi-frame round-trip: frame count, dims and every pixel " +
       "exact across the generator seed space") {
     // GIF is palette-lossless, so unlike JPEG the bound is EXACTNESS:
