@@ -153,7 +153,11 @@ object ScaleAudit {
     "text_bigram_nll" -> ("model-bounded fit + input-linear scoring: " +
       "the bigram count table is bigram-TYPE-bounded (vocab^2, " +
       "Zipf-truncated in practice); scoring joins test bigrams " +
-      "against it on token keys"))
+      "against it on token keys"),
+    "stream_psi_monitor" -> ("monitor-state-bounded: one corpus scan " +
+      "into (window x bucket) count partials; reference counts and " +
+      "both totals ride broadcast frames — the PSI assembly never " +
+      "touches corpus-sized data again"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

@@ -287,6 +287,85 @@ object Dq {
     },
 
     // Population stability index — the standard drift metric between a
+    // Streaming drift monitor, batch-twin form (the StreamingBatch
+    // discipline: the finite-input query DuckDB replays; StreamingSpec
+    // proves a Structured Streaming AvailableNow pass over the same
+    // events converges to it). Production shape: the stream maintains
+    // per-(window, bucket) counts — a streaming-legal windowed
+    // aggregate — and the alerter computes PSI of each window against the
+    // FIRST day's reference distribution off that state. Windows are
+    // days; buckets, smoothing and the (p−q)·ln(p/q) decimal-term
+    // discipline are dq_psi's. Scale: one scan + a (window × bucket)-
+    // bounded aggregate; reference counts and both totals ride
+    // broadcast frames — the monitor's state is model-sized.
+    Decl("stream_psi_monitor", {
+      val DayUs = 86400000000L
+      def p = "(CAST(nref + 1 AS DOUBLE) / CAST(nr + 12 AS DOUBLE))"
+      def q = "(CAST(ncur + 1 AS DOUBLE) / CAST(nc + 12 AS DOUBLE))"
+      s"""WITH b AS (SELECT epoch_us(ts) // $DayUs AS day,
+         |    COALESCE(CAST(floor(value / 50) AS BIGINT), -1) AS bucket
+         |  FROM events),
+         |r0 AS (SELECT MIN(day) AS d0 FROM b),
+         |ref AS MATERIALIZED (SELECT bucket, COUNT(*) AS n_ref
+         |  FROM b, r0 WHERE day = d0 GROUP BY bucket),
+         |rt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS nr FROM ref),
+         |cur AS MATERIALIZED (SELECT day, bucket, COUNT(*) AS n_cur
+         |  FROM b, r0 WHERE day > d0 GROUP BY day, bucket),
+         |ct AS (SELECT day, CAST(SUM(n_cur) AS BIGINT) AS nc
+         |       FROM cur GROUP BY day),
+         |hb AS (SELECT day, bucket FROM cur
+         |       UNION SELECT ct.day, ref.bucket FROM ref, ct),
+         |j AS (SELECT hb.day, hb.bucket,
+         |        COALESCE(ref.n_ref, 0) AS nref,
+         |        COALESCE(cur.n_cur, 0) AS ncur
+         |      FROM hb LEFT JOIN ref ON ref.bucket = hb.bucket
+         |           LEFT JOIN cur ON cur.day = hb.day
+         |                        AND cur.bucket = hb.bucket)
+         |SELECT j.day * $DayUs AS window_us,
+         |  CAST(SUM(ncur) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(CAST(($p - $q) * ln($p / $q)
+         |    AS VARCHAR) AS DECIMAL(20,9))) AS DOUBLE) AS psi9
+         |FROM j JOIN ct ON ct.day = j.day, rt
+         |GROUP BY j.day ORDER BY window_us""".stripMargin
+    }) { (s, d) =>
+      val DayUs = 86400000000L
+      val b = Tables.events(s, d).select(
+        expr(s"unix_micros(ts) DIV $DayUs").as("day"),
+        coalesce(floor(col("value") / 50).cast(LongType), lit(-1L))
+          .as("bucket"))
+      val d0 = broadcast(b.agg(min("day").as("d0")))
+      val withRef = b.crossJoin(d0).localCheckpoint(false)
+      val ref = withRef.filter(col("day") === col("d0"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+        .localCheckpoint(false) // feeds nr, the bucket grid, the join
+      val nr = broadcast(ref.agg(sum("n_ref").as("nr")))
+      val cur = withRef.filter(col("day") > col("d0"))
+        .groupBy("day", "bucket").agg(count(lit(1)).as("n_cur"))
+        .localCheckpoint(false)
+      val ct = cur.groupBy("day").agg(sum("n_cur").as("nc"))
+      val hb = cur.select("day", "bucket")
+        .unionByName(ct.select(col("day"))
+          .crossJoin(ref.select(col("bucket"))))
+        .distinct()
+      val p = (col("nref") + 1).cast(DoubleType) /
+        (col("nr") + 12).cast(DoubleType)
+      val q = (col("ncur") + 1).cast(DoubleType) /
+        (col("nc") + 12).cast(DoubleType)
+      hb.join(ref.withColumnRenamed("n_ref", "nref"), Seq("bucket"), "left")
+        .join(cur.withColumnRenamed("n_cur", "ncur"),
+          Seq("day", "bucket"), "left")
+        .na.fill(0L, Seq("nref", "ncur"))
+        .join(ct, "day").crossJoin(nr)
+        .select(col("day"), col("ncur"),
+          ((p - q) * log(p / q)).cast(DecimalType(20, 9)).as("term"))
+        .groupBy("day")
+        .agg(sum("ncur").as("n_events"),
+          sum(col("term")).cast(DoubleType).as("psi9"))
+        .select((col("day") * DayUs).as("window_us"),
+          col("n_events"), col("psi9"))
+        .orderBy("window_us")
+    },
+
     // reference window and the current one, here the two time halves
     // of the event stream (split at the midpoint of the observed
     // time range, so the boundary is a pure function of the data).

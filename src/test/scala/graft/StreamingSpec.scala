@@ -938,4 +938,89 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.length == expected.size,
       "re-delivered committed batch landed twice")
   }
+
+  test("stream_psi_monitor twin: a streaming windowed count state plus " +
+    "a batch alerter pass over it reproduces the declared monitor " +
+    "bit-for-bit") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+      TimestampNTZType}
+    // the production split: the STREAM maintains only per-(day, bucket)
+    // counts (a streaming-legal windowed aggregate, model-sized state);
+    // the ALERTER computes PSI vs the first day's reference off that
+    // state. Their composition must equal the declared batch-twin
+    // query exactly — counts are integers and the PSI arithmetic is
+    // the identical decimal-term expression, so equality is bitwise.
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    val dir = java.nio.file.Paths.get(
+      "/root/repo/target/graft_io/stream_events_" +
+        src.getParent.getFileName.toString)
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchRaw = spark.read.parquet(dir.toString)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    val stream = normalize(
+      spark.readStream.schema(batchRaw.schema).parquet(dir.toString))
+    val sq = stream
+      .select(window(col("ts"), "1 day").as("w"),
+        coalesce(floor(col("value") / 50).cast(LongType), lit(-1L))
+          .as("bucket"))
+      .groupBy("w", "bucket").agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast(LongType).as("day_s"),
+        col("bucket"), col("n"))
+      .writeStream.format("memory").queryName("fs_psi_state")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    // alerter pass (plain batch over the streamed state)
+    val state = spark.table("fs_psi_state")
+      .select((col("day_s") / 86400).cast(LongType).as("day"),
+        col("bucket"), col("n"))
+    val d0 = state.agg(min("day")).head().getLong(0)
+    val ref = state.filter(col("day") === d0)
+      .select(col("bucket"), col("n").as("nref"))
+      .localCheckpoint(false) // grid + join reuse — sever the lineage
+    val nrV = ref.agg(sum("nref")).head().getLong(0)
+    val cur = state.filter(col("day") > d0)
+      .select(col("day"), col("bucket"), col("n").as("ncur"))
+      .localCheckpoint(false)
+    val ct = cur.groupBy("day").agg(sum("ncur").as("nc"))
+    val hb = cur.select("day", "bucket")
+      .unionByName(ct.select(col("day")).crossJoin(ref.select("bucket")))
+      .distinct()
+    val p = (col("nref") + 1).cast(DoubleType) / lit(nrV + 12).cast(DoubleType)
+    val q = (col("ncur") + 1).cast(DoubleType) /
+      (col("nc") + 12).cast(DoubleType)
+    val alerted = hb.join(ref, Seq("bucket"), "left")
+      .join(cur, Seq("day", "bucket"), "left")
+      .na.fill(0L, Seq("nref", "ncur"))
+      .join(ct, "day")
+      .select(col("day"), col("ncur"),
+        ((p - q) * log(p / q)).cast(DecimalType(20, 9)).as("term"))
+      .groupBy("day")
+      .agg(sum("ncur").as("n_events"),
+        sum(col("term")).cast(DoubleType).as("psi9"))
+      .select((col("day") * 86400000000L).as("window_us"),
+        col("n_events"), col("psi9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val declared = SparkEntry.queries("stream_psi_monitor")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(alerted.nonEmpty && alerted.length == declared.length,
+      s"${alerted.length} windows vs declared ${declared.length}")
+    alerted.zip(declared).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && a._3 == b._3,
+        s"window drifted: streamed $a vs declared $b")
+    }
+  }
 }
