@@ -117,7 +117,23 @@ object PlanDump {
       "token-keyed join fans symbol counts back to documents"),
     "multimodal_pca_project" -> ("fit → transform in one plan: means " +
       "and the converged iterate ride broadcast frames into a single " +
-      "(doc)-keyed partial+final score aggregate"))
+      "(doc)-keyed partial+final score aggregate"),
+    "mix_importance_weights" -> ("DSIR: both hashed-unigram models in " +
+      "ONE conditional aggregate pass; the 1024-row λ table joins " +
+      "broadcast into a (doc)-keyed score agg; Gumbel-top-k resample " +
+      "is a TakeOrderedAndProject"),
+    "sim_hard_negatives" -> ("label-blocked positive join + " +
+      "probe-cell negative join, each into an anchor-partitioned " +
+      "row_number argmax — candidates bounded by class/cell size"),
+    "sim_bitext_mine" -> ("cross-side candidates from two cell " +
+      "equi-joins (probe fraction of |A|×|B|); checkpointed cosine " +
+      "frame feeds both k-NN denominators and both best-pick windows"),
+    "multimodal_audio_decode" -> ("real javax.sound WAV round-trip " +
+      "inside mapPartitions; the payload dies at the decode, only the " +
+      "6-long feature row flows — no shuffle before the sort"),
+    "stream_psi_monitor" -> ("one scan into (window × bucket) count " +
+      "partials; reference counts and both totals ride broadcast " +
+      "frames — the monitor state is model-sized"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
