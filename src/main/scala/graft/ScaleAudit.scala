@@ -157,7 +157,11 @@ object ScaleAudit {
     "stream_psi_monitor" -> ("monitor-state-bounded: one corpus scan " +
       "into (window x bucket) count partials; reference counts and " +
       "both totals ride broadcast frames — the PSI assembly never " +
-      "touches corpus-sized data again"))
+      "touches corpus-sized data again"),
+    "multimodal_audio_decode" -> ("per-row codec fold: the WAV payload " +
+      "dies inside the partition decode, only the 6-long feature row " +
+      "reaches the output-sort exchange (input-linear in rows, " +
+      "payload-size-free)"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

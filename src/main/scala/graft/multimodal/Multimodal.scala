@@ -163,6 +163,24 @@ object Multimodal {
     } finally ais.close()
   }
 
+  final case class SafeWav(doc_id: Long, status: String,
+      n_samples: Option[Long], energy: Option[Long], error: Option[String])
+
+  /** TOLERANT audio decode — the quarantine twin of
+    * [[decodeWavFeatures]], same contract as [[decodePngSafe]]: a
+    * payload no provider claims or that dies mid-parse yields a
+    * quarantine row with a diagnostic instead of killing the task.
+    * Catches Exception, not Throwable. */
+  def decodeWavSafe(m: WavRow): SafeWav =
+    try {
+      val f = decodeWavFeatures(m)
+      SafeWav(m.doc_id, "ok", Some(f.n_samples), Some(f.energy), None)
+    } catch {
+      case e: Exception =>
+        SafeWav(m.doc_id, "quarantine", None, None,
+          Some(e.getClass.getSimpleName))
+    }
+
   /** Run-length segmentation of the decoded stream — the ASR-prep
     * primitive (split on silence): count maximal nonzero runs, total
     * active samples, and the longest run. */
@@ -1391,6 +1409,50 @@ object Multimodal {
         .select(col("doc_id")).as(Encoders.LONG)
       wavOf(ids).mapPartitions(_.map(decodeWavFeatures))
         .toDF().orderBy("doc_id")
+    },
+
+    // Audio quarantine — multimodal_decode_quarantine's WAV twin:
+    // genuine containers with two deterministic damage modes
+    // (doc_id % 7 = 0 truncates the RIFF header mid-chunk, % 7 = 3
+    // substitutes bytes no provider claims) routed per-row by the
+    // tolerant decoder; intact payloads decode to exact (n_samples,
+    // energy), damaged ones become quarantine rows with null
+    // features. Routing AND surviving features oracled from the
+    // closed-form waveform; the diagnostic stays un-oracled
+    // (JDK-exception-specific). One bad audio blob costs one row.
+    Decl("multimodal_audio_quarantine",
+      """WITH d AS (SELECT doc_id, doc_id % 400 + 100 AS n,
+        |        doc_id % 20 + 10 AS p, (doc_id % 97 + 31) * 64 AS amp,
+        |        CASE WHEN doc_id % 7 IN (0, 3) THEN 'quarantine'
+        |             ELSE 'ok' END AS status
+        |      FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN (i // 50) % 3 = 2 THEN 0
+        |             WHEN (i % p) * 2 < p THEN amp ELSE -amp END AS v
+        |      FROM d, UNNEST(range(0, n)) AS u(i) WHERE status = 'ok'),
+        |f AS (SELECT doc_id, COUNT(*) AS ns, SUM(v * v) AS en
+        |      FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, d.status,
+        |  CAST(f.ns AS BIGINT) AS n_samples,
+        |  CAST(f.en AS BIGINT) AS energy
+        |FROM d LEFT JOIN f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      implicit val enc = Encoders.product[SafeWav]
+      val wavEnc = Encoders.product[WavRow]
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id")).as(Encoders.LONG)
+      wavOf(ids)
+        .map { m =>
+          if (m.doc_id % 7 == 0) WavRow(m.doc_id, m.payload.take(10))
+          else if (m.doc_id % 7 == 3)
+            WavRow(m.doc_id,
+              s"not a riff container ${m.doc_id}".getBytes("UTF-8"))
+          else m
+        }(wavEnc)
+        .mapPartitions(_.map(decodeWavSafe))
+        .select(col("doc_id"), col("status"), col("n_samples"),
+          col("energy"))
+        .orderBy("doc_id")
     },
 
     // Silence segmentation over the decoded stream — the ASR-prep

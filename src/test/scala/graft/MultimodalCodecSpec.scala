@@ -252,12 +252,22 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSuite {
         fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
       assert(ais.getFrameLength == Multimodal.wavLen(0L).toLong)
     } finally ais.close()
-    // a malformed payload fails loudly (the strict path — media
-    // quarantine routing is multimodal_decode_quarantine's job)
-    intercept[Exception] {
-      Multimodal.decodeWavFeatures(
-        Multimodal.WavRow(7L, "not a riff container".getBytes("UTF-8")))
+    // a malformed payload fails loudly on the strict path and ROUTES on
+    // the tolerant one (multimodal_audio_quarantine's contract) —
+    // including header bit-flip damage the declared query's two modes
+    // don't cover
+    val garbage = Multimodal.WavRow(7L,
+      "not a riff container".getBytes("UTF-8"))
+    intercept[Exception] { Multimodal.decodeWavFeatures(garbage) }
+    assert(Multimodal.decodeWavSafe(garbage).status == "quarantine")
+    val flipped = {
+      val p = one.payload.clone()
+      p(1) = (p(1) ^ 0xff).toByte // break the RIFF magic
+      Multimodal.WavRow(0L, p)
     }
+    assert(Multimodal.decodeWavSafe(flipped).status == "quarantine",
+      "bit-flipped RIFF magic must route, not decode")
+    assert(Multimodal.decodeWavSafe(one).status == "ok")
   }
 
   test("GIF multi-frame round-trip: frame count, dims and every pixel " +

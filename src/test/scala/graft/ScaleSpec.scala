@@ -261,4 +261,41 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       s"graph_pagerank shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) " +
         "vs 13.3x edge growth — superlinear in |E|")
   }
+
+  test("session-2 model-bounded operators stay flat at 10x rows " +
+      "(DSIR-free monitor state, lang mix, bigram vocabulary)") {
+    // stream_psi_monitor: (window x bucket) partials; mix_temperature:
+    // |langs| rows; text_bigram_nll: bigram-TYPE-bounded model (the
+    // 31-token fixture vocabulary saturates — measured 2.7x from the
+    // scoring side's input-linear leg, pinned under 4x)
+    for ((q, cap) <- Seq("stream_psi_monitor" -> 2.0,
+        "mix_temperature" -> 2.0, "text_bigram_nll" -> 4.0)) {
+      val b1 = bytes(q, small)
+      val b2 = bytes(q, big)
+      assert(b1 > 0, s"$q: expected a (bounded) shuffle at sf0.01")
+      assert(b2.toDouble / b1 < cap,
+        s"$q: shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) at 10x " +
+          "rows — the model-bounded partials have regressed")
+    }
+  }
+
+  test("session-2 candidate/input-bounded operators never grow " +
+      "superlinearly at 10x rows") {
+    // sim_hard_negatives: class/cell-blocked candidates (measured
+    // 3.3x); mix_importance_weights: doc-keyed scoring (8.1x);
+    // multimodal_pca_project2 and the audio legs: per-row scoring /
+    // feature folds (the pca core may be memo-checkpointed by an
+    // earlier test in this JVM — the pinned bound covers both the
+    // cold and warm tallies)
+    for (q <- Seq("sim_hard_negatives", "mix_importance_weights",
+        "multimodal_pca_project2", "multimodal_audio_decode",
+        "multimodal_audio_segments")) {
+      val b1 = bytes(q, small)
+      val b2 = bytes(q, big)
+      assert(b1 > 0, s"$q: expected a shuffle at sf0.01")
+      assert(b2.toDouble / b1 < 20.0,
+        s"$q: shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) at 10x " +
+          "rows — superlinear blowup")
+    }
+  }
 }
