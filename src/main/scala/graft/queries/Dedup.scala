@@ -1146,6 +1146,84 @@ object Dedup {
           (col("n_dup_spans").cast(DoubleType) / col("n_spans"))
             .as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // The span-dedup ACTION (dedup_span detects, this one REWRITES) —
+    // the exact-substring scrub of the train-data-dedup literature
+    // (see PAPERS.md) and C4's repeated-span removal: every 3-token
+    // span occurring in ≥2 distinct documents is dropped, and each
+    // document is REBUILT from its surviving spans in order. The
+    // cleaned text is oracled EXACTLY via sha-256 (engines agree on
+    // the reconstruction byte-for-byte or the hash misses), alongside
+    // span/drop/token accounting. Reconstruction is deterministic in
+    // the face of unordered aggregation: spans carry their index, the
+    // collected list is sorted on it before joining (DuckDB twin:
+    // string_agg ... ORDER BY i). Scale: span table + dup-set agg +
+    // verdict join are dedup_span's shapes; the rebuild adds one
+    // (doc)-keyed aggregate whose payload is the document itself —
+    // input-linear, the cost of any rewrite pass.
+    Decl("text_span_scrub",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |spans AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(tks, i * 3 + 1, i * 3 + 3), ' ')
+        |      AS span
+        |  FROM toks,
+        |    UNNEST(range(0, CAST(ceil(n / 3.0) AS BIGINT))) AS u(i)),
+        |dup AS MATERIALIZED (SELECT span FROM spans GROUP BY span
+        |      HAVING COUNT(DISTINCT doc_id) >= 2),
+        |k AS (SELECT s.doc_id, s.i, s.span,
+        |        d.span IS NOT NULL AS isdup
+        |      FROM spans s LEFT JOIN dup d ON d.span = s.span),
+        |c AS (SELECT doc_id, COUNT(*) AS n_spans,
+        |        SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS n_dropped,
+        |        COALESCE(string_agg(CASE WHEN NOT isdup THEN span END,
+        |          ' ' ORDER BY i), '') AS clean
+        |      FROM k GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(n_dropped AS BIGINT) AS n_dropped,
+        |  CAST(CASE WHEN clean = '' THEN 0
+        |       ELSE len(string_split(clean, ' ')) END AS BIGINT)
+        |    AS clean_ntok,
+        |  sha256(clean) AS clean_sha
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val SpanTok = 3
+      val spans = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .withColumn("n", size(col("tks")))
+        .select(col("doc_id"), col("tks"),
+          explode(sequence(lit(0L), greatest(lit(0L),
+            ceil(col("n") / lit(SpanTok.toDouble)).cast(LongType) - 1)))
+            .as("i"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", slice(col("tks"),
+            (col("i") * SpanTok + 1).cast(IntegerType), lit(SpanTok)))
+            .as("span"))
+        .localCheckpoint() // dup-set agg + verdict join share the scan
+      val dup = spans.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("span"), lit(1).as("is_dup"))
+      // collect_list drops the nulls the `when` leaves for dup spans;
+      // array_sort on (i, span) structs restores document order before
+      // the join — the unordered-agg determinism idiom
+      val clean = array_join(transform(
+        array_sort(collect_list(when(coalesce(col("is_dup"), lit(0)) === 0,
+          struct(col("i"), col("span"))))),
+        x => x.getField("span")), " ")
+      spans.join(dup, Seq("span"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("is_dup"), lit(0)).cast(LongType))
+            .as("n_dropped"),
+          clean.as("clean"))
+        .select(col("doc_id"), col("n_spans"), col("n_dropped"),
+          when(col("clean") === "", 0L)
+            .otherwise(size(split(col("clean"), " ")).cast(LongType))
+            .as("clean_ntok"),
+          sha2(col("clean"), 256).as("clean_sha"))
+        .orderBy("doc_id")
     }
   )
 

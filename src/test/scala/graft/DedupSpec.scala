@@ -190,6 +190,50 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
         s"partition the $globalClusters global components")
   }
 
+  test("text_span_scrub: the rebuilt documents match an independent " +
+      "reconstruction (sha-exact) and the drop counts equal " +
+      "dedup_span's detection") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("text_span_scrub")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // independent reconstruction in plain Scala
+    val docs = Tables.documents(spark, d).filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val spanOf = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(3).map(_.mkString(" ")).toVector
+    }.toMap
+    val dupSet = spanOf.values.flatten
+      .groupBy(identity)
+      .collect { case (s, _) if spanOf.count(_._2.contains(s)) >= 2 => s }
+      .toSet
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { case (id, (nSpans, nDropped, ntok, sha)) =>
+      val sp = spanOf(id)
+      val kept = sp.filterNot(dupSet)
+      assert(nSpans == sp.length, s"doc $id: span count")
+      assert(nDropped == (sp.length - kept.length), s"doc $id: drop count")
+      val clean = kept.mkString(" ")
+      val expTok = if (clean.isEmpty) 0 else clean.split(" ", -1).length
+      assert(ntok == expTok, s"doc $id: token count $ntok vs $expTok")
+      md.reset()
+      val exp = md.digest(clean.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(sha == exp, s"doc $id: rebuilt text drifted (sha mismatch)")
+    }
+    // detection/action consistency: n_dropped == dedup_span's
+    // n_dup_spans row-for-row
+    val det = SparkEntry.queries("dedup_span")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { case (id, (_, nDropped, _, _)) =>
+      assert(det(id) == nDropped,
+        s"doc $id: scrub dropped $nDropped but detection saw ${det(id)}")
+    }
+    // the fixture must actually exercise the scrub
+    assert(rows.values.map(_._2).sum > 0, "no spans dropped — vacuous")
+  }
+
   test("signatures are invariant under repartitioning") {
     def sigOf(np: Int) =
       Dedup.signatures(docsWithDup.repartition(np)).collect()
