@@ -1150,7 +1150,7 @@ object Dedup {
 
     // The span-dedup ACTION (dedup_span detects, this one REWRITES) —
     // the exact-substring scrub of the train-data-dedup literature
-    // (see PAPERS.md) and C4's repeated-span removal: every 3-token
+    // (Lee et al. 2022) and C4's repeated-span removal: every 3-token
     // span occurring in ≥2 distinct documents is dropped, and each
     // document is REBUILT from its surviving spans in order. The
     // cleaned text is oracled EXACTLY via sha-256 (engines agree on

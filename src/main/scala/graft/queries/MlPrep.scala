@@ -319,8 +319,8 @@ object MlPrep {
     },
 
     // Importance-weighted data selection (the DSIR recipe — Data
-    // Selection via Importance Resampling, Xie et al. 2023, see
-    // PAPERS.md): fit two hashed-unigram bag models — one on the
+    // Selection via Importance Resampling, Xie et al. 2023): fit
+    // two hashed-unigram bag models — one on the
     // TARGET domain (lang = 'en', the quality-corpus proxy), one on
     // the full RAW corpus — and score every raw document by its log
     // importance weight Σ_b n_b·(ln p_target(b) − ln p_raw(b)) over

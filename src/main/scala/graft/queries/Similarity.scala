@@ -1371,8 +1371,8 @@ object Similarity {
     },
 
     // Margin-based bitext mining (Artetxe & Schwenk 2019 — the scoring
-    // rule behind the CCMatrix/WikiMatrix parallel-corpus pipelines,
-    // see PAPERS.md): across two corpus sides (label 0 → label 1 as
+    // rule behind the CCMatrix/WikiMatrix parallel-corpus
+    // pipelines): across two corpus sides (label 0 → label 1 as
     // the two languages), a candidate pair's raw cosine is normalized
     // by its NEIGHBORHOODS — margin = cos(x,y) / (½·(avg_k cos(x,NNᵏ_B)
     // + avg_k cos(y,NNᵏ_A))) — which suppresses hubs (vectors close to
