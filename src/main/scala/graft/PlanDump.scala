@@ -133,7 +133,11 @@ object PlanDump {
       "6-long feature row flows — no shuffle before the sort"),
     "stream_psi_monitor" -> ("one scan into (window × bucket) count " +
       "partials; reference counts and both totals ride broadcast " +
-      "frames — the monitor state is model-sized"))
+      "frames — the monitor state is model-sized"),
+    "text_span_scrub" -> ("span table checkpointed once for the " +
+      "dup-set agg and the verdict join; the rebuild is one " +
+      "(doc)-keyed aggregate whose sorted-struct collect restores " +
+      "document order"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
