@@ -318,6 +318,62 @@ object MlPrep {
         .orderBy("lang")
     },
 
+    // Epoch allocation under a token budget — the data-constrained
+    // scaling recipe (repeating a domain up to ~4 epochs is nearly
+    // free, beyond that wasted): each language's DESIRED tokens come
+    // from the temperature share (sqrt — the mix_temperature weights)
+    // of a budget set to 2× the unique corpus, and its EPOCH count is
+    // ceil(desired / available) capped at 4 — low-resource languages
+    // repeat, the dominant one reads once. Every value is one IEEE
+    // chain over exact integers (sqrt, one multiply, one divide,
+    // floor/ceil — identical both engines; the sqrt-sum normalizer is
+    // the one decimal-quantized reduction). served_tokens is what the
+    // cap actually delivers; a deficit marks a language the budget
+    // wants more of than 4 passes can give. Scale: the count is one
+    // lang-keyed aggregate; everything after is |langs| rows.
+    Decl("mix_epochs", {
+      val tshare = "(sqrt(CAST(nt AS DOUBLE)) / z)"
+      val desired = s"FLOOR((2.0 * total) * $tshare)"
+      val epochs = s"least(4, greatest(1, CAST(ceil($desired / " +
+        "CAST(nt AS DOUBLE)) AS BIGINT)))"
+      s"""WITH c AS (SELECT lang,
+         |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt
+         |      FROM documents
+         |      WHERE text IS NOT NULL AND lang IS NOT NULL
+         |      GROUP BY lang),
+         |t AS (SELECT CAST(SUM(nt) AS BIGINT) AS total,
+         |        CAST(CAST(SUM(CAST(CAST(
+         |          sqrt(CAST(nt AS DOUBLE)) AS VARCHAR)
+         |          AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS z
+         |      FROM c)
+         |SELECT lang, nt AS avail_tokens,
+         |  CAST($desired AS BIGINT) AS desired_tokens,
+         |  CAST($epochs AS BIGINT) AS epochs,
+         |  CAST(least($desired, CAST($epochs * nt AS DOUBLE)) AS BIGINT)
+         |    AS served_tokens
+         |FROM c, t ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " "))).as("nt"))
+        .localCheckpoint(false) // |langs| rows; feeds t and the output
+      val t = broadcast(c.agg(sum("nt").as("total"),
+        sum(sqrt(col("nt").cast(DoubleType)).cast(DecimalType(30, 12)))
+          .cast(DoubleType).as("z")))
+      val tshare = sqrt(col("nt").cast(DoubleType)) / col("z")
+      val desired = floor(lit(2.0) * col("total") * tshare)
+      val epochs = least(lit(4L), greatest(lit(1L),
+        ceil(desired / col("nt").cast(DoubleType)).cast(LongType)))
+      c.crossJoin(t)
+        .select(col("lang"), col("nt").as("avail_tokens"),
+          desired.cast(LongType).as("desired_tokens"),
+          epochs.as("epochs"),
+          least(desired, (epochs * col("nt")).cast(DoubleType))
+            .cast(LongType).as("served_tokens"))
+        .orderBy("lang")
+    },
+
     // Importance-weighted data selection (the DSIR recipe — Data
     // Selection via Importance Resampling, Xie et al. 2023): fit
     // two hashed-unigram bag models — one on the

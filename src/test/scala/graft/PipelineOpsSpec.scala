@@ -49,6 +49,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(byShare.head > 1.0 && byShare.last < 1.0)
   }
 
+  test("mix_epochs: the budget is conserved up to the repetition cap, " +
+      "epochs invert the resource ordering, and served never exceeds " +
+      "either desired or cap x available") {
+    val rows = SparkEntry.queries("mix_epochs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_._2).sum
+    // desired tokens partition ~2x the unique corpus (floor rounding
+    // loses at most one token per language)
+    val totalDesired = rows.map(_._3).sum
+    assert(totalDesired <= 2 * totalAvail &&
+      totalDesired >= 2 * totalAvail - rows.length,
+      s"desired $totalDesired vs budget ${2 * totalAvail}")
+    rows.foreach { case (lang, avail, desired, epochs, served) =>
+      assert(epochs >= 1 && epochs <= 4, s"$lang: epochs $epochs")
+      assert(served <= desired && served <= epochs * avail,
+        s"$lang: served $served over desired/cap")
+      // the cap binds exactly when 4 passes cannot cover the desire
+      if (desired > 4 * avail) assert(epochs == 4 && served == 4 * avail,
+        s"$lang: deficit language must serve the full 4-epoch cap")
+      else assert(served == desired,
+        s"$lang: un-capped language must serve its full allocation")
+    }
+    // temperature upsampling: epochs are antitone in availability
+    val byAvail = rows.sortBy(_._2).map(_._4).toSeq
+    assert(byAvail == byAvail.sorted.reverse,
+      s"epochs not antitone in availability: $byAvail")
+  }
+
   test("mix_importance_weights: weights match a brute-force DSIR " +
       "recompute, the target domain scores higher on average, and the " +
       "emitted top-50 is the true Gumbel-score ranking") {

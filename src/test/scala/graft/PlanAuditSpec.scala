@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "mix_importance_weights", // broadcast single-row corpus-totals cross
     // feeding the 1024-row λ model (DSIR)
     "mix_temperature", // broadcast single-row (total, sqrt-sum) normalizer
+    "mix_epochs", // same single-row budget/normalizer scalar cross
     "stream_psi_monitor", // broadcast single-row d0/ref-total scalars +
     // the |windows| x |buckets| grid cross (both frames model-sized)
     "text_bigram_nll", // broadcast single-row (N, V) smoothing scalars
