@@ -218,10 +218,10 @@ case class ShingleBases(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleBases.eval(input.asInstanceOf[UTF8String])
+    ShingleBases.evalText(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleBases.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleBases.evalText($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleBases =
     copy(child = newChild)
@@ -233,8 +233,17 @@ object ShingleBases {
   /** Shared by interpreted eval and generated code. Split semantics =
     * Spark's `split(text, " ")` = Java `split(" ", -1)`: empty tokens
     * from consecutive spaces are kept. 1-indexed i ∈ [1, max(n−2, 1)]
-    * with least()-clamped lookahead, exactly the declarative twin. */
-  def eval(text: UTF8String): GenericArrayData = {
+    * with least()-clamped lookahead, exactly the declarative twin.
+    *
+    * Named `evalText`, NOT `eval`: the case class inherits
+    * `Expression.eval(InternalRow)`, and a companion method with the
+    * same name suppresses scalac's static forwarder — janino then sees
+    * only the inherited signature and the generated
+    * `ShingleBases.evalText(UTF8String)` call would fail to compile,
+    * silently degrading every dedup-signature projection to the
+    * interpreter (the r10 verdict's one defect). CodegenOnlySpec pins
+    * compilation under CODEGEN_ONLY so the clash can't reappear. */
+  def evalText(text: UTF8String): GenericArrayData = {
     val toks = text.toString.split(" ", -1)
     val n = toks.length
     val m = math.max(n - 2, 1)
