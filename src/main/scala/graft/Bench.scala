@@ -92,7 +92,10 @@ object Bench {
     // totals are NOT comparable to single-shot totals — records state
     // which protocol they used. The driver harness leaves both unset.
     val takeMin = sys.env.get("SPARK_GRAFT_TAKE").contains("min")
-    // name -> (wall_sec, task_sec, gc_sec, cpu_sec, load1-at-start)
+    // (name, (wall_sec, task_sec, gc_sec, cpu_sec, load1-at-start),
+    //  runs_failed) — runs_failed keeps take-min honest: the min of the
+    // successful executions would otherwise silently mask intermittent
+    // per-query failures (r10 ADVICE).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
@@ -113,23 +116,27 @@ object Bench {
       }
       if (takeMin && repeat > 1) {
         val ok = runs.filter(_._1 >= 0)
-        Seq(name -> (if (ok.nonEmpty) ok.minBy(_._1) else runs.head))
+        Seq((name,
+          if (ok.nonEmpty) ok.minBy(_._1) else runs.head,
+          runs.size - ok.size))
       } else runs.zipWithIndex.map { case (r, idx) =>
-        (if (idx == 0) name else s"$name#${idx + 1}") -> r
+        ((if (idx == 0) name else s"$name#${idx + 1}"), r,
+          if (r._1 < 0) 1 else 0)
       }
     }
     def jnum(v: Double): String = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
-    def jdiag(rs: Seq[(String, (Double, Double, Double, Double, Double))])
+    def jdiag(
+        rs: Seq[(String, (Double, Double, Double, Double, Double), Int)])
         : String =
-      rs.map { case (k, (w, t, g, c, l)) =>
+      rs.map { case (k, (w, t, g, c, l), nf) =>
         "\"" + k + "\":{\"wall\":" + jnum(w) + ",\"task_sec\":" + jnum(t) +
           ",\"gc_sec\":" + jnum(g) + ",\"cpu_sec\":" + jnum(c) +
-          ",\"load1\":" + jnum(l) + "}"
+          ",\"load1\":" + jnum(l) + ",\"runs_failed\":" + nf + "}"
       }.mkString("{", ",", "}")
-    val walls = results.map { case (k, v) => k -> v._1 }
+    val walls = results.map { case (k, v, _) => k -> v._1 }
     val total = walls.map(_._2).filter(_ >= 0).sum
     val failed = walls.count(_._2 < 0)
     // Full per-query detail first (humans / full-log consumers): wall
@@ -149,7 +156,7 @@ object Bench {
       "sim_topk_cosine")
     val subset = walls.filter(r => baseline14.contains(r._1))
     val subTotal = subset.map(_._2).filter(_ >= 0).sum
-    val headline = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${walls.size},"n_failed":$failed,"baseline14_total":${jnum(subTotal)},"baseline14_ref_sec":14.78,"load1_max":${jnum(results.map(_._2._5).foldLeft(-1.0)(math.max))}}"""
+    val headline = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${walls.size},"n_failed":$failed,"runs_failed_total":${results.map(_._3).sum},"baseline14_total":${jnum(subTotal)},"baseline14_ref_sec":14.78,"load1_max":${jnum(results.map(_._2._5).foldLeft(-1.0)(math.max))}}"""
     println(headline)
     // Belt and braces: sbt prefixes every stdout line with "[info] ", so
     // a strict per-line JSON parse of the captured tail can still fail —

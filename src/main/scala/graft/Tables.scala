@@ -74,6 +74,30 @@ object Tables {
   def invalidate(path: String): Unit = {
     val it = schemaMemo.keySet.iterator()
     while (it.hasNext) if (it.next().endsWith(s"@$path")) it.remove()
+    invalidationHooks.forEach(h => h(path))
+  }
+
+  /** Downstream invalidation hooks: the family pipelines (Dedup's
+    * frameMemo, Multimodal's pcaMemo) cache CHECKPOINTED derived frames
+    * keyed by data dir. Dropping only the schema memo on an in-app
+    * rewrite would refresh the schema while stale candidate/covariance
+    * frames keep serving — so [[invalidate]] fans out to every
+    * registered hook with the rewritten path. Hooks register from the
+    * caching object's initializer, which is exactly the right scope: an
+    * object that was never loaded holds no stale frames to drop. */
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  def onInvalidate(hook: String => Unit): Unit = invalidationHooks.add(hook)
+
+  /** Shared hook predicate: a memo key `app@dir@stage` is stale for an
+    * invalidated `path` when the path IS the dir or sits under it. */
+  def keyCoversPath(key: String, path: String): Boolean = {
+    val first = key.indexOf('@')
+    val last = key.lastIndexOf('@')
+    first >= 0 && last > first && {
+      val d = key.substring(first + 1, last)
+      path == d || path.startsWith(d + "/")
+    }
   }
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {

@@ -134,33 +134,43 @@ object Multimodal {
     })
   }
 
-  /** Decode a WAV payload via the JDK parser and fold the PCM stream
-    * to integer features in one pass. Zero crossings count STRICT
-    * adjacent sign flips (a zero sample breaks the run — mirrored in
-    * the oracle's v(i-1)·v(i) < 0 form). */
-  def decodeWavFeatures(m: WavRow): WavFeatures = {
+  /** Open a WAV payload through the JDK parser, VALIDATE the decoded
+    * format (PCM16LE mono signed — the only layout the sample folds
+    * below understand), and return the raw PCM byte stream. The one
+    * validated decode path shared by the feature and segment folds, so
+    * neither can silently misread a payload the JDK decodes to some
+    * other layout (e.g. big-endian or stereo) as little-endian mono. */
+  private def decodeWavPcm(payload: Array[Byte]): Array[Byte] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(m.payload))
+      new java.io.ByteArrayInputStream(payload))
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
         !fmt.isBigEndian && fmt.getEncoding ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
         s"unexpected decoded format $fmt")
-      val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      var sum = 0L; var peak = 0L; var energy = 0L; var zc = 0L
-      var prev = 0; var i = 0
-      while (i < n) {
-        val s = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
-        sum += s
-        val a = math.abs(s); if (a > peak) peak = a
-        energy += s.toLong * s
-        if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0))) zc += 1
-        prev = s; i += 1
-      }
-      WavFeatures(m.doc_id, n, sum, peak, energy, zc)
+      ais.readAllBytes()
     } finally ais.close()
+  }
+
+  /** Decode a WAV payload via the JDK parser and fold the PCM stream
+    * to integer features in one pass. Zero crossings count STRICT
+    * adjacent sign flips (a zero sample breaks the run — mirrored in
+    * the oracle's v(i-1)·v(i) < 0 form). */
+  def decodeWavFeatures(m: WavRow): WavFeatures = {
+    val bytes = decodeWavPcm(m.payload)
+    val n = bytes.length / 2
+    var sum = 0L; var peak = 0L; var energy = 0L; var zc = 0L
+    var prev = 0; var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
+      sum += s
+      val a = math.abs(s); if (a > peak) peak = a
+      energy += s.toLong * s
+      if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0))) zc += 1
+      prev = s; i += 1
+    }
+    WavFeatures(m.doc_id, n, sum, peak, energy, zc)
   }
 
   final case class SafeWav(doc_id: Long, status: String,
@@ -185,24 +195,20 @@ object Multimodal {
     * primitive (split on silence): count maximal nonzero runs, total
     * active samples, and the longest run. */
   def decodeWavSegments(m: WavRow): WavSegments = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(m.payload))
-    try {
-      val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      var runs = 0L; var active = 0L; var longest = 0L; var cur = 0L
-      var i = 0
-      while (i < n) {
-        val s = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
-        if (s != 0) {
-          if (cur == 0) runs += 1
-          cur += 1; active += 1
-          if (cur > longest) longest = cur
-        } else cur = 0
-        i += 1
-      }
-      WavSegments(m.doc_id, runs, active, longest)
-    } finally ais.close()
+    val bytes = decodeWavPcm(m.payload)
+    val n = bytes.length / 2
+    var runs = 0L; var active = 0L; var longest = 0L; var cur = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
+      if (s != 0) {
+        if (cur == 0) runs += 1
+        cur += 1; active += 1
+        if (cur > longest) longest = cur
+      } else cur = 0
+      i += 1
+    }
+    WavSegments(m.doc_id, runs, active, longest)
   }
 
   /** Deterministic pixel function for the synthesized PNGs: gray level
@@ -860,6 +866,14 @@ object Multimodal {
     * "Recursive update" when keys share a bin — the Dedup lesson). */
   private val pcaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  // see Dedup.frameMemo: an in-app rewrite routed through
+  // Tables.invalidate drops the checkpointed PCA frames for that dir
+  // instead of serving stale covariance/axis frames (r10 ADVICE)
+  graft.Tables.onInvalidate { path =>
+    val it = pcaMemo.keySet.iterator()
+    while (it.hasNext)
+      if (graft.Tables.keyCoversPath(it.next(), path)) it.remove()
+  }
   private def pcaMemoAt[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
       d: String, stage: String)(build: => T): T =
     pcaMemo.computeIfAbsent(

@@ -523,7 +523,13 @@ object CatalogIO {
             concat(lit("corrupt_line_"), col("doc_id")))
             .otherwise(concat_ws("|",
               col("doc_id"), coalesce(col("lang"), lit("")),
-              col("n_chars"))).as("value"))
+              // coalesce n_chars too: concat_ws DROPS null elements, so
+              // a null n_chars would shrink the line's arity and route
+              // the row to quarantine while the oracle routes purely by
+              // doc_id % 10 (r10 ADVICE — latent until a fixture nulls
+              // n_chars, fatal then)
+              coalesce(col("n_chars").cast("string"), lit(""))))
+            .as("value"))
           .write.mode("overwrite").text(src)
       }
       // The route KEY references doc_id alongside _corrupt_record, and

@@ -437,6 +437,15 @@ object Dedup {
     * tests and custom-threshold callers. */
   private val frameMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Tables.invalidate(path) must drop the derived frames too — a
+  // same-tick in-app rewrite of documents would otherwise keep serving
+  // stale checkpointed candidate/component frames after the schema memo
+  // already refreshed (r10 ADVICE). Registered here so an app that
+  // never touched the dedup family has nothing to invalidate.
+  Tables.onInvalidate { path =>
+    val it = frameMemo.keySet.iterator()
+    while (it.hasNext) if (Tables.keyCoversPath(it.next(), path)) it.remove()
+  }
   private def memoFrame(s: org.apache.spark.sql.SparkSession, d: String,
       stage: String)(build: => DataFrame): DataFrame =
     frameMemo.computeIfAbsent(

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The explicit in-app invalidation path (r10 verdict item 8 + ADVICE):
+  * `Tables.invalidate(path)` must (a) serve the rewritten schema on the
+  * very next read — no TTL wait — and (b) fan out to the family memos
+  * (Dedup.frameMemo, Multimodal.pcaMemo) that cache CHECKPOINTED frames
+  * derived from the table, which the schema memo alone cannot refresh. */
+class TablesInvalidateSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_inval").toFile.getAbsolutePath
+
+  test("invalidate serves a same-tick rewrite's schema with no sleep") {
+    val dir = tmpRoot()
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/tbl.parquet")
+    assert(Tables.t(spark, dir, "tbl").schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    val memoAt = System.currentTimeMillis()
+    Seq((1L, "a", 0.5)).toDF("id", "v", "w")
+      .write.mode("overwrite").parquet(s"$dir/tbl.parquet")
+    // within the TTL window an uninvalidated reader trusts the memo —
+    // that staleness is the documented trade-off invalidate() resolves.
+    // Only assert it when we're provably still inside the window, so a
+    // slow box can't flake the test.
+    val widthNoInval = Tables.t(spark, dir, "tbl").schema.size
+    if (System.currentTimeMillis() - memoAt < 1500)
+      assert(widthNoInval == 2,
+        "TTL semantics changed: expected the memoized schema inside the window")
+    Tables.invalidate(s"$dir/tbl.parquet")
+    assert(Tables.t(spark, dir, "tbl").schema.fieldNames.toSeq ==
+      Seq("id", "v", "w"), "stale schema served after explicit invalidate")
+  }
+
+  test("invalidate drops Dedup's memoized frames for the rewritten dir") {
+    val dir = tmpRoot()
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.parquet(s"$dir/documents.parquet")
+    val f1 = graft.queries.Dedup.candidatePairsFor(spark, dir)
+    assert(graft.queries.Dedup.candidatePairsFor(spark, dir) eq f1,
+      "memo miss on an unchanged dir")
+    Tables.invalidate(s"$dir/documents.parquet")
+    assert(!(graft.queries.Dedup.candidatePairsFor(spark, dir) eq f1),
+      "stale dedup candidate frame served after invalidate")
+    // an invalidation for an unrelated root must NOT drop the rebuilt
+    // frame (keyCoversPath scopes the fan-out per data dir)
+    val f2 = graft.queries.Dedup.candidatePairsFor(spark, dir)
+    Tables.invalidate(s"${tmpRoot()}/documents.parquet")
+    assert(graft.queries.Dedup.candidatePairsFor(spark, dir) eq f2,
+      "unrelated invalidate dropped another dir's frames")
+  }
+
+  test("invalidate drops Multimodal's PCA frames: rewritten corpus " +
+      "changes the fitted axis") {
+    val dir = tmpRoot()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.where("doc_id % 7 = 0").limit(40)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fit = SparkEntry.queries("multimodal_pca_fit")
+    val before = fit(spark, dir).collect().toSeq
+    // rewrite with a different corpus; without the pcaMemo hook the
+    // memoized covariance/axis frames would keep serving the old fit
+    docs.where("doc_id % 7 = 3").limit(60)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.invalidate(s"$dir/documents.parquet")
+    val after = fit(spark, dir).collect().toSeq
+    assert(before.nonEmpty && after.nonEmpty)
+    assert(before != after,
+      "PCA fit unchanged after the corpus was rewritten + invalidated")
+  }
+}
