@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   * resampled pixel sum), and multi-frame extraction
   * (`multimodal_frames` — real animated GIFs written and re-decoded
   * frame by frame; GIF is palette-lossless so per-frame dims AND pixel
-  * sums oracle exactly). The ONLY remaining stub is the embedding
-  * model (`embedStub` → `multimodal_embed`; inference genuinely needs
-  * model weights, which cannot exist in a zero-egress sandbox) —
-  * swapping in a real encoder changes only that function body; schema,
-  * batching, partitioning and query shapes hold.
+  * sums oracle exactly). The embedding slot (`multimodal_embed`) is a
+  * LEARNED in-engine encoder: decoded pixel features projected onto
+  * the PCA axes fitted over this very corpus (the `multimodal_pca_*`
+  * model) — no fixed-weight stand-ins remain anywhere in the registry.
+  * A pretrained vision/audio network would slot into the same
+  * mapPartitions + broadcast-model shape without touching the plans.
   *
   * Scale: decode is embarrassingly parallel per partition; payload bytes
   * never pass through a wide transform before feature extraction, so the
@@ -35,41 +36,6 @@ import org.apache.spark.sql.functions._
   * are projected out.
   */
 object Multimodal {
-
-  /** A media asset: id + mime + opaque payload. The test corpus has no
-    * binary table, so payloads are synthesized from `documents.text`
-    * bytes (UTF-8) — an honest stand-in: opaque, variable-length,
-    * content-correlated. */
-  final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
-
-  final case class MediaEmbedding(doc_id: Long, emb: Seq[Double])
-
-  /** STUB embedding model — stands in for a vision/audio encoder:
-    * 8 deterministic dims in [0,1) derived from the payload BYTES via
-    * sha60 (top 53 of the 60 hash bits over 2^53 — both steps exact in
-    * doubles, so the oracle reproduces every dim bit-for-bit from the
-    * same bytes). A real model would run batched inference here; the
-    * mapPartitions batching, array<double> schema and downstream
-    * retrieval plan are exactly what it would need. */
-  def embedStub(m: MediaRow): MediaEmbedding =
-    MediaEmbedding(m.doc_id, (0 until 8).map { i =>
-      (graft.functions.Sha60.hashBytes(
-        m.payload ++ s":$i".getBytes("UTF-8")) >>> 7).toDouble /
-        9007199254740992.0 // 2^53
-    })
-
-  /** documents → media assets (payload = text bytes, mime routed by
-    * language as a stand-in for a real mime column). Assets with a
-    * missing payload are dropped at the source — the standard media-
-    * pipeline contract (a null blob cannot be decoded); every consumer
-    * query's oracle carries the matching `WHERE text IS NOT NULL`. */
-  private def mediaOf(docs: org.apache.spark.sql.DataFrame): Dataset[MediaRow] = {
-    val enc = Encoders.product[MediaRow]
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), lit("text/plain").as("mime"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as(enc)
-  }
 
   final case class PngRow(doc_id: Long, payload: Array[Byte])
   final case class PngFeatures(
@@ -1099,8 +1065,8 @@ object Multimodal {
 
     // REAL binary decode: PNG bytes synthesized per asset on the
     // executors (JDK codec — see pngOf), then parsed back through
-    // javax.imageio in the same mapPartitions shape the stub decoder
-    // uses. The oracle reproduces width/height/pixel_sum from the
+    // javax.imageio in the standard batched mapPartitions shape.
+    // The oracle reproduces width/height/pixel_sum from the
     // generator arithmetic — exact because PNG is lossless. n_bytes is
     // intentionally NOT in the result: the encoder's output size is a
     // codec implementation detail, not decodable arithmetic.
@@ -1317,9 +1283,9 @@ object Multimodal {
     // then cosine top-10 against asset 0. Every feature is an exact
     // integer count off the decoded raster, PNG is lossless, so the
     // oracle replays the embedding from generator arithmetic and the
-    // decimal-dot cosine value-for-value. This narrows the stub
-    // surface to the LEARNED encoder alone (multimodal_embed): the
-    // payload → features → retrieval plumbing is real end to end.
+    // decimal-dot cosine value-for-value — the classical-CV twin of
+    // multimodal_embed's learned-PCA retrieval; the payload → features
+    // → retrieval plumbing is real end to end in both.
     Decl("multimodal_embed_pixels", {
       def dotL(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, 11), k -> " +
@@ -1601,42 +1567,65 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // The full multimodal retrieval bridge: binary payload → stub
-    // embedding model (mapPartitions, batched) → cosine top-k against
-    // a query asset — media in, similarity ranking out, with the
-    // payload column pruned away the moment the vector is extracted.
-    // The oracle recomputes every embedding dim from the same bytes
-    // (payload = UTF-8 text) and rides the VectorOps decimal-dot
-    // contract for the cosine.
+    // The full multimodal retrieval bridge with the LEARNED encoder:
+    // binary payload → real PNG decode → pixel features → projection
+    // onto BOTH principal axes FITTED IN-ENGINE over this very corpus
+    // (multimodal_pca_fit/_project2's model, memoized + checkpointed)
+    // → cosine top-k in the learned 2-dim space against a query asset.
+    // Media in, similarity ranking out — and every stage replays
+    // bit-exactly in the oracle: the decoded features come from
+    // generator arithmetic (PNG losslessness), the pc scores ride the
+    // DECIMAL(30,12)-quantized mat-vec chain rounded to DECIMAL(20,9),
+    // and the 2-term cosine over those exact doubles is plain
+    // fixed-operand-order IEEE arithmetic in both engines. Rounds ≤10
+    // carried a fixed-weight hash encoder in this slot; the in-engine
+    // PCA projection retires the registry's last stand-in. Scale: the
+    // model is dim-bounded broadcast frames; scoring is one corpus map
+    // + a doc-keyed aggregate; the query vector broadcasts.
     Decl("multimodal_embed", {
-      def dim(i: Int) =
-        s"(CAST((${graft.functions.XHash.sqlSha60(s"text || ':$i'")} // 128)" +
-          " AS DOUBLE) / 9007199254740992.0)"
-      val vec = (0 until 8).map(dim).mkString("[", ", ", "]")
-      def dotL(a: String, b: String) =
-        s"CAST(list_sum(list_transform(range(1, 9), k -> " +
-          s"CAST(($a)[k] * ($b)[k] AS DECIMAL(26,12)))) AS DOUBLE)"
-      s"""WITH e AS (SELECT doc_id, $vec AS emb FROM documents
-         |       WHERE text IS NOT NULL),
-         |q AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
+      s"""${pcaSqlWithDeflated},
+         |m AS (SELECT i, s / n AS mu FROM sums),
+         |fd AS (SELECT doc_id, t.i AS i, emb[t.i + 1] AS x
+         |       FROM fm, range(0, 10) t(i)),
+         |sc AS (SELECT fd.doc_id,
+         |    CAST(CAST(CAST(${pcaHopSum("(fd.x - m.mu) * v8.v")}
+         |      AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) AS e1,
+         |    CAST(CAST(CAST(${pcaHopSum("(fd.x - m.mu) * w8.v")}
+         |      AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) AS e2
+         |  FROM fd JOIN m ON m.i = fd.i JOIN v8 ON v8.i = fd.i
+         |  JOIN w8 ON w8.i = fd.i
+         |  GROUP BY fd.doc_id),
+         |q AS (SELECT e1 AS q1, e2 AS q2 FROM sc WHERE doc_id = 0)
          |SELECT doc_id,
-         |  ${dotL("emb", "qe")} /
-         |    (sqrt(${dotL("emb", "emb")}) * sqrt(${dotL("qe", "qe")}))
-         |    AS sim
-         |FROM e, q ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin
+         |  (e1 * q1 + e2 * q2) /
+         |    (sqrt(e1 * e1 + e2 * e2) * sqrt(q1 * q1 + q2 * q2)) AS sim
+         |FROM sc, q
+         |WHERE e1 * e1 + e2 * e2 > 0
+         |ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin
     }) { (s, d) =>
-      implicit val enc = Encoders.product[MediaEmbedding]
-      val emb = mediaOf(Tables.documents(s, d))
-        .mapPartitions(_.map(embedStub))
-        .toDF("doc_id", "emb")
-      val qv = broadcast(emb.filter(col("doc_id") === 0)
-        .select(col("emb").as("qe")))
-      import graft.functions.VectorOps.{dotDeclarative => dot}
-      emb.crossJoin(qv)
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val (feats, sums, v1, v2) = pcaFrames2(s, d)
+      val means = broadcast(sums.select(col("i"),
+        (col("s") / col("n")).as("mu")))
+      def pc(v: org.apache.spark.sql.Column) =
+        sum(((col("x") - col("mu")) * v).cast(DecimalType(30, 12)))
+          .cast(DoubleType).cast(DecimalType(20, 9)).cast(DoubleType)
+      val sc = feats
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("i", "x")))
+        .join(means, "i")
+        .join(broadcast(v1.select(col("i"), col("v").as("v1"))), "i")
+        .join(broadcast(v2.select(col("i"), col("v").as("v2"))), "i")
+        .groupBy("doc_id")
+        .agg(pc(col("v1")).as("e1"), pc(col("v2")).as("e2"))
+      val qv = broadcast(sc.filter(col("doc_id") === 0)
+        .select(col("e1").as("q1"), col("e2").as("q2")))
+      sc.crossJoin(qv)
+        .filter(col("e1") * col("e1") + col("e2") * col("e2") > 0)
         .select(col("doc_id"),
-          (dot(col("emb"), col("qe")) /
-            (sqrt(dot(col("emb"), col("emb"))) *
-              sqrt(dot(col("qe"), col("qe"))))).as("sim"))
+          ((col("e1") * col("q1") + col("e2") * col("q2")) /
+            (sqrt(col("e1") * col("e1") + col("e2") * col("e2")) *
+              sqrt(col("q1") * col("q1") + col("q2") * col("q2"))))
+            .as("sim"))
         .orderBy(col("sim").desc, col("doc_id")).limit(10)
     }
   )

@@ -44,7 +44,7 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "window_running_distinct", // first-occurrence flags under ts ties
     "window_rolling_corr", // frame membership under 5-key order
     "scd2_history",       // change-row picks + interval chaining
-    "multimodal_embed",   // hash-derived dims + top-k ties
+    "multimodal_embed",   // learned-PCA dims + top-k ties
     "text_bm25",          // score ties at the k boundary
     "heavy_hitters",      // count ties at the share gate
     "merge_upsert",       // full-outer result ordering
