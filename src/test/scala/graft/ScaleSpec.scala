@@ -298,4 +298,72 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
           "rows — superlinear blowup")
     }
   }
+
+  test("text_nb_classify third hop: 10x docs under a FIXED vocabulary " +
+      "keep the scoring shuffle input-linear (model stays vocab-bounded)") {
+    // True weak scaling for an NB pipeline: doc_id-shifted copies with
+    // the TEXT UNCHANGED, so the vocabulary — the model bound — stays
+    // constant while train/test units grow 10x. The shift is a multiple
+    // of 5, preserving each copy's doc_id % 5 train/test membership.
+    // Both points are synthetic fresh dirs (the dedup_near harness
+    // discipline: a fixture-dir reading could be zeroed by another
+    // suite's checkpoint in this shared JVM).
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, big)
+    def copies(n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => docs.withColumn("doc_id",
+          col("doc_id") + lit(i * 1000000000L)))
+        .reduce(_ union _)
+    val d1 = Catalog.scratch(big, "synth1x_nb")
+    val d10 = Catalog.scratch(big, "synth10x_nb")
+    Catalog.once(spark, big, "synth_nb") {
+      copies(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+      copies(10).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d10/documents.parquet")
+    }
+    val b1 = bytes("text_nb_classify", d1)
+    val b10 = bytes("text_nb_classify", d10)
+    val r3 = b10.toDouble / b1
+    info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"text_nb_classify third hop grew $r3%.2fx — the term-join/score " +
+        "shuffle has a superlinear tail")
+  }
+
+  test("text_span_scrub third hop: a 10x corpus of textually disjoint " +
+      "sub-corpora keeps the rewrite shuffle input-linear") {
+    // The rewrite pass carries the documents themselves, so its honest
+    // scale shape is input-LINEAR, never flat; the pin is the absence
+    // of a superlinear tail. Copies take the dedup_near per-copy token
+    // suffix so span content is DISJOINT across copies — the
+    // within-copy dup-span structure replicates 10x (weak scaling)
+    // instead of every span gaining 9 cross-copy duplicates.
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val docs = Tables.documents(spark, big)
+    def copies(n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
+          .withColumn("text", when(col("text").isNotNull, expr(
+            s"array_join(transform(split(text, ' '), " +
+              s"x -> concat(x, '_$i')), ' ')"))
+            .otherwise(col("text"))))
+        .reduce(_ union _)
+    val d1 = Catalog.scratch(big, "synth1x_scrub")
+    val d10 = Catalog.scratch(big, "synth10x_scrub")
+    Catalog.once(spark, big, "synth_scrub") {
+      copies(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+      copies(10).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d10/documents.parquet")
+    }
+    val b1 = bytes("text_span_scrub", d1)
+    val b10 = bytes("text_span_scrub", d10)
+    val r3 = b10.toDouble / b1
+    info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"text_span_scrub third hop grew $r3%.2fx — superlinear rewrite tail")
+  }
 }
