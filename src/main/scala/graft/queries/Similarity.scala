@@ -165,6 +165,27 @@ object Similarity {
     greatest(scored: _*).getField("cell")
   }
 
+  /** IVF multi-probe near-dup CANDIDATE pairs over the embedding
+    * corpus — the index gate of `dedup_embedding_ann`, exposed so the
+    * spec can measure its recall/fraction against brute force: probes
+    * (the 1-in-20 hash sample) explode their [[IvfNProbe]] nearest
+    * cells; corpus vectors join on their assigned cell; pairs are
+    * (least, greatest)-normalized and DISTINCT. Label-free and
+    * candidate-bounded (~nProbe/nCells of probe×corpus). */
+  private[graft] def annDedupCandidates(
+      s: SparkSession, d: String): DataFrame = {
+    val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+    val a = ne.select(col("vec_id").as("cv"),
+      ivfCellOf(col("embedding")).as("cell"))
+    val pe = ne.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("pv"),
+        explode(ivfTopCells(col("embedding"))).as("pcell"))
+    pe.join(a, col("pcell") === col("cell") && col("pv") =!= col("cv"))
+      .select(least(col("pv"), col("cv")).as("v1"),
+        greatest(col("pv"), col("cv")).as("v2"))
+      .distinct()
+  }
+
   /** The query's [[IvfNProbe]] best cells, best first — descending
     * (score, cell) struct sort, so ties break to the max cell exactly
     * like [[ivfCellOf]] (and like DuckDB's list_reverse_sort twin). */
@@ -1278,6 +1299,62 @@ object Similarity {
               .as("n_sem_dups"))
           .orderBy("bucket")
       }
+    },
+
+    // ANN-GATED semantic dedup — the form that survives an UNLABELED
+    // 100 TB corpus: near-dup candidates come from the IVF probe-cell
+    // machinery (sim_ann_ivf's index path) instead of label blocks
+    // (dedup_embedding needs metadata labels real duplicates need not
+    // share) or single sign-LSH buckets (dedup_semantic probes exactly
+    // one bucket; multi-probe recovers the near-dups a boundary-
+    // straddling pair loses). Each probe vector explodes its IvfNProbe
+    // nearest cells and equi-joins corpus vectors on the cell key —
+    // candidates are a ~nProbe/nCells fraction of probe×corpus, never
+    // the cross product; pairs are normalized (least, greatest) +
+    // DISTINCT, then the exact decimal-kernel cosine verifies. Both
+    // stages replay in DuckDB (list_reverse_sort probe twin + the
+    // DECIMAL(26,12) dot), so the gate is fully oracled.
+    // SimilarityTextSpec pins candidate fraction and pair recall vs
+    // the label-blocked variant against brute force.
+    Decl("dedup_embedding_ann",
+      s"""WITH a AS (SELECT vec_id, $ivfCellSql AS cell
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |p AS (SELECT vec_id,
+         |        list_transform(list_reverse_sort(
+         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |          AS pcells
+         |      FROM embeddings
+         |      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),
+         |pe AS (SELECT vec_id, UNNEST(pcells) AS pcell FROM p),
+         |cand AS (SELECT DISTINCT LEAST(pe.vec_id, a.vec_id) AS v1,
+         |           GREATEST(pe.vec_id, a.vec_id) AS v2
+         |         FROM pe JOIN a
+         |           ON a.cell = pe.pcell AND a.vec_id <> pe.vec_id),
+         |sims AS (SELECT c.v1, c.v2,
+         |    ${sqlDotList("e1.embedding", "e2.embedding")} AS dot,
+         |    ${sqlDotList("e1.embedding", "e1.embedding")} AS nx,
+         |    ${sqlDotList("e2.embedding", "e2.embedding")} AS ny
+         |  FROM cand c
+         |  JOIN embeddings e1 ON e1.vec_id = c.v1
+         |  JOIN embeddings e2 ON e2.vec_id = c.v2)
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(COALESCE(SUM(CASE WHEN dot / (sqrt(nx) * sqrt(ny))
+         |       >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dups
+         |FROM sims""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.{cosineWithNorms, norm2}
+      val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .withColumn("n2", norm2(col("embedding")))
+      val e1 = ne.select(col("vec_id").as("v1"),
+        col("embedding").as("emb1"), col("n2").as("n2a"))
+      val e2 = ne.select(col("vec_id").as("v2"),
+        col("embedding").as("emb2"), col("n2").as("n2b"))
+      annDedupCandidates(s, d)
+        .join(e1, "v1").join(e2, "v2")
+        .select(cosineWithNorms(col("emb1"), col("emb2"),
+          col("n2a"), col("n2b")).as("sim"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("sim") >= 0.5, 1L).otherwise(0L)),
+            lit(0L)).as("n_near_dups"))
     },
 
     // Contrastive-pair mining — the training-data prep step for dense

@@ -634,4 +634,71 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     assert(got == expected,
       s"blocked-join pair counts diverge from recount:\n$got\nvs $expected")
   }
+
+  test("dedup_embedding_ann: the IVF cell gate recovers near-dup pairs " +
+      "label-free — recall and candidate fraction vs brute force") {
+    // Deterministic measurement (fixed centroids, fixed corpus, hash
+    // probe sample). The uniform corpus has NO pairs above the 0.5
+    // near-dup threshold (both variants correctly report 0 — oracled),
+    // so the honest ground truth for the GATE is each probe's true
+    // nearest neighbor: a candidate generator that keeps the top-1
+    // partner finds whatever near-dups a real corpus plants. Pinned:
+    //  - the multi-probe cell gate scans a FRACTION of the pair space
+    //    (nProbe/nCells by construction — what makes it viable at
+    //    100 TB, where nCells grows with the corpus);
+    //  - its top-1 recall beats the label-blocked variant's, because
+    //    labels are metadata the cosine geometry does not respect
+    //    (measured: labels here carry ~no cosine signal, the hardest
+    //    honest case for the comparison).
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps.{cosineWithNorms, norm2}
+    import graft.queries.Similarity
+    val d = "/root/testdata/sf0.01"
+    val ne = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .withColumn("n2", norm2(col("embedding")))
+    val probe = ne.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("pv"), col("label").as("pl"),
+        col("embedding").as("pe"), col("n2").as("pn"))
+    val corpus = ne.select(col("vec_id").as("cv"), col("label").as("cl"),
+      col("embedding").as("ce"), col("n2").as("cn"))
+    // per-probe true nearest neighbor + whether it shares the label
+    val top1 = probe.crossJoin(corpus)
+      .filter(col("pv") =!= col("cv"))
+      .withColumn("sim", cosineWithNorms(col("pe"), col("ce"),
+        col("pn"), col("cn")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pv")
+          .orderBy(col("sim").desc, col("cv"))))
+      .filter(col("rn") === 1)
+      .select(col("pv"), col("cv"), (col("pl") === col("cl")).as("sameLabel"))
+      .collect()
+    val gt = top1.map(r => {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val sameLabelGt = top1.count(_.getBoolean(2))
+    val ann = Similarity.annDedupCandidates(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nProbes = probe.count().toDouble
+    val nCorpus = corpus.count().toDouble
+    val exhaustive = nProbes * (nCorpus - 1)
+    val frac = ann.size / exhaustive
+    val annRecall = (ann intersect gt).size.toDouble / gt.size
+    // the label-blocked variant's candidates contain the true top-1
+    // exactly when it shares the probe's label
+    val blockedRecall = sameLabelGt.toDouble / gt.size
+    info(f"ann candidates: ${ann.size} (${frac * 100}%.1f%% of the " +
+      f"${exhaustive.toLong} probe-pair space; nProbe/nCells = " +
+      f"${Similarity.IvfNProbe}/${Similarity.IvfNumCells})")
+    info(f"top-1 recall: ann=$annRecall%.3f blocked=$blockedRecall%.3f " +
+      f"over ${gt.size} probes")
+    assert(gt.nonEmpty, "no probes — corpus changed?")
+    assert(frac < 0.8, f"cell gate scans ${frac * 100}%.1f%% of the " +
+      "pair space — no longer a candidate gate")
+    assert(annRecall > blockedRecall,
+      f"ANN recall $annRecall%.3f does not beat label blocking " +
+        f"$blockedRecall%.3f")
+    assert(annRecall >= 0.8, f"ANN top-1 recall $annRecall%.3f < 0.8")
+  }
 }
