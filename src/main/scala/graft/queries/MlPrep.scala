@@ -28,6 +28,52 @@ object MlPrep {
 
   import Det._
 
+  /** The mix_temperature policy REALIZED as per-language keep rates
+    * (ppm): multiplier m_i = temp_share/raw_share, normalized by the
+    * max so the most-upsampled language keeps everything and the rest
+    * downsample proportionally — a target mix reached by downsampling
+    * only (the streaming-friendly direction: no row can be invented).
+    * rate_ppm = least(1e6, floor(1e6 · m_i / max m)); every step is a
+    * fixed-operand-order IEEE chain over the exactly-rounded sqrt, so
+    * the rates replay bit-for-bit in the [[sqlTemperatureRates]] twin.
+    * Model-sized everywhere: one lang-keyed count + broadcast scalars. */
+  private[graft] def temperatureRatesPpm(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val c = Tables.documents(s, d).filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val t = broadcast(c.agg(sum("n").as("total"),
+      sum(sqrt(col("n").cast(DoubleType)).cast(DecimalType(30, 12)))
+        .cast(DoubleType).as("z")))
+    val mult = (sqrt(col("n").cast(DoubleType)) / col("z")) /
+      (col("n").cast(DoubleType) / col("total"))
+    val m = c.crossJoin(t).select(col("lang"), mult.as("mult"))
+      .localCheckpoint(false) // lang-cardinality; feeds max + output
+    val mm = broadcast(m.agg(max(col("mult")).as("mmax")))
+    m.crossJoin(mm).select(col("lang"),
+      least(lit(1000000L),
+        floor(lit(1000000.0) * col("mult") / col("mmax")))
+        .as("rate_ppm"))
+  }
+
+  /** DuckDB CTE twin of [[temperatureRatesPpm]] — appends CTEs named
+    * tc/tt/tm/tmm/trates; `trates(lang, rate_ppm)` is the result. */
+  private[graft] def sqlTemperatureRates: String =
+    """tc AS (SELECT lang, COUNT(*) AS n FROM documents
+      |       WHERE lang IS NOT NULL GROUP BY lang),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |        CAST(CAST(SUM(CAST(CAST(
+      |          sqrt(CAST(n AS DOUBLE)) AS VARCHAR)
+      |          AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS z
+      |      FROM tc),
+      |tm AS (SELECT lang, (sqrt(CAST(n AS DOUBLE)) / z) /
+      |         (CAST(n AS DOUBLE) / total) AS mult FROM tc, tt),
+      |tmm AS (SELECT MAX(mult) AS mmax FROM tm),
+      |trates AS (SELECT lang, LEAST(1000000,
+      |    CAST(FLOOR(1000000 * mult / mmax) AS BIGINT)) AS rate_ppm
+      |  FROM tm, tmm)""".stripMargin
+
   private val ChunkTok = 50 // tokens per chunk
   private val Stride = 40   // chunk start stride (10-token overlap)
   private val PackCap = 2048 // target tokens per packed batch

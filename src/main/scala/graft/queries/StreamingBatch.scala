@@ -160,6 +160,58 @@ object StreamingBatch {
         .orderBy("pred_lang")
     },
 
+    // END-TO-END CURATION pipeline, batch twin (the streaming form is
+    // Streaming.curationBatch, proven bit-equal by StreamingSpec under
+    // an injected first-attempt crash): the test-split corpus arrives
+    // as raw delimited lines; rows failing the parse/quarantine gate
+    // (every 10th id corrupted, or a null payload) route to the
+    // dead-letter channel; survivors are language-classified by the
+    // in-engine NB model; the mix_temperature policy — realized as
+    // per-language ppm keep rates — then routes each prediction
+    // kept/dropped via the deterministic sha60 row gate. Every stage
+    // is an already-oracled primitive, so the composed summary
+    // replays exactly in DuckDB. Scale: model + rates are broadcast
+    // frames; the data pass is one classify + one gated aggregate.
+    Decl("stream_curation",
+      s"""${Text.nbSqlRanked},
+         |${MlPrep.sqlTemperatureRates},
+         |sel AS (SELECT r.doc_id, r.clang FROM ranked r
+         |        WHERE r.rn = 1 AND r.doc_id % 10 != 0),
+         |routed AS (SELECT
+         |    CASE WHEN ${graft.functions.XHash.sqlSha60(
+                  "CAST(s.doc_id AS VARCHAR)")} % 1000000
+         |         < rt.rate_ppm THEN 'kept' ELSE 'dropped' END AS route,
+         |    s.clang AS pred_lang
+         |  FROM sel s JOIN trates rt ON rt.lang = s.clang)
+         |SELECT route, pred_lang, COUNT(*) AS n FROM routed
+         |GROUP BY route, pred_lang
+         |UNION ALL
+         |SELECT 'quarantine', '', COUNT(*)
+         |FROM documents WHERE doc_id % 5 = 0
+         |  AND (doc_id % 10 = 0 OR text IS NULL)
+         |ORDER BY route, pred_lang""".stripMargin) { (s, d) =>
+      import graft.functions.XHash.sha60
+      import org.apache.spark.sql.types.StringType
+      val test = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val quarantine = test
+        .filter(col("doc_id") % 10 === 0 || col("text").isNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("quarantine").as("route"),
+          lit("").as("pred_lang"), col("n"))
+      val scored = Text.nbScore(
+        test.filter(col("doc_id") % 10 =!= 0 && col("text").isNotNull),
+        Text.nbModel(s, d))
+      val routed = scored
+        .join(broadcast(MlPrep.temperatureRatesPpm(s, d)
+          .select(col("lang").as("rlang"), col("rate_ppm"))),
+          col("pred_lang") === col("rlang"))
+        .select(when(sha60(col("doc_id").cast(StringType)) % 1000000 <
+            col("rate_ppm"), "kept").otherwise("dropped").as("route"),
+          col("pred_lang"))
+        .groupBy("route", "pred_lang").agg(count(lit(1)).as("n"))
+      routed.unionByName(quarantine).orderBy("route", "pred_lang")
+    },
+
     // Stream ⋈ static enrichment through the SAME library function the
     // MemoryStream spec drives (Streaming.enrichWithDim): every event
     // tagged with its user's market segment from the customer

@@ -565,6 +565,63 @@ object Streaming {
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
   }
 
+  /** END-TO-END STREAMING CURATION commit — the curation pieces
+    * (PERMISSIVE-parse quarantine, in-engine model scoring,
+    * deterministic sampling policy) composed under ONE exactly-once
+    * protocol: each micro-batch splits three ways —
+    *   quarantine (the row-gate fails or is null: unjudgeable data),
+    *   kept      (scored rows passing the sampling gate),
+    *   dropped   (scored rows the sampling policy rejects — persisted,
+    *              not discarded: mix policies get re-tuned and a
+    *              dropped row is a re-admissible asset)
+    * — into per-batch version dirs, with the ledger row written LAST
+    * as the commit point (the additiveUpsertBatch protocol). A crash
+    * anywhere before the ledger row leaves torn dirs no reader sees;
+    * the re-delivered batch id deterministically overwrites them, so
+    * at-least-once delivery becomes exactly-once curated output.
+    * `score` runs per micro-batch against static broadcast-sized
+    * model frames — per-row scoring is chunking-invariant, so the
+    * streamed result is bit-equal to the declared batch twin
+    * (stream_curation), which StreamingSpec asserts through an
+    * injected first-attempt crash. */
+  def curationBatch(batch: DataFrame, batchId: Long, okGate: Column,
+      score: DataFrame => DataFrame, keepGate: Column, keptPath: String,
+      droppedPath: String, dlqPath: String, ledger: String): Unit = {
+    val spark = batch.sparkSession
+    if (readOpt(spark, ledger).exists(
+        _.filter(col("batch_id") === batchId).head(1).nonEmpty)) return
+    curationVersion(batch, batchId, okGate, score, keepGate,
+      keptPath, droppedPath, dlqPath)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+  }
+
+  /** The three channel writes WITHOUT the ledger commit — exposed so
+    * StreamingSpec can stage a crash landing inside the window. */
+  def curationVersion(batch: DataFrame, batchId: Long, okGate: Column,
+      score: DataFrame => DataFrame, keepGate: Column, keptPath: String,
+      droppedPath: String, dlqPath: String): Unit = {
+    val ok = batch.filter(coalesce(okGate, lit(false)))
+    batch.filter(!coalesce(okGate, lit(false)))
+      .write.mode("overwrite").parquet(s"$dlqPath/b$batchId")
+    val scored = score(ok).localCheckpoint(false) // feeds both splits once
+    scored.filter(coalesce(keepGate, lit(false)))
+      .write.mode("overwrite").parquet(s"$keptPath/b$batchId")
+    scored.filter(!coalesce(keepGate, lit(false)))
+      .write.mode("overwrite").parquet(s"$droppedPath/b$batchId")
+  }
+
+  /** Wire [[curationBatch]] under a streaming query. */
+  def curationSink(lines: DataFrame, parse: DataFrame => DataFrame,
+      okGate: Column, score: DataFrame => DataFrame, keepGate: Column,
+      keptPath: String, droppedPath: String, dlqPath: String,
+      ledger: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    lines.writeStream.foreachBatch(
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        curationBatch(parse(b.toDF()), id, okGate, score, keepGate,
+          keptPath, droppedPath, dlqPath, ledger))
+
   /** Wire [[transformSinkBatch]] under a streaming query. */
   def transformSink(events: DataFrame, transform: DataFrame => DataFrame,
       target: String, ledger: String): org.apache.spark.sql.streaming

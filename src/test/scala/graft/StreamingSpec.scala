@@ -1023,4 +1023,109 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         s"window drifted: streamed $a vs declared $b")
     }
   }
+
+  test("streaming curation pipeline: permissive parse -> quarantine " +
+    "route -> NB classify -> temperature-sampled sink under the " +
+    "versioned ledger, with an injected first-attempt crash — the " +
+    "committed channels equal the declared batch twin exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.queries.{MlPrep, Text}
+    import graft.functions.XHash.sha60
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curation").toString
+    val (kept, dropped, dlq, ledger, ck) = (s"$base/kept", s"$base/dropped",
+      s"$base/dlq", s"$base/ledger", s"$base/ck")
+    // static model + sampling policy — broadcast-sized frames reused by
+    // every micro-batch (the production shape: train once, score the
+    // stream)
+    val model = Text.nbModel(spark, sf)
+    val rates = MlPrep.temperatureRatesPpm(spark, sf)
+      .select(col("lang").as("rlang"), col("rate_ppm"))
+    def parse(raw: DataFrame): DataFrame = raw
+      .select(split(col("value"), "\\|").as("f"))
+      .select(
+        // try_ forms throughout: ANSI element_at/cast THROW on a
+        // short or non-numeric corrupt line — the parse must yield
+        // nulls for the gate to route, never kill the task
+        expr("try_cast(try_element_at(f, 1) AS BIGINT)").as("doc_id"),
+        expr("try_element_at(f, 2)").as("lang"),
+        expr("CASE WHEN size(f) = 3 THEN try_element_at(f, 3) END")
+          .as("text"))
+    val okGate = col("doc_id").isNotNull && col("text").isNotNull
+    def score(df: DataFrame): DataFrame =
+      Text.nbScore(df.select(col("doc_id"), col("lang"), col("text")), model)
+        .join(broadcast(rates), col("pred_lang") === col("rlang"))
+    val keepGate =
+      sha60(col("doc_id").cast(StringType)) % 1000000 < col("rate_ppm")
+    // the stream_curation universe (the test split) rendered as raw
+    // delimited lines: every 10th id corrupted, null payloads short
+    val lines: Seq[String] = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+        col("text"))
+      .collect().toSeq.map { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 0) s"corrupt_line_$id"
+        else if (r.isNullAt(2)) s"$id|${r.getString(1)}"
+        else s"$id|${r.getString(1)}|${r.getString(2)}"
+      }
+    val input = MemoryStream[String]
+    @volatile var injected = false
+    def startInjecting() = input.toDF().writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        val parsed = parse(b.toDF())
+        if (id == 1L && !injected) {
+          injected = true
+          // the crash window: all three channel dirs written, ledger
+          // commit never reached, sink attempt reported FAILED
+          Streaming.curationVersion(parsed, id, okGate, score _, keepGate,
+            kept, dropped, dlq)
+          throw new RuntimeException("injected first-attempt crash")
+        }
+        Streaming.curationBatch(parsed, id, okGate, score _, keepGate,
+          kept, dropped, dlq, ledger)
+      }
+      .start()
+    val (a, b) = lines.splitAt(lines.size / 2)
+    var q = startInjecting()
+    input.addData(a: _*)
+    q.processAllAvailable() // batch 0 commits
+    input.addData(b: _*)
+    intercept[Exception] { q.processAllAvailable() } // batch 1 crashes
+    assert(injected, "the injected failure must actually have fired")
+    // torn batch-1 dirs exist but are ledger-invisible
+    val scoredSchema = score(parse(Seq("0|en|x y z").toDF("value"))
+      .filter(okGate)).schema
+    val parsedSchema = parse(Seq("x").toDF("value")).schema
+    def channel(path: String, sch: org.apache.spark.sql.types.StructType) =
+      Streaming.gatedSplitRead(spark, path, ledger, sch)
+    val committedMid = channel(kept, scoredSchema).count() +
+      channel(dropped, scoredSchema).count() +
+      channel(dlq, parsedSchema).count()
+    assert(committedMid == a.size.toLong,
+      s"torn batch-1 writes leaked into the committed view: $committedMid")
+    // operational restart through the PUBLIC wiring, same checkpoint —
+    // batch 1 re-delivers with the same id and lands exactly once
+    q = Streaming.curationSink(input.toDF(), parse _, okGate, score _,
+        keepGate, kept, dropped, dlq, ledger)
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed: Set[(String, String, Long)] =
+      channel(kept, scoredSchema).groupBy("pred_lang").count().collect()
+        .map(r => ("kept", r.getString(0), r.getLong(1))).toSet ++
+      channel(dropped, scoredSchema).groupBy("pred_lang").count().collect()
+        .map(r => ("dropped", r.getString(0), r.getLong(1))).toSet ++
+      Set(("quarantine", "", channel(dlq, parsedSchema).count()))
+    val declared = SparkEntry.queries("stream_curation")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == declared,
+      s"streamed curation summary drifted:\n  streamed $streamed\n  " +
+        s"declared $declared")
+  }
 }
