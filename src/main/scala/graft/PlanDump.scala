@@ -137,7 +137,15 @@ object PlanDump {
     "text_span_scrub" -> ("span table checkpointed once for the " +
       "dup-set agg and the verdict join; the rebuild is one " +
       "(doc)-keyed aggregate whose sorted-struct collect restores " +
-      "document order"))
+      "document order"),
+    "dedup_embedding_ann" -> ("label-free ANN dedup: probe-side cell " +
+      "explosion equi-joins the corpus on the cell key (~nProbe/nCells " +
+      "of probe×corpus); pair-distinct + two id re-joins feed the " +
+      "exact-cosine verify — candidate-bounded, never the cross"),
+    "stream_curation" -> ("quarantine gate + NB classify + ppm " +
+      "sampling in one composed plan: model and rate tables ride " +
+      "broadcast frames; one classify fan-out + one domain-keyed " +
+      "route aggregate"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

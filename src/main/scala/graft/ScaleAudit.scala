@@ -161,7 +161,19 @@ object ScaleAudit {
     "multimodal_audio_decode" -> ("per-row codec fold: the WAV payload " +
       "dies inside the partition decode, only the 6-long feature row " +
       "reaches the output-sort exchange (input-linear in rows, " +
-      "payload-size-free)"))
+      "payload-size-free)"),
+    "dedup_embedding_ann" -> ("candidate-bounded ANN dedup: probe " +
+      "vectors explode nProbe cells and equi-join the corpus on the " +
+      "cell key (~nProbe/nCells of probe x corpus, never the cross " +
+      "product); the pair-distinct and the two id re-joins for the " +
+      "exact-cosine verify are candidate-cardinality. At FIXED cell " +
+      "count the per-cell pair space grows quadratically — the " +
+      "documented ~sqrt(n)-cells deployment rule (sim_bitext_mine's " +
+      "note) keeps the fraction flat"),
+    "stream_curation" -> ("model-bounded curation atop input-linear " +
+      "classify scoring: NB model + ppm rate table ride broadcast " +
+      "frames, the data pass is one gated classify + one " +
+      "(route, lang)-keyed aggregate of domain cardinality"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "text_bigram_nll", // broadcast single-row (N, V) smoothing scalars
     "text_nb_classify", // same two training scalars feed the scoring fan-out
     "stream_nb_classify", // same scoring scaffold under the stream monitor
+    "stream_curation", // same NB scalars + the broadcast mix normalizers
     "multimodal_pca_fit", // broadcast single-row iterate-norm scalar cross
     "dq_volume_anomaly", // broadcast single-row window-stats scalar cross
     "dq_psi") // broadcast single-row midpoint + side-total scalar crosses
@@ -76,7 +77,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "text_nb_classify" -> 10,
     // the monitor adds one |classes|-row final aggregate on top of the
     // classify scaffold
-    "stream_nb_classify" -> 11)
+    "stream_nb_classify" -> 11,
+    // the composed curation pipeline = the classify scaffold plus the
+    // quarantine-count aggregate, the (route, lang) domain-cardinality
+    // route aggregate, and the output sort — every added exchange is
+    // domain- or single-row-sized
+    "stream_curation" -> 14)
 
   /** The sf-proportional dimensions (customer/supplier/part) carry NO
     * broadcast hint — at 100 TB a forced broadcast OOMs every executor.
