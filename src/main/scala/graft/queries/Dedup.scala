@@ -376,10 +376,17 @@ object Dedup {
     * split from [[nearDupComponents]] for the same memo-sharing reason
     * as [[nearDupPairsFrom]]. */
   private[graft] def nearDupComponentsFrom(docs: DataFrame,
-      pairs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val edges = pairs
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"))
+      pairs: DataFrame, threshold: Double = 0.3): DataFrame =
+    componentsFromEdges(docs.select(col("doc_id")),
+      pairs.filter(col("jaccard") >= threshold).select(col("d1"), col("d2")))
+
+  /** The propagation loop over an ARBITRARY verified edge frame
+    * (d1, d2) and vertex universe (doc_id) — the caller has already
+    * applied its similarity threshold. Factored out so other verified
+    * graphs (the embedding-ANN keep action in Similarity) reuse the
+    * exact converge-or-throw loop instead of reimplementing it. */
+  private[graft] def componentsFromEdges(vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
     val bidir = edges.unionByName(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(false)
@@ -412,7 +419,7 @@ object Dedup {
       s"label propagation did not converge in $maxRounds rounds — " +
         "component diameter exceeds the cap; raise maxRounds")
     // singletons (no edges) rejoin with their self-label
-    docs.select(col("doc_id"))
+    vertices
       .join(labels.withColumnRenamed("doc_id", "vid"),
         col("doc_id") === col("vid"), "left")
       .select(col("doc_id"),

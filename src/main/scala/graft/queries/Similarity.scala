@@ -1357,6 +1357,76 @@ object Similarity {
             lit(0L)).as("n_near_dups"))
     },
 
+    // The ANN-dedup ACTION: connect the cell-gated candidates that
+    // VERIFY at exact cosine >= 0.35 into clusters (the same
+    // converge-or-throw min-label propagation as dedup_near_keep,
+    // via Dedup.componentsFromEdges) and keep one representative per
+    // cluster — semantic dedup end to end without a label column.
+    // 0.35 sits in the corpus's real near-dup band (16/31/414
+    // brute-force pairs across the three SFs — non-vacuous
+    // everywhere); the oracle recomputes the TRUE transitive closure
+    // with a recursive CTE over the identical candidate + verify
+    // CTEs, so convergence is checked, not assumed. Scale: edges are
+    // candidate-bounded (the cell gate), the loop carries edge
+    // endpoints only, singletons rejoin at the end.
+    Decl("dedup_embedding_ann_keep",
+      s"""WITH RECURSIVE a AS (SELECT vec_id, $ivfCellSql AS cell
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |p AS (SELECT vec_id,
+         |        list_transform(list_reverse_sort(
+         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |          AS pcells
+         |      FROM embeddings
+         |      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),
+         |pe AS (SELECT vec_id, UNNEST(pcells) AS pcell FROM p),
+         |cand AS (SELECT DISTINCT LEAST(pe.vec_id, a.vec_id) AS v1,
+         |           GREATEST(pe.vec_id, a.vec_id) AS v2
+         |         FROM pe JOIN a
+         |           ON a.cell = pe.pcell AND a.vec_id <> pe.vec_id),
+         |sims AS (SELECT c.v1, c.v2,
+         |    ${sqlDotList("e1.embedding", "e2.embedding")} AS dot,
+         |    ${sqlDotList("e1.embedding", "e1.embedding")} AS nx,
+         |    ${sqlDotList("e2.embedding", "e2.embedding")} AS ny
+         |  FROM cand c
+         |  JOIN embeddings e1 ON e1.vec_id = c.v1
+         |  JOIN embeddings e2 ON e2.vec_id = c.v2),
+         |edges AS (SELECT v1, v2 FROM sims
+         |          WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.35),
+         |bidir AS (SELECT v1, v2 FROM edges
+         |          UNION SELECT v2, v1 FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT vec_id, vec_id FROM a
+         |  UNION
+         |  SELECT r.src, b.v2 FROM reach r JOIN bidir b ON r.dst = b.v1),
+         |comp AS (SELECT src AS vec_id, MIN(dst) AS label
+         |         FROM reach GROUP BY src),
+         |sizes AS (SELECT label, COUNT(*) AS cs FROM comp GROUP BY label)
+         |SELECT COUNT(*) AS n_vectors,
+         |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_kept,
+         |  COUNT(*) - COUNT(DISTINCT label) AS n_removed,
+         |  (SELECT MAX(cs) FROM sizes) AS max_cluster
+         |FROM comp""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.{cosineWithNorms, norm2}
+      val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .withColumn("n2", norm2(col("embedding")))
+      val e1 = ne.select(col("vec_id").as("v1"),
+        col("embedding").as("emb1"), col("n2").as("n2a"))
+      val e2 = ne.select(col("vec_id").as("v2"),
+        col("embedding").as("emb2"), col("n2").as("n2b"))
+      val edges = annDedupCandidates(s, d)
+        .join(e1, "v1").join(e2, "v2")
+        .filter(cosineWithNorms(col("emb1"), col("emb2"),
+          col("n2a"), col("n2b")) >= 0.35)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      val labels = graft.queries.Dedup.componentsFromEdges(
+        ne.select(col("vec_id").as("doc_id")), edges)
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cs"))
+      labels.agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_kept"),
+        (count(lit(1)) - countDistinct(col("label"))).as("n_removed"))
+        .crossJoin(broadcast(sizes.agg(max(col("cs")).as("max_cluster"))))
+    },
+
     // Contrastive-pair mining — the training-data prep step for dense
     // retrievers / embedding models (in-batch negatives are easy; the
     // pairs that move a model are ANN-MINED HARD negatives: the most

@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "text_bm25", "heavy_hitters", // broadcast single-row corpus stats
     "text_keywords", // broadcast single-row doc count (tfidf family)
     "dedup_near_keep", // broadcast single-row max-cluster agg
+    "dedup_embedding_ann_keep", // same single-row max-cluster cross
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
     "tpch_q11", // broadcast single-row inventory-value cut scalar
     "feature_minmax", // broadcast single-row global-stats join (no condition)
@@ -82,7 +83,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // quarantine-count aggregate, the (route, lang) domain-cardinality
     // route aggregate, and the output sort — every added exchange is
     // domain- or single-row-sized
-    "stream_curation" -> 14)
+    "stream_curation" -> 14,
+    // unmemoized end-to-end: cell-gated candidate join + pair distinct
+    // + two id re-joins for the exact-cosine verify + the singleton
+    // rejoin and the summary aggregates — every exchange past the
+    // candidate join is candidate-/label-cardinality (the loop's
+    // per-round exchanges are behind localCheckpoint lineage cuts)
+    "dedup_embedding_ann_keep" -> 9)
 
   /** The sf-proportional dimensions (customer/supplier/part) carry NO
     * broadcast hint — at 100 TB a forced broadcast OOMs every executor.
