@@ -1427,6 +1427,81 @@ object Similarity {
         .crossJoin(broadcast(sizes.agg(max(col("cs")).as("max_cluster"))))
     },
 
+    // INCREMENTAL ANN dedup — the streaming/production shape of the
+    // embedding family (dedup_incremental's token twin): a batch of
+    // ARRIVING vectors (the vec_id % 10 = 3 slice) is deduped against
+    // the STANDING corpus (everything else) — each new vector probes
+    // its IvfNProbe nearest cells, candidates are the standing
+    // vectors assigned to those cells, and the exact decimal cosine
+    // verifies at the 0.35 band. Per new vector: match count, the
+    // smallest matching standing id, and the dup verdict. (On this
+    // uniform-random fixture 0.35 is a PERMISSIVE band — with ~1k
+    // candidates per arrival most vectors find some match; a real
+    // deployment calibrates the threshold to its corpus's score
+    // distribution, which changes nothing about the dataflow. 0.35
+    // keeps the verdict column non-vacuous at every fixture SF.)
+    // At 100 TB/day this is the admission gate a corpus pipeline
+    // runs per ingest batch: the index side is a per-row cell map
+    // over the standing corpus (incrementally maintained in
+    // production), the batch side is probe-bounded — candidates are
+    // ~nProbe/nCells of batch x corpus, never the cross product.
+    Decl("dedup_embedding_incremental",
+      s"""WITH a AS (SELECT vec_id, $ivfCellSql AS cell
+         |      FROM embeddings
+         |      WHERE embedding IS NOT NULL AND vec_id % 10 != 3),
+         |p AS (SELECT vec_id,
+         |        list_transform(list_reverse_sort(
+         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
+         |          AS pcells
+         |      FROM embeddings
+         |      WHERE vec_id % 10 = 3 AND embedding IS NOT NULL),
+         |pe AS (SELECT vec_id, UNNEST(pcells) AS pcell FROM p),
+         |cand AS (SELECT DISTINCT pe.vec_id AS vn, a.vec_id AS vo
+         |         FROM pe JOIN a ON a.cell = pe.pcell),
+         |sims AS (SELECT c.vn, c.vo,
+         |    ${sqlDotList("e1.embedding", "e2.embedding")} AS dot,
+         |    ${sqlDotList("e1.embedding", "e1.embedding")} AS nx,
+         |    ${sqlDotList("e2.embedding", "e2.embedding")} AS ny
+         |  FROM cand c
+         |  JOIN embeddings e1 ON e1.vec_id = c.vn
+         |  JOIN embeddings e2 ON e2.vec_id = c.vo),
+         |m AS (SELECT vn, COUNT(*) AS n_matches, MIN(vo) AS match_id
+         |      FROM sims WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.35
+         |      GROUP BY vn)
+         |SELECT n.vec_id, COALESCE(m.n_matches, 0) AS n_matches,
+         |  COALESCE(m.match_id, -1) AS match_id,
+         |  m.vn IS NOT NULL AS is_dup
+         |FROM (SELECT vec_id FROM embeddings
+         |      WHERE vec_id % 10 = 3 AND embedding IS NOT NULL) n
+         |LEFT JOIN m ON m.vn = n.vec_id
+         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.{cosineWithNorms, norm2}
+      val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .withColumn("n2", norm2(col("embedding")))
+      val standing = ne.filter(col("vec_id") % 10 =!= 3)
+        .select(col("vec_id").as("vo"), col("embedding").as("emb2"),
+          col("n2").as("n2b"), ivfCellOf(col("embedding")).as("cell"))
+      val arriving = ne.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id").as("vn"), col("embedding").as("emb1"),
+          col("n2").as("n2a"),
+          explode(ivfTopCells(col("embedding"))).as("pcell"))
+      val m = arriving
+        .join(standing, col("pcell") === col("cell"))
+        .select(col("vn"), col("vo"), col("emb1"), col("emb2"),
+          col("n2a"), col("n2b")).dropDuplicates("vn", "vo")
+        .filter(cosineWithNorms(col("emb1"), col("emb2"),
+          col("n2a"), col("n2b")) >= 0.35)
+        .groupBy("vn")
+        .agg(count(lit(1)).as("n_matches"), min(col("vo")).as("match_id"))
+      ne.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+        .join(m, col("vn") === col("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("match_id"), lit(-1L)).as("match_id"),
+          col("vn").isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    },
+
     // Contrastive-pair mining — the training-data prep step for dense
     // retrievers / embedding models (in-batch negatives are easy; the
     // pairs that move a model are ANN-MINED HARD negatives: the most

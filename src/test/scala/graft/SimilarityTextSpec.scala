@@ -701,4 +701,43 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
         f"$blockedRecall%.3f")
     assert(annRecall >= 0.8, f"ANN top-1 recall $annRecall%.3f < 0.8")
   }
+
+  test("dedup_embedding_incremental: the admission gate's match recall " +
+      "vs brute force over arriving x standing") {
+    // Deterministic: fixed centroids, fixed corpus, hash arrival slice.
+    // Ground truth = every (arriving, standing) pair with exact-kernel
+    // cosine >= 0.35; the gate catches the pairs whose standing vector
+    // sits in one of the arrival's probed cells.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps.{cosineWithNorms, norm2}
+    val d = "/root/testdata/sf0.01"
+    val ne = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .withColumn("n2", norm2(col("embedding")))
+    val arr = ne.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id").as("vn"), col("embedding").as("ea"),
+        col("n2").as("na"))
+    val sta = ne.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id").as("vo"), col("embedding").as("eb"),
+        col("n2").as("nb"))
+    val gt = arr.crossJoin(sta)
+      .filter(cosineWithNorms(col("ea"), col("eb"),
+        col("na"), col("nb")) >= 0.35)
+      .select("vn", "vo").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("dedup_embedding_incremental")(spark, d)
+    // per-arrival verdict comparison: brute-force dup verdict vs the
+    // declared gate's verdict (pair-level recall is bounded below by
+    // this, and the verdict is what the admission gate acts on)
+    val bruteDup = gt.map(_._1)
+    val gateDup = got.collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(gt.nonEmpty, "no brute-force matches at 0.35 — corpus changed?")
+    assert(gateDup.subsetOf(bruteDup),
+      "gate flagged an arrival brute force does not support (false positive)")
+    val recall = gateDup.size.toDouble / bruteDup.size
+    info(f"arrival-verdict recall: $recall%.3f " +
+      f"(${gateDup.size}/${bruteDup.size} dup-flagged arrivals)")
+    assert(recall >= 0.7, f"gate verdict recall $recall%.3f < 0.7")
+  }
 }
