@@ -269,6 +269,67 @@ object MlPrep {
         .orderBy("doc_id")
     },
 
+    // The DECONTAMINATION ACTION — contamination_check's reverse
+    // direction, which is what the published pipelines actually
+    // execute: scrub the TRAINING split of every document sharing a
+    // verbatim token 8-gram with the eval split (the GPT-3-style
+    // any-collision drop; C4 scrubs at line granularity — the span
+    // machinery in text_span_scrub covers that flavor). Per train doc:
+    // gram count, eval-collision count, the drop verdict, and the
+    // document's char mass so the output carries what the scrub costs
+    // the corpus. Scale shape identical to the check: hashed grams,
+    // one distinct per side, one left join on the hash key — ships
+    // keys, never gram text.
+    Decl("text_decontaminate",
+      s"""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
+         |g AS (SELECT doc_id, n_chars,
+         |    list_distinct(list_transform(range(1, len(tks) - 7 + 1),
+         |      i -> ${graft.functions.XHash.sqlSha60(
+                 "concat_ws(' ', tks[i], tks[i+1], tks[i+2], tks[i+3]," +
+                   " tks[i+4], tks[i+5], tks[i+6], tks[i+7])")})) AS gs
+         |  FROM d),
+         |eg AS (SELECT DISTINCT unnest(gs) AS h FROM g
+         |       WHERE doc_id % 20 = 0),
+         |tg AS (SELECT doc_id, n_chars, unnest(gs) AS h FROM g
+         |       WHERE doc_id % 20 <> 0),
+         |hits AS (SELECT doc_id, MAX(n_chars) AS n_chars,
+         |    COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN h IN (SELECT h FROM eg)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM tg GROUP BY doc_id)
+         |SELECT doc_id, n_chars, n_grams, n_hit,
+         |  n_hit > 0 AS dropped
+         |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.XHash.sha60
+      // same gram kernel + ANSI guards as contamination_check (the >= 8
+      // filter keeps sequence() ascending and element_at in range; the
+      // hash runs as a row-level expression inside codegen, not a HOF
+      // lambda)
+      val grams = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          split(col("text"), " ").as("tks"))
+        .filter(size(col("tks")) >= 8)
+        .select(col("doc_id"), col("n_chars"), col("tks"),
+          explode(sequence(lit(1), size(col("tks")) - 7)).as("i"))
+        .select(col("doc_id"), col("n_chars"),
+          sha60(concat_ws(" ", (0 until 8).map(k =>
+            element_at(col("tks"), col("i") + k)): _*)).as("h"))
+        .distinct()
+      val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+        .select("h").distinct().withColumn("hit", lit(1L))
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(evalGrams, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(max(col("n_chars")).as("n_chars"),
+          count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_chars"), col("n_grams"),
+          col("n_hit"), (col("n_hit") > 0).as("dropped"))
+        .orderBy("doc_id")
+    },
+
     // Domain-mix rebalancing — the data-mixing step of a pretraining
     // pipeline: cap every source at a uniform target share (total/
     // n_sources) by hash-gate downsampling the over-represented ones.
