@@ -491,6 +491,64 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // PII SCRUB — the redaction pass every training-data pipeline is
+    // required to run before text leaves curation: emails and phone
+    // numbers replaced with typed placeholders, with per-doc redaction
+    // counts and the sha-256 of the scrubbed text as the byte-exact
+    // action proof (the text_span_scrub discipline). The fixture corpus
+    // carries no PII, so — exactly like the synthesized PNG/WAV
+    // payloads of the multimodal family — deterministic PII is PLANTED
+    // from generator arithmetic (every 3rd doc an email, every 3rd a
+    // phone number), which both engines construct identically; the
+    // scrub is then measured against it. Regex patterns are
+    // dialect-neutral (character classes + greedy quantifiers behave
+    // identically in Java regex and RE2; DuckDB needs the 'g' flag
+    // where Spark replaces globally by default). Map-only — scales as
+    // a pure per-row pass.
+    Decl("text_pii_scrub", {
+      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phone = "555-[0-9]+"
+      // single line: a continuation line starting with '||' would be
+      // eaten by the enclosing stripMargin
+      val aug = "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' " +
+        "|| CAST(doc_id AS VARCHAR) || '@example.com now' " +
+        "WHEN doc_id % 3 = 1 THEN text || ' call 555-0' " +
+        "|| CAST(doc_id % 1000 AS VARCHAR) || ' today' ELSE text END"
+      s"""WITH a AS (SELECT doc_id, $aug AS t FROM documents
+         |           WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT)
+         |      AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT)
+         |      AS n_phones,
+         |    regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS clean
+         |  FROM a)
+         |SELECT doc_id, n_emails, n_phones,
+         |  CAST(len(clean) AS BIGINT) AS clean_len,
+         |  sha256(clean) AS clean_sha
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phone = "555-[0-9]+"
+      val aug = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast(StringType), lit("@example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 555-0"),
+            (col("doc_id") % 1000).cast(StringType), lit(" today")))
+        .otherwise(col("text"))
+      val clean = regexp_replace(
+        regexp_replace(aug, email, "<EMAIL>"), phone, "<PHONE>")
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          regexp_count(aug, lit(email)).cast(LongType).as("n_emails"),
+          regexp_count(aug, lit(phone)).cast(LongType).as("n_phones"),
+          length(clean).cast(LongType).as("clean_len"),
+          sha2(clean, 256).as("clean_sha"))
+        .orderBy("doc_id")
+    },
+
     // C: edit distance between adjacent part names — levenshtein is the
     // same DP algorithm in both engines, so the distances are exact.
     // Pairing by p_partkey + 1 keeps candidates linear (the blocking
