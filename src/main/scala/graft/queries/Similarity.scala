@@ -157,9 +157,13 @@ object Similarity {
     s"(list_max([$ivfScoredStructsSql])).c"
 
   /** Nearest-centroid assignment: argmax of dot(emb, centroid_i) over
-    * the fixed centroid list (tie → max cell, mirrored in SQL). */
-  private def ivfCellOf(emb: Column): Column = {
-    val scored = ivfCentroids.zipWithIndex.map { case (c, i) =>
+    * the centroid list (tie → max cell, mirrored in SQL). Defaults to
+    * the fixed seeds; parameterized so a FITTED centroid set (the
+    * sim_ivf_fit output) can feed the same assignment — the
+    * fit-feeds-the-index loop SimilarityTextSpec witnesses. */
+  private def ivfCellOf(emb: Column,
+      cents: Seq[Seq[Float]] = ivfCentroids): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(dotConst(emb, c).as("score"), lit(i).as("cell"))
     }
     greatest(scored: _*).getField("cell")
@@ -189,12 +193,14 @@ object Similarity {
   /** The query's [[IvfNProbe]] best cells, best first — descending
     * (score, cell) struct sort, so ties break to the max cell exactly
     * like [[ivfCellOf]] (and like DuckDB's list_reverse_sort twin). */
-  private def ivfTopCells(emb: Column): Column = {
-    val scored = ivfCentroids.zipWithIndex.map { case (c, i) =>
+  private def ivfTopCells(emb: Column,
+      cents: Seq[Seq[Float]] = ivfCentroids,
+      nProbe: Int = IvfNProbe): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(dotConst(emb, c).as("score"), lit(i).as("cell"))
     }
     transform(
-      slice(sort_array(array(scored: _*), asc = false), 1, IvfNProbe),
+      slice(sort_array(array(scored: _*), asc = false), 1, nProbe),
       x => x.getField("cell"))
   }
 
@@ -506,15 +512,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** One distributed Lloyd update: assign every vector to its nearest
+    * centroid (per-row map over the given centroid list) and recompute
+    * each cell's exact-decimal per-dimension mean — the sim_ivf_fit
+    * decl body, parameterized by the CURRENT centroids so the fit can
+    * be iterated and its output fed back into the probe path
+    * (annIvfTopK's cents parameter): the fit-feeds-the-index loop
+    * SimilarityTextSpec witnesses on a corpus the seeds don't match. */
+  private[graft] def ivfFitFrame(s: SparkSession, d: String,
+      cents: Seq[Seq[Float]] = ivfCentroids): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull) // see the sim_ivf_fit oracle note
+      .withColumn("cell", ivfCellOf(col("embedding"), cents))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast(DoubleType).cast(DecimalType(30, 12)))
+          .cast(DoubleType) / count(lit(1))).as("mean"))
+      .orderBy("cell", "dim")
+
   private[graft] def annIvfTopK(
-      s: SparkSession, d: String, qid: Long, k: Int): DataFrame = {
+      s: SparkSession, d: String, qid: Long, k: Int,
+      cents: Seq[Seq[Float]] = ivfCentroids,
+      nProbe: Int = IvfNProbe): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .withColumn("cell", ivfCellOf(col("embedding")))
+      .withColumn("cell", ivfCellOf(col("embedding"), cents))
     val q = broadcast(Tables.embeddings(s, d)
       .filter(col("vec_id") === qid)
       .select(col("embedding").as("qv"),
         graft.functions.VectorOps.norm2(col("embedding")).as("qn2"),
-        explode(ivfTopCells(col("embedding"))).as("pcell")))
+        explode(ivfTopCells(col("embedding"), cents, nProbe)).as("pcell")))
     withN2(e.join(q, col("cell") === col("pcell")))
       .select(col("vec_id"), simCol.as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -869,15 +896,7 @@ object Similarity {
       // VARCHAR→DECIMAL rounds half-up, so via-VARCHAR reproduces
       // Spark's Cast exactly. (Product terms — VectorOps — never tie:
       // a float×float product carries ~50 fraction bits.)
-      Tables.embeddings(s, d)
-        .filter(col("embedding").isNotNull) // see oracle note
-        .withColumn("cell", ivfCellOf(col("embedding")))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(count(lit(1)).as("n"),
-          (sum(col("x").cast(DoubleType).cast(DecimalType(30, 12)))
-            .cast(DoubleType) / count(lit(1))).as("mean"))
-        .orderBy("cell", "dim")
+      ivfFitFrame(s, d)
     },
 
     // L2 normalization: per-vector norm from the exact decimal dot

@@ -127,7 +127,7 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       per.sum / per.size
     }
     val lsh = recall(Similarity.annLshTopK)
-    val ivf = recall(Similarity.annIvfTopK)
+    val ivf = recall(Similarity.annIvfTopK(_, _, _, _))
     info(f"recall@10: lsh=$lsh%.3f ivf=$ivf%.3f")
     assert(lsh >= 0.8, f"LSH multi-probe recall@10 $lsh%.3f < 0.8")
     assert(ivf >= 0.8, f"IVF nProbe=${Similarity.IvfNProbe} recall@10 " +
@@ -739,5 +739,64 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     info(f"arrival-verdict recall: $recall%.3f " +
       f"(${gateDup.size}/${bruteDup.size} dup-flagged arrivals)")
     assert(recall >= 0.7, f"gate verdict recall $recall%.3f < 0.7")
+  }
+
+  test("sim_ivf_fit feeds the index: iterated fitted cells beat the " +
+      "seeds on a corpus whose clusters the seeds don't match") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    // Synthetic clustered corpus around 8 DIFFERENT centers than the
+    // seeded ivfCentroids (fresh deterministic seed): the regime where
+    // a k-means fit has something to learn. Same scale discipline as
+    // the residual-IVFADC clustered witness.
+    val base = "/root/testdata/sf0.1"
+    val synth = Catalog.scratch(base, "clustered_emb_fit")
+    Catalog.once(spark, base, "clustered_emb_fit") {
+      val rnd = new scala.util.Random(99L)
+      val centers = Seq.fill(8)(Seq.fill(64)(
+        (rnd.nextGaussian() * 0.15).toFloat))
+      val rows = (0 until 2000).map { id =>
+        val c = centers(id % 8)
+        (id.toLong, c.map(v => (v + rnd.nextGaussian() * 0.06).toFloat),
+          s"l${id % 4}")
+      }
+      import spark.implicits._
+      rows.toDF("vec_id", "embedding", "label").coalesce(1)
+        .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
+    }
+    // iterate the DECLARED fit (sim_ivf_fit's frame) three rounds,
+    // feeding each round's means back in as the next centroids; a cell
+    // that captured nothing keeps its previous centroid
+    def fitRound(cents: Seq[Seq[Float]]): Seq[Seq[Float]] = {
+      val means = Similarity.ivfFitFrame(spark, synth, cents).collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(3).toFloat).toSeq
+        }
+      cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    val fitted = (1 to 3).foldLeft(Similarity.ivfCentroids)(
+      (c, _) => fitRound(c))
+    def recallOf(cents: Seq[Seq[Float]]): Double = {
+      val per = (0L until 20L).map { qid =>
+        val exact = Similarity.bruteTopK(spark, synth, qid, 10).collect()
+          .map(_.getLong(0)).toSet
+        val got = Similarity.annIvfTopK(spark, synth, qid, 10, cents,
+            nProbe = 1)
+          .collect().map(_.getLong(0)).toSet
+        (exact intersect got).size / 10.0
+      }
+      per.sum / per.size
+    }
+    val seeded = recallOf(Similarity.ivfCentroids)
+    val fit = recallOf(fitted)
+    // nProbe=1 (pure nearest-cell retrieval): multi-probe would paper
+    // over bad cell placement at 8 cells — probe-1 recall IS the
+    // measure of cell quality the fit is supposed to improve
+    info(f"clustered-corpus recall@10: fitted cells $fit%.3f vs " +
+      f"seeded $seeded%.3f (nProbe=1)")
+    assert(fit > seeded,
+      f"fitted cells $fit%.3f did not beat the seeds $seeded%.3f — " +
+        "the fit query's output fails to improve its own index")
   }
 }
