@@ -145,7 +145,14 @@ object PlanDump {
     "stream_curation" -> ("quarantine gate + NB classify + ppm " +
       "sampling in one composed plan: model and rate tables ride " +
       "broadcast frames; one classify fan-out + one domain-keyed " +
-      "route aggregate"))
+      "route aggregate"),
+    "text_decontaminate" -> ("hashed-gram scrub: each split distincts " +
+      "its sha60 grams, one left join on the hash key carries the hit " +
+      "marker into the doc-keyed verdict aggregate — keys only, " +
+      "never gram text"),
+    "text_pii_scrub" -> ("pure per-row pass: plant, redact (two " +
+      "regexp_replace), count, sha-256 — one map stage into the " +
+      "output sort, no other exchange"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

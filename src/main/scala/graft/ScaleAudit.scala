@@ -173,7 +173,20 @@ object ScaleAudit {
     "stream_curation" -> ("model-bounded curation atop input-linear " +
       "classify scoring: NB model + ppm rate table ride broadcast " +
       "frames, the data pass is one gated classify + one " +
-      "(route, lang)-keyed aggregate of domain cardinality"))
+      "(route, lang)-keyed aggregate of domain cardinality"),
+    "dedup_embedding_ann_keep" -> ("candidate-bounded clustering: the " +
+      "cell-gated pair space feeds the verify + the label-propagation " +
+      "loop, whose per-round frames are edge-endpoint-sized; the " +
+      "singleton rejoin is the one corpus-keyed exchange"),
+    "dedup_embedding_incremental" -> ("probe-bounded admission gate: " +
+      "arriving x standing candidates are ~nProbe/nCells of the " +
+      "batch-corpus product; verdicts aggregate on the arrival key"),
+    "text_decontaminate" -> ("key-only gram join: both splits ship " +
+      "sha60 gram HASHES (one distinct each), contamination is a left " +
+      "join on the hash key + a doc-keyed count — gram text never " +
+      "shuffles"),
+    "text_pii_scrub" -> ("map-only redaction: plant + scrub + hash per " +
+      "row; the only exchange is the output order"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

@@ -1504,10 +1504,18 @@ object Similarity {
         .select(col("vec_id").as("vn"), col("embedding").as("emb1"),
           col("n2").as("n2a"),
           explode(ivfTopCells(col("embedding"))).as("pcell"))
-      val m = arriving
+      // the arriving batch BROADCASTS (an ingest batch is tiny next to
+      // the standing corpus — the production plan): candidates and the
+      // cosine verify run map-side over the standing scan, and the only
+      // exchange left is the (vn)-keyed verdict aggregate, whose
+      // partials are batch-sized. No pair-dedup step is needed — a
+      // standing vector lives in exactly ONE cell and an arrival's
+      // probed cells are distinct, so (vn, vo) cannot repeat (the
+      // oracle's DISTINCT is likewise an identity); a wide-row
+      // dropDuplicates here measured 63 MB of shuffled embeddings at
+      // sf0.1 for zero semantic effect.
+      val m = broadcast(arriving)
         .join(standing, col("pcell") === col("cell"))
-        .select(col("vn"), col("vo"), col("emb1"), col("emb2"),
-          col("n2a"), col("n2b")).dropDuplicates("vn", "vo")
         .filter(cosineWithNorms(col("emb1"), col("emb2"),
           col("n2a"), col("n2b")) >= 0.35)
         .groupBy("vn")
