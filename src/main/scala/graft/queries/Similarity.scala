@@ -512,6 +512,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** The ANN admission gate over an ARBITRARY arriving frame
+    * (vec_id, embedding, …) — dedup_embedding_incremental's body,
+    * factored so the streaming witness can run the identical logic
+    * per micro-batch (each arrival's verdict depends only on its own
+    * vector plus the static standing corpus, so chunked scoring is
+    * bit-equal to one-shot scoring — the nbScore discipline).
+    * The arriving batch BROADCASTS (an ingest batch is tiny next to
+    * the standing corpus — the production plan): candidates and the
+    * cosine verify run map-side over the standing scan, and the only
+    * exchange left is the (vn)-keyed verdict aggregate, whose
+    * partials are batch-sized. No pair-dedup step is needed — a
+    * standing vector lives in exactly ONE cell and an arrival's
+    * probed cells are distinct, so (vn, vo) cannot repeat (the
+    * oracle's DISTINCT is likewise an identity); a wide-row
+    * dropDuplicates here measured 63 MB of shuffled embeddings at
+    * sf0.1 for zero semantic effect. */
+  private[graft] def annAdmissionVerdicts(s: SparkSession, d: String,
+      arrivingRaw: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.{cosineWithNorms, norm2}
+    val arrivingBase = arrivingRaw.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+    val standing = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && col("vec_id") % 10 =!= 3)
+      .select(col("vec_id").as("vo"), col("embedding").as("emb2"),
+        norm2(col("embedding")).as("n2b"),
+        ivfCellOf(col("embedding")).as("cell"))
+    val arriving = arrivingBase
+      .select(col("vec_id").as("vn"), col("embedding").as("emb1"),
+        col("n2").as("n2a"),
+        explode(ivfTopCells(col("embedding"))).as("pcell"))
+    val m = broadcast(arriving)
+      .join(standing, col("pcell") === col("cell"))
+      .filter(cosineWithNorms(col("emb1"), col("emb2"),
+        col("n2a"), col("n2b")) >= 0.35)
+      .groupBy("vn")
+      .agg(count(lit(1)).as("n_matches"), min(col("vo")).as("match_id"))
+    arrivingBase.select(col("vec_id"))
+      .join(m, col("vn") === col("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        col("vn").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** One distributed Lloyd update: assign every vector to its nearest
     * centroid (per-row map over the given centroid list) and recompute
     * each cell's exact-decimal per-dimension mean — the sim_ivf_fit
@@ -1494,39 +1540,8 @@ object Similarity {
          |      WHERE vec_id % 10 = 3 AND embedding IS NOT NULL) n
          |LEFT JOIN m ON m.vn = n.vec_id
          |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
-      import graft.functions.VectorOps.{cosineWithNorms, norm2}
-      val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-        .withColumn("n2", norm2(col("embedding")))
-      val standing = ne.filter(col("vec_id") % 10 =!= 3)
-        .select(col("vec_id").as("vo"), col("embedding").as("emb2"),
-          col("n2").as("n2b"), ivfCellOf(col("embedding")).as("cell"))
-      val arriving = ne.filter(col("vec_id") % 10 === 3)
-        .select(col("vec_id").as("vn"), col("embedding").as("emb1"),
-          col("n2").as("n2a"),
-          explode(ivfTopCells(col("embedding"))).as("pcell"))
-      // the arriving batch BROADCASTS (an ingest batch is tiny next to
-      // the standing corpus — the production plan): candidates and the
-      // cosine verify run map-side over the standing scan, and the only
-      // exchange left is the (vn)-keyed verdict aggregate, whose
-      // partials are batch-sized. No pair-dedup step is needed — a
-      // standing vector lives in exactly ONE cell and an arrival's
-      // probed cells are distinct, so (vn, vo) cannot repeat (the
-      // oracle's DISTINCT is likewise an identity); a wide-row
-      // dropDuplicates here measured 63 MB of shuffled embeddings at
-      // sf0.1 for zero semantic effect.
-      val m = broadcast(arriving)
-        .join(standing, col("pcell") === col("cell"))
-        .filter(cosineWithNorms(col("emb1"), col("emb2"),
-          col("n2a"), col("n2b")) >= 0.35)
-        .groupBy("vn")
-        .agg(count(lit(1)).as("n_matches"), min(col("vo")).as("match_id"))
-      ne.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
-        .join(m, col("vn") === col("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          coalesce(col("match_id"), lit(-1L)).as("match_id"),
-          col("vn").isNotNull.as("is_dup"))
-        .orderBy("vec_id")
+      annAdmissionVerdicts(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3))
     },
 
     // Contrastive-pair mining — the training-data prep step for dense

@@ -13,6 +13,7 @@ import java.sql.Timestamp
   * the watermark; custom state accumulates across batches. */
 case class Ev(event_id: Long, ts: Timestamp, event_type: String,
     user_id: Long, value: Double)
+case class ArrVec(vec_id: Long, embedding: Seq[Float])
 
 class StreamingSpec extends AnyFunSuite with SparkSuite {
 
@@ -1127,5 +1128,66 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == declared,
       s"streamed curation summary drifted:\n  streamed $streamed\n  " +
         s"declared $declared")
+  }
+
+  test("streaming ANN admission gate: arriving vectors stream " +
+    "micro-batch-wise through the versioned transform sink with a " +
+    "crash injection — committed verdicts equal the declared batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.queries.Similarity
+    implicit val ctx = spark.sqlContext
+    val d = sf
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_anngate").toString
+    val (target, ledger, ck) = (s"$base/verdicts", s"$base/ledger",
+      s"$base/ck")
+    // the declared query's arriving slice, fed as a stream in chunks
+    val arrivals: Seq[ArrVec] = spark.read
+      .parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 3 && col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => ArrVec(r.getLong(0), r.getSeq[Float](1))).toSeq
+    def verdicts(b: org.apache.spark.sql.DataFrame) =
+      Similarity.annAdmissionVerdicts(spark, d, b)
+    val input = MemoryStream[ArrVec]
+    @volatile var injected = false
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (id == 1L && !injected) {
+          injected = true
+          // crash window: verdict dir written, ledger commit missed
+          verdicts(b.toDF()).write.mode("overwrite")
+            .parquet(s"$target/b$id")
+          throw new RuntimeException("injected first-attempt crash")
+        }
+        Streaming.transformSinkBatch(b.toDF(), id, verdicts _, target,
+          ledger)
+      }
+      .start()
+    val (c1, c2) = arrivals.splitAt(arrivals.size / 2)
+    var q = start()
+    input.addData(c1: _*)
+    q.processAllAvailable() // batch 0 commits
+    input.addData(c2: _*)
+    intercept[Exception] { q.processAllAvailable() } // batch 1 crashes
+    assert(injected)
+    q = start() // restart from the same checkpoint; batch 1 re-delivers
+    q.processAllAvailable()
+    q.stop()
+    val schema = verdicts(Seq.empty[ArrVec].toDF()).schema
+    val streamed = Streaming.gatedSplitRead(spark, target, ledger, schema)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val declared = SparkEntry.queries("dedup_embedding_incremental")(
+        spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == declared,
+      s"streamed verdicts drifted from the batch twin: " +
+        s"${(streamed diff declared).take(3)} vs " +
+        s"${(declared diff streamed).take(3)}")
   }
 }
