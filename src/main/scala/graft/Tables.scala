@@ -100,6 +100,24 @@ object Tables {
     }
   }
 
+  /** Table-scoped refinement of [[keyCoversPath]] (r11 ADVICE): a family
+    * memo whose stages read only `tables` should not lose its expensive
+    * checkpointed frames when a SIBLING table in the same dir is
+    * rewritten (invalidating embeddings.parquet used to evict Dedup's
+    * documents-derived candidate frames). Stale iff the invalidated path
+    * is the whole dir, or it touches one of the consumed tables (the
+    * table file itself or anything under it — partitioned layouts). */
+  def keyCoversTables(key: String, path: String,
+      tables: Seq[String]): Boolean = {
+    val first = key.indexOf('@')
+    val last = key.lastIndexOf('@')
+    first >= 0 && last > first && {
+      val d = key.substring(first + 1, last)
+      path == d || tables.exists(t =>
+        path == s"$d/$t.parquet" || path.startsWith(s"$d/$t.parquet/"))
+    }
+  }
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val key = s"${s.sparkContext.applicationId}@$path"

@@ -835,10 +835,13 @@ object Multimodal {
   // see Dedup.frameMemo: an in-app rewrite routed through
   // Tables.invalidate drops the checkpointed PCA frames for that dir
   // instead of serving stale covariance/axis frames (r10 ADVICE)
+  // table-scoped (r11 ADVICE): the PCA pipeline reads documents.parquet
+  // only, so a sibling-table rewrite in the dir keeps the fitted frames
   graft.Tables.onInvalidate { path =>
     val it = pcaMemo.keySet.iterator()
     while (it.hasNext)
-      if (graft.Tables.keyCoversPath(it.next(), path)) it.remove()
+      if (graft.Tables.keyCoversTables(it.next(), path, Seq("documents")))
+        it.remove()
   }
   private def pcaMemoAt[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
       d: String, stage: String)(build: => T): T =

@@ -31,14 +31,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CodegenOnlySpec extends AnyFunSuite with SparkSuite {
 
-  /** Run `body` with codegen failures promoted from WARN to THROW. */
+  /** Run `body` with codegen failures promoted from WARN to THROW.
+    * Restores the conf values that were IN EFFECT before the block (not
+    * hardcoded defaults) so a harness that drives the suite with its own
+    * codegen settings — e.g. a CODEGEN_ONLY CI axis on this same JVM —
+    * is not silently rewritten back to FALLBACK (r11 ADVICE). */
   private def codegenOnly[T](body: => T): T = {
+    val keys = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try body
-    finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      spark.conf.set("spark.sql.codegen.fallback", "true")
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -52,6 +52,16 @@ class TablesInvalidateSpec extends AnyFunSuite with SparkSuite {
     Tables.invalidate(s"${tmpRoot()}/documents.parquet")
     assert(graft.queries.Dedup.candidatePairsFor(spark, dir) eq f2,
       "unrelated invalidate dropped another dir's frames")
+    // a SIBLING table rewrite in the same dir must not evict frames
+    // derived solely from documents.parquet (r11 ADVICE: the fan-out is
+    // table-scoped, not dir-scoped)
+    Tables.invalidate(s"$dir/embeddings.parquet")
+    assert(graft.queries.Dedup.candidatePairsFor(spark, dir) eq f2,
+      "sibling-table invalidate evicted documents-derived frames")
+    // but the whole-dir form still evicts everything under it
+    Tables.invalidate(dir)
+    assert(!(graft.queries.Dedup.candidatePairsFor(spark, dir) eq f2),
+      "whole-dir invalidate no longer reaches the family memo")
   }
 
   test("invalidate drops Multimodal's PCA frames: rewritten corpus " +
