@@ -138,10 +138,19 @@ object PlanDump {
       "dup-set agg and the verdict join; the rebuild is one " +
       "(doc)-keyed aggregate whose sorted-struct collect restores " +
       "document order"),
-    "dedup_embedding_ann" -> ("label-free ANN dedup: probe-side cell " +
-      "explosion equi-joins the corpus on the cell key (~nProbe/nCells " +
-      "of probe×corpus); pair-distinct + two id re-joins feed the " +
-      "exact-cosine verify — candidate-bounded, never the cross"),
+    "dedup_embedding_ann" -> ("label-free ANN dedup on the FITTED " +
+      "occupancy-scaled index (cells = n/32, stride seeds + one Lloyd " +
+      "round): map-only assignment/probing against the broadcast " +
+      "centroid array, probe equi-join on the cell key, pair-distinct " +
+      "+ two id re-joins into the exact-cosine verify — input-linear, " +
+      "never the cross"),
+    "sim_ann_ivf_fitted" -> ("fitted-index retrieval: the declared " +
+      "promotion of the sim_ivf_fit witness — broadcast 8-row probe " +
+      "frame over fitted cells gates the scan into TakeOrdered"),
+    "sim_topk_pq_fitted" -> ("refit-ADC retrieval: the declared " +
+      "promotion of pq_fit_codebooks — refit books (empty cells keep " +
+      "seeds) drive both code assignment and the broadcast query " +
+      "distance tables"),
     "stream_curation" -> ("quarantine gate + NB classify + ppm " +
       "sampling in one composed plan: model and rate tables ride " +
       "broadcast frames; one classify fan-out + one domain-keyed " +

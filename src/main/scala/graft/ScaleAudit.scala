@@ -162,25 +162,38 @@ object ScaleAudit {
       "dies inside the partition decode, only the 6-long feature row " +
       "reaches the output-sort exchange (input-linear in rows, " +
       "payload-size-free)"),
-    "dedup_embedding_ann" -> ("candidate-bounded ANN dedup: probe " +
-      "vectors explode nProbe cells and equi-join the corpus on the " +
-      "cell key (~nProbe/nCells of probe x corpus, never the cross " +
-      "product); the pair-distinct and the two id re-joins for the " +
-      "exact-cosine verify are candidate-cardinality. At FIXED cell " +
-      "count the per-cell pair space grows quadratically — the " +
-      "documented ~sqrt(n)-cells deployment rule (sim_bitext_mine's " +
-      "note) keeps the fraction flat"),
+    "dedup_embedding_ann" -> ("input-linear fitted ANN dedup (r12: the " +
+      "occupancy rule ENACTED): cells = n/32 via stride seeds + one " +
+      "Lloyd round, so candidates stay probes x nProbe x occupancy; " +
+      "assignment/probing are map-only against the broadcast fitted " +
+      "centroid array; the remaining exchanges are the fit's 64-per-" +
+      "vector mean partials (input-linear) and the candidate-" +
+      "cardinality distinct + verify re-joins. ScaleSpec pins a " +
+      "synthetic 10x third hop linear"),
     "stream_curation" -> ("model-bounded curation atop input-linear " +
       "classify scoring: NB model + ppm rate table ride broadcast " +
       "frames, the data pass is one gated classify + one " +
       "(route, lang)-keyed aggregate of domain cardinality"),
-    "dedup_embedding_ann_keep" -> ("candidate-bounded clustering: the " +
-      "cell-gated pair space feeds the verify + the label-propagation " +
-      "loop, whose per-round frames are edge-endpoint-sized; the " +
-      "singleton rejoin is the one corpus-keyed exchange"),
-    "dedup_embedding_incremental" -> ("probe-bounded admission gate: " +
-      "arriving x standing candidates are ~nProbe/nCells of the " +
-      "batch-corpus product; verdicts aggregate on the arrival key"),
+    "dedup_embedding_ann_keep" -> ("candidate-bounded clustering on the " +
+      "occupancy-scaled fitted gate (r12): the input-linear candidate " +
+      "space feeds the verify + the label-propagation loop, whose " +
+      "per-round frames are edge-endpoint-sized; the singleton rejoin " +
+      "is the one corpus-keyed exchange"),
+    "dedup_embedding_incremental" -> ("probe-bounded admission gate on " +
+      "the STANDING-fitted occupancy-scaled index (r12): arriving x " +
+      "standing candidates are ~nProbe x occupancy per arrival; the " +
+      "join strategy is AQE's call in the batch twin (the streaming " +
+      "caller broadcasts its genuinely tiny micro-batch); verdicts " +
+      "aggregate on the arrival key"),
+    "sim_ann_ivf_fitted" -> ("fitted-index retrieval: the one-time " +
+      "Lloyd fit ships input-linear 64-per-vector mean partials; the " +
+      "probe query itself is a broadcast 8-row frame gating a " +
+      "map-only-assigned corpus scan into TakeOrdered"),
+    "sim_topk_pq_fitted" -> ("refit-ADC retrieval: the one-time PQ " +
+      "Lloyd fit ships <=1024 (sub, code, dim) mean partials " +
+      "(pq_fit_codebooks' shape); the scan itself is map-only code " +
+      "assignment against the broadcast refit books into two nested " +
+      "TakeOrdereds"),
     "text_decontaminate" -> ("key-only gram join: both splits ship " +
       "sha60 gram HASHES (one distinct each), contamination is a left " +
       "join on the hash key + a doc-keyed count — gram text never " +

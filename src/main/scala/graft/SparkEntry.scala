@@ -21,6 +21,7 @@ object SparkEntry {
       _root_.graft.queries.AsofRange.decls ++
       _root_.graft.queries.Udx.decls ++
       _root_.graft.queries.Similarity.decls ++
+      _root_.graft.queries.SimilarityFitted.decls ++
       _root_.graft.queries.Text.decls ++
       _root_.graft.queries.Dedup.decls ++
       _root_.graft.queries.Sketches.decls ++

@@ -51,7 +51,7 @@ object Similarity {
     * from len() with an equality guard so a dimension mismatch nulls
     * the whole result — exactly what the Spark DecimalDot kernel does —
     * instead of list_sum silently skipping the NULL out-of-range terms. */
-  private def sqlDotList(a: String, b: String): String =
+  private[queries] def sqlDotList(a: String, b: String): String =
     s"CAST(CASE WHEN len($a) = len($b) THEN " +
       s"list_sum(list_transform(range(1, len($a) + 1), k -> " +
       s"CAST(CAST(($a)[k] AS DOUBLE) * CAST(($b)[k] AS DOUBLE) " +
@@ -169,27 +169,6 @@ object Similarity {
     greatest(scored: _*).getField("cell")
   }
 
-  /** IVF multi-probe near-dup CANDIDATE pairs over the embedding
-    * corpus — the index gate of `dedup_embedding_ann`, exposed so the
-    * spec can measure its recall/fraction against brute force: probes
-    * (the 1-in-20 hash sample) explode their [[IvfNProbe]] nearest
-    * cells; corpus vectors join on their assigned cell; pairs are
-    * (least, greatest)-normalized and DISTINCT. Label-free and
-    * candidate-bounded (~nProbe/nCells of probe×corpus). */
-  private[graft] def annDedupCandidates(
-      s: SparkSession, d: String): DataFrame = {
-    val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-    val a = ne.select(col("vec_id").as("cv"),
-      ivfCellOf(col("embedding")).as("cell"))
-    val pe = ne.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("pv"),
-        explode(ivfTopCells(col("embedding"))).as("pcell"))
-    pe.join(a, col("pcell") === col("cell") && col("pv") =!= col("cv"))
-      .select(least(col("pv"), col("cv")).as("v1"),
-        greatest(col("pv"), col("cv")).as("v2"))
-      .distinct()
-  }
-
   /** The query's [[IvfNProbe]] best cells, best first — descending
     * (score, cell) struct sort, so ties break to the max cell exactly
     * like [[ivfCellOf]] (and like DuckDB's list_reverse_sort twin). */
@@ -272,12 +251,12 @@ object Similarity {
           lit(halfNorms(sub)(i))).as("s"),
         lit(i).as("c"))): _*).getField("c")
 
-  private def pqCodeOf(emb: Column, sub: Int): Column =
+  private[queries] def pqCodeOf(emb: Column, sub: Int): Column =
     pqCodeOf(emb, sub, pqCodebooks, pqHalfNorms)
 
   /** DuckDB twin of [[pqCodeOf]] (list_max over (s, c) structs; the
     * half-norm constant hops through VARCHAR like the chain terms). */
-  private def sqlPqCode(a: String, sub: Int): String =
+  private[queries] def sqlPqCode(a: String, sub: Int): String =
     s"(list_max([${(0 until PqCodes).map(i =>
       s"struct_pack(s := (${sqlPqSubDot(a, sub, pqCodebooks(sub)(i))} - " +
         s"CAST('${new java.math.BigDecimal(pqHalfNorms(sub)(i))
@@ -510,52 +489,6 @@ object Similarity {
       .select(col("vec_id"), simCol.as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
-  }
-
-  /** The ANN admission gate over an ARBITRARY arriving frame
-    * (vec_id, embedding, …) — dedup_embedding_incremental's body,
-    * factored so the streaming witness can run the identical logic
-    * per micro-batch (each arrival's verdict depends only on its own
-    * vector plus the static standing corpus, so chunked scoring is
-    * bit-equal to one-shot scoring — the nbScore discipline).
-    * The arriving batch BROADCASTS (an ingest batch is tiny next to
-    * the standing corpus — the production plan): candidates and the
-    * cosine verify run map-side over the standing scan, and the only
-    * exchange left is the (vn)-keyed verdict aggregate, whose
-    * partials are batch-sized. No pair-dedup step is needed — a
-    * standing vector lives in exactly ONE cell and an arrival's
-    * probed cells are distinct, so (vn, vo) cannot repeat (the
-    * oracle's DISTINCT is likewise an identity); a wide-row
-    * dropDuplicates here measured 63 MB of shuffled embeddings at
-    * sf0.1 for zero semantic effect. */
-  private[graft] def annAdmissionVerdicts(s: SparkSession, d: String,
-      arrivingRaw: DataFrame): DataFrame = {
-    import graft.functions.VectorOps.{cosineWithNorms, norm2}
-    val arrivingBase = arrivingRaw.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"),
-        norm2(col("embedding")).as("n2"))
-    val standing = Tables.embeddings(s, d)
-      .filter(col("embedding").isNotNull && col("vec_id") % 10 =!= 3)
-      .select(col("vec_id").as("vo"), col("embedding").as("emb2"),
-        norm2(col("embedding")).as("n2b"),
-        ivfCellOf(col("embedding")).as("cell"))
-    val arriving = arrivingBase
-      .select(col("vec_id").as("vn"), col("embedding").as("emb1"),
-        col("n2").as("n2a"),
-        explode(ivfTopCells(col("embedding"))).as("pcell"))
-    val m = broadcast(arriving)
-      .join(standing, col("pcell") === col("cell"))
-      .filter(cosineWithNorms(col("emb1"), col("emb2"),
-        col("n2a"), col("n2b")) >= 0.35)
-      .groupBy("vn")
-      .agg(count(lit(1)).as("n_matches"), min(col("vo")).as("match_id"))
-    arrivingBase.select(col("vec_id"))
-      .join(m, col("vn") === col("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        coalesce(col("match_id"), lit(-1L)).as("match_id"),
-        col("vn").isNotNull.as("is_dup"))
-      .orderBy("vec_id")
   }
 
   /** One distributed Lloyd update: assign every vector to its nearest
@@ -1364,184 +1297,6 @@ object Similarity {
               .as("n_sem_dups"))
           .orderBy("bucket")
       }
-    },
-
-    // ANN-GATED semantic dedup — the form that survives an UNLABELED
-    // 100 TB corpus: near-dup candidates come from the IVF probe-cell
-    // machinery (sim_ann_ivf's index path) instead of label blocks
-    // (dedup_embedding needs metadata labels real duplicates need not
-    // share) or single sign-LSH buckets (dedup_semantic probes exactly
-    // one bucket; multi-probe recovers the near-dups a boundary-
-    // straddling pair loses). Each probe vector explodes its IvfNProbe
-    // nearest cells and equi-joins corpus vectors on the cell key —
-    // candidates are a ~nProbe/nCells fraction of probe×corpus, never
-    // the cross product; pairs are normalized (least, greatest) +
-    // DISTINCT, then the exact decimal-kernel cosine verifies. Both
-    // stages replay in DuckDB (list_reverse_sort probe twin + the
-    // DECIMAL(26,12) dot), so the gate is fully oracled.
-    // SimilarityTextSpec pins candidate fraction and pair recall vs
-    // the label-blocked variant against brute force.
-    Decl("dedup_embedding_ann",
-      s"""WITH a AS (SELECT vec_id, $ivfCellSql AS cell
-         |           FROM embeddings WHERE embedding IS NOT NULL),
-         |p AS (SELECT vec_id,
-         |        list_transform(list_reverse_sort(
-         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
-         |          AS pcells
-         |      FROM embeddings
-         |      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),
-         |pe AS (SELECT vec_id, UNNEST(pcells) AS pcell FROM p),
-         |cand AS (SELECT DISTINCT LEAST(pe.vec_id, a.vec_id) AS v1,
-         |           GREATEST(pe.vec_id, a.vec_id) AS v2
-         |         FROM pe JOIN a
-         |           ON a.cell = pe.pcell AND a.vec_id <> pe.vec_id),
-         |sims AS (SELECT c.v1, c.v2,
-         |    ${sqlDotList("e1.embedding", "e2.embedding")} AS dot,
-         |    ${sqlDotList("e1.embedding", "e1.embedding")} AS nx,
-         |    ${sqlDotList("e2.embedding", "e2.embedding")} AS ny
-         |  FROM cand c
-         |  JOIN embeddings e1 ON e1.vec_id = c.v1
-         |  JOIN embeddings e2 ON e2.vec_id = c.v2)
-         |SELECT COUNT(*) AS n_candidates,
-         |  CAST(COALESCE(SUM(CASE WHEN dot / (sqrt(nx) * sqrt(ny))
-         |       >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dups
-         |FROM sims""".stripMargin) { (s, d) =>
-      import graft.functions.VectorOps.{cosineWithNorms, norm2}
-      val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-        .withColumn("n2", norm2(col("embedding")))
-      val e1 = ne.select(col("vec_id").as("v1"),
-        col("embedding").as("emb1"), col("n2").as("n2a"))
-      val e2 = ne.select(col("vec_id").as("v2"),
-        col("embedding").as("emb2"), col("n2").as("n2b"))
-      annDedupCandidates(s, d)
-        .join(e1, "v1").join(e2, "v2")
-        .select(cosineWithNorms(col("emb1"), col("emb2"),
-          col("n2a"), col("n2b")).as("sim"))
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(when(col("sim") >= 0.5, 1L).otherwise(0L)),
-            lit(0L)).as("n_near_dups"))
-    },
-
-    // The ANN-dedup ACTION: connect the cell-gated candidates that
-    // VERIFY at exact cosine >= 0.35 into clusters (the same
-    // converge-or-throw min-label propagation as dedup_near_keep,
-    // via Dedup.componentsFromEdges) and keep one representative per
-    // cluster — semantic dedup end to end without a label column.
-    // 0.35 sits in the corpus's real near-dup band (16/31/414
-    // brute-force pairs across the three SFs — non-vacuous
-    // everywhere); the oracle recomputes the TRUE transitive closure
-    // with a recursive CTE over the identical candidate + verify
-    // CTEs, so convergence is checked, not assumed. Scale: edges are
-    // candidate-bounded (the cell gate), the loop carries edge
-    // endpoints only, singletons rejoin at the end.
-    Decl("dedup_embedding_ann_keep",
-      s"""WITH RECURSIVE a AS (SELECT vec_id, $ivfCellSql AS cell
-         |           FROM embeddings WHERE embedding IS NOT NULL),
-         |p AS (SELECT vec_id,
-         |        list_transform(list_reverse_sort(
-         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
-         |          AS pcells
-         |      FROM embeddings
-         |      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),
-         |pe AS (SELECT vec_id, UNNEST(pcells) AS pcell FROM p),
-         |cand AS (SELECT DISTINCT LEAST(pe.vec_id, a.vec_id) AS v1,
-         |           GREATEST(pe.vec_id, a.vec_id) AS v2
-         |         FROM pe JOIN a
-         |           ON a.cell = pe.pcell AND a.vec_id <> pe.vec_id),
-         |sims AS (SELECT c.v1, c.v2,
-         |    ${sqlDotList("e1.embedding", "e2.embedding")} AS dot,
-         |    ${sqlDotList("e1.embedding", "e1.embedding")} AS nx,
-         |    ${sqlDotList("e2.embedding", "e2.embedding")} AS ny
-         |  FROM cand c
-         |  JOIN embeddings e1 ON e1.vec_id = c.v1
-         |  JOIN embeddings e2 ON e2.vec_id = c.v2),
-         |edges AS (SELECT v1, v2 FROM sims
-         |          WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.35),
-         |bidir AS (SELECT v1, v2 FROM edges
-         |          UNION SELECT v2, v1 FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT vec_id, vec_id FROM a
-         |  UNION
-         |  SELECT r.src, b.v2 FROM reach r JOIN bidir b ON r.dst = b.v1),
-         |comp AS (SELECT src AS vec_id, MIN(dst) AS label
-         |         FROM reach GROUP BY src),
-         |sizes AS (SELECT label, COUNT(*) AS cs FROM comp GROUP BY label)
-         |SELECT COUNT(*) AS n_vectors,
-         |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_kept,
-         |  COUNT(*) - COUNT(DISTINCT label) AS n_removed,
-         |  (SELECT MAX(cs) FROM sizes) AS max_cluster
-         |FROM comp""".stripMargin) { (s, d) =>
-      import graft.functions.VectorOps.{cosineWithNorms, norm2}
-      val ne = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-        .withColumn("n2", norm2(col("embedding")))
-      val e1 = ne.select(col("vec_id").as("v1"),
-        col("embedding").as("emb1"), col("n2").as("n2a"))
-      val e2 = ne.select(col("vec_id").as("v2"),
-        col("embedding").as("emb2"), col("n2").as("n2b"))
-      val edges = annDedupCandidates(s, d)
-        .join(e1, "v1").join(e2, "v2")
-        .filter(cosineWithNorms(col("emb1"), col("emb2"),
-          col("n2a"), col("n2b")) >= 0.35)
-        .select(col("v1").as("d1"), col("v2").as("d2"))
-      val labels = graft.queries.Dedup.componentsFromEdges(
-        ne.select(col("vec_id").as("doc_id")), edges)
-      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cs"))
-      labels.agg(count(lit(1)).as("n_vectors"),
-        countDistinct(col("label")).as("n_kept"),
-        (count(lit(1)) - countDistinct(col("label"))).as("n_removed"))
-        .crossJoin(broadcast(sizes.agg(max(col("cs")).as("max_cluster"))))
-    },
-
-    // INCREMENTAL ANN dedup — the streaming/production shape of the
-    // embedding family (dedup_incremental's token twin): a batch of
-    // ARRIVING vectors (the vec_id % 10 = 3 slice) is deduped against
-    // the STANDING corpus (everything else) — each new vector probes
-    // its IvfNProbe nearest cells, candidates are the standing
-    // vectors assigned to those cells, and the exact decimal cosine
-    // verifies at the 0.35 band. Per new vector: match count, the
-    // smallest matching standing id, and the dup verdict. (On this
-    // uniform-random fixture 0.35 is a PERMISSIVE band — with ~1k
-    // candidates per arrival most vectors find some match; a real
-    // deployment calibrates the threshold to its corpus's score
-    // distribution, which changes nothing about the dataflow. 0.35
-    // keeps the verdict column non-vacuous at every fixture SF.)
-    // At 100 TB/day this is the admission gate a corpus pipeline
-    // runs per ingest batch: the index side is a per-row cell map
-    // over the standing corpus (incrementally maintained in
-    // production), the batch side is probe-bounded — candidates are
-    // ~nProbe/nCells of batch x corpus, never the cross product.
-    Decl("dedup_embedding_incremental",
-      s"""WITH a AS (SELECT vec_id, $ivfCellSql AS cell
-         |      FROM embeddings
-         |      WHERE embedding IS NOT NULL AND vec_id % 10 != 3),
-         |p AS (SELECT vec_id,
-         |        list_transform(list_reverse_sort(
-         |          [$ivfScoredStructsSql])[1:$IvfNProbe], x -> x.c)
-         |          AS pcells
-         |      FROM embeddings
-         |      WHERE vec_id % 10 = 3 AND embedding IS NOT NULL),
-         |pe AS (SELECT vec_id, UNNEST(pcells) AS pcell FROM p),
-         |cand AS (SELECT DISTINCT pe.vec_id AS vn, a.vec_id AS vo
-         |         FROM pe JOIN a ON a.cell = pe.pcell),
-         |sims AS (SELECT c.vn, c.vo,
-         |    ${sqlDotList("e1.embedding", "e2.embedding")} AS dot,
-         |    ${sqlDotList("e1.embedding", "e1.embedding")} AS nx,
-         |    ${sqlDotList("e2.embedding", "e2.embedding")} AS ny
-         |  FROM cand c
-         |  JOIN embeddings e1 ON e1.vec_id = c.vn
-         |  JOIN embeddings e2 ON e2.vec_id = c.vo),
-         |m AS (SELECT vn, COUNT(*) AS n_matches, MIN(vo) AS match_id
-         |      FROM sims WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.35
-         |      GROUP BY vn)
-         |SELECT n.vec_id, COALESCE(m.n_matches, 0) AS n_matches,
-         |  COALESCE(m.match_id, -1) AS match_id,
-         |  m.vn IS NOT NULL AS is_dup
-         |FROM (SELECT vec_id FROM embeddings
-         |      WHERE vec_id % 10 = 3 AND embedding IS NOT NULL) n
-         |LEFT JOIN m ON m.vn = n.vec_id
-         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
-      annAdmissionVerdicts(s, d,
-        Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3))
     },
 
     // Contrastive-pair mining — the training-data prep step for dense

@@ -121,6 +121,22 @@ class CodegenOnlySpec extends AnyFunSuite with SparkSuite {
       .orderBy("vec_id").limit(64))
   }
 
+  test("IvfTopCells compiles under CODEGEN_ONLY") {
+    // the fitted-ANN assignment/probe kernel over a broadcast
+    // centroid-array row (the SimilarityFitted dataflow in miniature)
+    val ne = embs.filter(col("embedding").isNotNull)
+    val cs = ne.filter(col("vec_id") % 32 === 0)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("cid"), col("embedding").as("cvec")))).as("cs"))
+    pin(ne.crossJoin(broadcast(cs))
+      .select(col("vec_id"),
+        graft.functions.IvfTopCells(col("embedding"), col("cs"), 3)
+          .as("cells"))
+      .select(col("vec_id"), element_at(col("cells"), 1).as("c0"),
+        element_at(col("cells"), 3).as("c2"))
+      .orderBy("vec_id").limit(64))
+  }
+
   test("registry sweep: every query embedding a custom expression " +
       "executes under CODEGEN_ONLY") {
     // Mechanical detection: walk each declared query's analyzed plan for

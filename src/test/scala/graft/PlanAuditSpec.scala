@@ -29,7 +29,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "text_bm25", "heavy_hitters", // broadcast single-row corpus stats
     "text_keywords", // broadcast single-row doc count (tfidf family)
     "dedup_near_keep", // broadcast single-row max-cluster agg
-    "dedup_embedding_ann_keep", // same single-row max-cluster cross
+    "dedup_embedding_ann", // broadcast single-row fitted-centroid array
+    "dedup_embedding_ann_keep", // same, + the single-row max-cluster cross
+    "dedup_embedding_incremental", // broadcast single-row centroid array
+    "sim_ann_ivf_fitted", // broadcast centroid-array row + 8-row probe frame
+    "sim_topk_pq_fitted", // broadcast refit-books row + query ADC table cross
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
     "tpch_q11", // broadcast single-row inventory-value cut scalar
     "feature_minmax", // broadcast single-row global-stats join (no condition)

@@ -366,4 +366,53 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(r3 < 20.0,
       f"text_span_scrub third hop grew $r3%.2fx — superlinear rewrite tail")
   }
+
+  test("dedup_embedding_ann third hop: occupancy-scaled fitted cells " +
+      "keep the ANN dedup gate input-linear at 10x vectors (the r11 " +
+      "verdict's one superlinear fingerprint, enacted)") {
+    // At a FIXED cell count the per-cell pair space grows quadratically
+    // (SCALING.md r11 measured 13.4x on the fixture's 4x-row hop); the
+    // fitted index seeds one centroid per IvfOccupancy=32 vectors, so
+    // cells scale WITH the corpus and candidates stay probes x nProbe x
+    // occupancy — linear. Both points are synthetic fresh dirs (the
+    // fitted-centroid memo is per data dir, so each point measures the
+    // full fit + gate cold). Copies are decorrelated by a per-copy
+    // deterministic sign-flip pattern: within a copy every cosine is
+    // EXACTLY preserved (cos(Sx, Sy) = cos(x, y) for diagonal +-1 S),
+    // so the near-dup structure replicates 10x (weak scaling), while
+    // cross-copy pairs see a different relative flip pattern and stay
+    // uncorrelated — the operator scales, not the data's dup count.
+    // vec_id shifts by 1e9 (divisible by 32, 20 and 10, so the seed
+    // stride, probe sample and standing slice stay aligned per copy).
+    // Base point is the sf0.01 corpus (500 vectors): the audit's cost
+    // is the n x cells assignment work, which is quadratic across the
+    // PAIR of points by design — the smaller base keeps the suite fast
+    // while the 10x ratio pins the same linearity.
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val e = spark.read.parquet(s"$small/embeddings.parquet")
+    def copies(n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => e
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, d) -> x * CAST(CASE WHEN " +
+              s"((d + 1) * ${2 * i + 1} * 2654435761) % 97 % 2 = 0 " +
+              "THEN 1 ELSE -1 END AS FLOAT))")))
+        .reduce(_ union _)
+    val d1 = Catalog.scratch(small, "synth1x_ann")
+    val d10 = Catalog.scratch(small, "synth10x_ann")
+    Catalog.once(spark, small, "synth_ann") {
+      copies(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d1/embeddings.parquet")
+      copies(10).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d10/embeddings.parquet")
+    }
+    val b1 = bytes("dedup_embedding_ann", d1)
+    val b10 = bytes("dedup_embedding_ann", d10)
+    val r3 = b10.toDouble / b1
+    info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"dedup_embedding_ann third hop grew $r3%.2fx — the occupancy " +
+        "rule no longer holds the candidate space linear")
+  }
 }

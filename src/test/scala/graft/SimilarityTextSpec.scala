@@ -332,6 +332,32 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       f"refit recall $refitted%.3f did not improve on fixed $fixed%.3f")
   }
 
+  test("sim_topk_pq_fitted: the DECLARED refit-ADC path holds the " +
+    "spec-witnessed lift over the fixed-codebook floor (r11 item 3 — " +
+    "fit feeds the declared dataflow, not just a witness)") {
+    import graft.queries.{Similarity, SimilarityFitted}
+    val d = "/root/testdata/sf0.1"
+    def recallOf(top: Long => org.apache.spark.sql.DataFrame): Double = {
+      val per = (0L until 20L).map { qid =>
+        val exact = Similarity.bruteTopK(spark, d, qid, 10).collect()
+          .map(_.getLong(0)).toSet
+        val got = top(qid).collect().map(_.getLong(0)).toSet
+        (exact intersect got).size / 10.0
+      }
+      per.sum / per.size
+    }
+    val fixed = recallOf(qid => Similarity.pqTopK(spark, d, qid, 100, 10))
+    val fitted = recallOf(qid =>
+      SimilarityFitted.fittedPqTopK(spark, d, qid, 100, 10))
+    info(f"declared-path PQ recall@10: fixed=$fixed%.3f fitted=$fitted%.3f")
+    // the declared path quantizes refit entries to float32 and keeps
+    // empty cells at their seed — recall must still strictly beat the
+    // fixed books (the whole point of wiring the fit in)
+    assert(fitted > fixed,
+      f"declared fitted-ADC recall $fitted%.3f does not beat the " +
+        f"fixed-codebook $fixed%.3f")
+  }
+
   test("text_nb_classify: the in-engine-trained Naive Bayes beats the " +
     "fixed text_lang_id heuristic on held-out docs at sf0.1") {
     // The learned-vs-fixed comparison runs at sf0.1 (4000 train / 1000
@@ -678,7 +704,8 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
       (math.min(a, b), math.max(a, b))
     }).toSet
     val sameLabelGt = top1.count(_.getBoolean(2))
-    val ann = Similarity.annDedupCandidates(spark, d).collect()
+    val ann = graft.queries.SimilarityFitted.annDedupCandidates(spark, d)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val nProbes = probe.count().toDouble
     val nCorpus = corpus.count().toDouble
@@ -688,9 +715,12 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     // the label-blocked variant's candidates contain the true top-1
     // exactly when it shares the probe's label
     val blockedRecall = sameLabelGt.toDouble / gt.size
+    val nCells = math.ceil(nCorpus /
+      graft.queries.SimilarityFitted.IvfOccupancy).toLong
     info(f"ann candidates: ${ann.size} (${frac * 100}%.1f%% of the " +
-      f"${exhaustive.toLong} probe-pair space; nProbe/nCells = " +
-      f"${Similarity.IvfNProbe}/${Similarity.IvfNumCells})")
+      f"${exhaustive.toLong} probe-pair space; nProbe/~nCells = " +
+      f"${graft.queries.SimilarityFitted.FittedNProbe}/$nCells, " +
+      "occupancy-scaled)")
     info(f"top-1 recall: ann=$annRecall%.3f blocked=$blockedRecall%.3f " +
       f"over ${gt.size} probes")
     assert(gt.nonEmpty, "no probes — corpus changed?")

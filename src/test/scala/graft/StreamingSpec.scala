@@ -1149,7 +1149,8 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .select("vec_id", "embedding").collect()
       .map(r => ArrVec(r.getLong(0), r.getSeq[Float](1))).toSeq
     def verdicts(b: org.apache.spark.sql.DataFrame) =
-      Similarity.annAdmissionVerdicts(spark, d, b)
+      graft.queries.SimilarityFitted.annAdmissionVerdicts(spark, d, b,
+        broadcastArrivals = true)
     val input = MemoryStream[ArrVec]
     @volatile var injected = false
     def start() = input.toDF().writeStream
