@@ -167,21 +167,53 @@ object SimilarityFitted {
     * hash sample) explode their nProbe nearest FITTED cells; corpus
     * vectors join on their fitted cell; pairs are (least, greatest)-
     * normalized and DISTINCT. Candidate volume ≈ probes × nProbe ×
-    * occupancy — input-linear because cells scale with the corpus. */
+    * occupancy — input-linear because cells scale with the corpus.
+    * Memoized (the Dedup frameMemo rule): two declared queries and the
+    * spec consume the identical candidate-cardinality frame. */
   private[graft] def annDedupCandidates(
       s: SparkSession, d: String): DataFrame = {
-    val ne = nonNull(Tables.embeddings(s, d))
-    val fcs = broadcast(fittedCsFull(s, d))
-    val a = ne.crossJoin(fcs)
-      .select(col("vec_id").as("cv"),
-        cellOfArr(col("embedding"), col("cs")).as("cell"))
-    val pe = ne.filter(col("vec_id") % 20 === 0).crossJoin(fcs)
-      .select(col("vec_id").as("pv"),
-        explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell"))
-    pe.join(a, col("pcell") === col("cell") && col("pv") =!= col("cv"))
-      .select(least(col("pv"), col("cv")).as("v1"),
-        greatest(col("pv"), col("cv")).as("v2"))
-      .distinct()
+    // dependency resolved BEFORE entering the memo update — nested
+    // computeIfAbsent on one map can throw "Recursive update" when
+    // keys share a bin (the Dedup/Multimodal lesson)
+    val fcs0 = fittedCsFull(s, d)
+    memoAt(s, d, "annCandidates") {
+      val ne = nonNull(Tables.embeddings(s, d))
+      val fcs = broadcast(fcs0)
+      val a = ne.crossJoin(fcs)
+        .select(col("vec_id").as("cv"),
+          cellOfArr(col("embedding"), col("cs")).as("cell"))
+      val pe = ne.filter(col("vec_id") % 20 === 0).crossJoin(fcs)
+        .select(col("vec_id").as("pv"),
+          explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell"))
+      pe.join(a, col("pcell") === col("cell") && col("pv") =!= col("cv"))
+        .select(least(col("pv"), col("cv")).as("v1"),
+          greatest(col("pv"), col("cv")).as("v2"))
+        .distinct()
+        .localCheckpoint(false)
+    }
+  }
+
+  /** Candidate pairs verified at exact cosine ≥ 0.35 — the edge list
+    * `dedup_embedding_ann_keep` clusters. Memoized separately from the
+    * candidates: the keep action's steady-state wall is the propagation
+    * loop's job latency (r11 item 4), so the verified frame must not be
+    * recomputed per call. Edge-endpoint-sized, checkpoint-backed. */
+  private[graft] def annDedupEdges(s: SparkSession, d: String): DataFrame = {
+    val cand = annDedupCandidates(s, d) // resolve before the memo update
+    memoAt(s, d, "annEdges035") {
+      val ne = nonNull(Tables.embeddings(s, d))
+        .withColumn("n2", norm2(col("embedding")))
+      val e1 = ne.select(col("vec_id").as("v1"),
+        col("embedding").as("emb1"), col("n2").as("n2a"))
+      val e2 = ne.select(col("vec_id").as("v2"),
+        col("embedding").as("emb2"), col("n2").as("n2b"))
+      cand
+        .join(e1, "v1").join(e2, "v2")
+        .filter(cosineWithNorms(col("emb1"), col("emb2"),
+          col("n2a"), col("n2b")) >= 0.35)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+        .localCheckpoint(false)
+    }
   }
 
   /** The ANN admission gate over an ARBITRARY arriving frame — the
@@ -293,6 +325,22 @@ object SimilarityFitted {
       "FROM cand c JOIN embeddings e1 ON e1.vec_id = c.v1 " +
       "JOIN embeddings e2 ON e2.vec_id = c.v2)"
   ).mkString(",\n")
+
+  /** Converged (vec_id → min-label) components over [[annDedupEdges]] —
+    * the keep action's clustering, memoized so steady-state calls skip
+    * the propagation loop's job-latency-bound rounds entirely (r11
+    * item 4; the dedup_cluster_rep discipline). The loop itself runs
+    * converge-or-throw (Dedup.componentsFromEdges), and the declared
+    * oracle recomputes the TRUE transitive closure per run, so a stale
+    * or under-merged memo cannot pass silently. */
+  private[graft] def annComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = annDedupEdges(s, d) // resolve before the memo update
+    val vertices = nonNull(Tables.embeddings(s, d))
+      .select(col("vec_id").as("doc_id"))
+    memoAt(s, d, "annComponents") {
+      Dedup.componentsFromEdges(vertices, edges).localCheckpoint(false)
+    }
+  }
 
   // ---------------------------------------------------------------
   // Fitted PQ codebooks (r11 verdict item 3): one Lloyd round over the
@@ -512,19 +560,7 @@ SELECT COUNT(*) AS n_vectors,
   COUNT(*) - COUNT(DISTINCT label) AS n_removed,
   (SELECT MAX(cs) FROM sizes) AS max_cluster
 FROM comp""") { (s, d) =>
-      val ne = nonNull(Tables.embeddings(s, d))
-        .withColumn("n2", norm2(col("embedding")))
-      val e1 = ne.select(col("vec_id").as("v1"),
-        col("embedding").as("emb1"), col("n2").as("n2a"))
-      val e2 = ne.select(col("vec_id").as("v2"),
-        col("embedding").as("emb2"), col("n2").as("n2b"))
-      val edges = annDedupCandidates(s, d)
-        .join(e1, "v1").join(e2, "v2")
-        .filter(cosineWithNorms(col("emb1"), col("emb2"),
-          col("n2a"), col("n2b")) >= 0.35)
-        .select(col("v1").as("d1"), col("v2").as("d2"))
-      val labels = Dedup.componentsFromEdges(
-        ne.select(col("vec_id").as("doc_id")), edges)
+      val labels = annComponents(s, d)
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cs"))
       labels.agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("label")).as("n_kept"),
