@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Decl, Det, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -31,6 +31,79 @@ import org.apache.spark.sql.types._
 object Stats {
 
   import Det._
+
+  /** Exact-profiler row ceiling for [[profileColumnsRouted]]: below it
+    * the exact COUNT(DISTINCT)'s Expand ships a tolerable number of
+    * distinct values; above it the HLL twin's output-bounded sketch is
+    * the only shape that survives (SCALING.md: the exact profiler is
+    * the registry's one NDV-linear operator by declared intent). 10M
+    * rows ≈ tens of MB of Expand partials at these schemas — past that
+    * the sketch wins outright. */
+  private[graft] val ProfileExactMaxRows = 10_000_000L
+
+  /** Shared body of `profile_columns` (exact = true: exact
+    * COUNT(DISTINCT), DuckDB-oracled) and `profile_columns_approx`
+    * (exact = false: HLL++ rsd-1% sketch per column, output-bounded —
+    * declared-approximate). Identical single-scan aggregate + fixed
+    * unpivot either way; only the NDV aggregate and its output column
+    * name differ. */
+  private def profileBody(s: SparkSession, d: String,
+      exact: Boolean): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("v_big", when(col("value") > 400, col("value")))
+      .withColumn("ts_us", Det.epochUs(col("ts")))
+    def numS(c: Column) = c.cast(DecimalType(30, 6)).cast(StringType)
+    def strS(c: Column) = c.cast(StringType)
+    // (value column, post-agg min/max print function) per column
+    val cols: Seq[(String, Column, Column => Column)] = Seq(
+      ("event_id", col("event_id"), strS),
+      ("event_type", col("event_type"), identity[Column]),
+      ("props", col("props"), identity[Column]),
+      ("ts", col("ts_us"), strS),
+      ("user_id", col("user_id"), strS),
+      ("v_big", col("v_big"), numS),
+      ("value", col("value"), numS))
+    val ndName = if (exact) "n_distinct" else "n_distinct_est"
+    def nd(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c, 0.01)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
+      case (n, c, p) => Seq(
+        count(c).as(s"${n}__nn"), nd(c).as(s"${n}__nd"),
+        p(min(c)).as(s"${n}__min"), p(max(c)).as(s"${n}__max"))
+    }
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    // constant-size unpivot of the single profile row
+    val entries = cols.map { case (n, _, _) =>
+      struct(lit(n).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"${n}__nn")).as("n_null"),
+        col(s"${n}__nd").as(ndName),
+        col(s"${n}__min").as("min_s"), col(s"${n}__max").as("max_s"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  /** The profiler routing rule AS CODE (r11 verdict item 7, previously
+    * a doc comment): exact NDV while the table stays under
+    * `exactMaxRows`, the HLL sketch twin above it — one COUNT(*) over
+    * the scan makes the call (the same statistics-driven decision AQE
+    * takes; a metadata-scale driver action, not a data collect). The
+    * two DECLARED queries keep forcing their paths — the exact report
+    * stays DuckDB-oracled, the sketch twin stays declared-approximate —
+    * so oracle rows are untouched; this is the deployment entry point.
+    * The routed output carries the unified `n_distinct` name plus an
+    * `exact_ndv` marker so callers can tell which regime served them.
+    * StatsApproxSpec pins the switchover in both directions. */
+  private[graft] def profileColumnsRouted(s: SparkSession, d: String,
+      exactMaxRows: Long = ProfileExactMaxRows): DataFrame = {
+    val exact = Tables.events(s, d).count() <= exactMaxRows
+    val body =
+      if (exact) profileBody(s, d, exact = true)
+      else profileBody(s, d, exact = false)
+        .withColumnRenamed("n_distinct_est", "n_distinct")
+    body.withColumn("exact_ndv", lit(exact))
+  }
 
   /** Exact Σxᵏ for integer-valued x ≤ 999: decimal powers, associative
     * sum, exact double cast (all magnitudes ≪ 2^53). */
@@ -620,36 +693,7 @@ object Stats {
           row("value", "value", num)).mkString(
           "\n", "\nUNION ALL\n", "\n")}ORDER BY col_name""".stripMargin
     }) { (s, d) =>
-      val ev = Tables.events(s, d)
-        .withColumn("v_big", when(col("value") > 400, col("value")))
-        .withColumn("ts_us", Det.epochUs(col("ts")))
-      def numS(c: Column) = c.cast(DecimalType(30, 6)).cast(StringType)
-      def strS(c: Column) = c.cast(StringType)
-      // (value column, post-agg min/max print function) per column
-      val cols: Seq[(String, Column, Column => Column)] = Seq(
-        ("event_id", col("event_id"), strS),
-        ("event_type", col("event_type"), identity[Column]),
-        ("props", col("props"), identity[Column]),
-        ("ts", col("ts_us"), strS),
-        ("user_id", col("user_id"), strS),
-        ("v_big", col("v_big"), numS),
-        ("value", col("value"), numS))
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
-        case (n, c, p) => Seq(
-          count(c).as(s"${n}__nn"), countDistinct(c).as(s"${n}__nd"),
-          p(min(c)).as(s"${n}__min"), p(max(c)).as(s"${n}__max"))
-      }
-      val one = ev.agg(aggs.head, aggs.tail: _*)
-      // constant-size unpivot of the single profile row
-      val entries = cols.map { case (n, _, _) =>
-        struct(lit(n).as("col_name"), col("n_rows"),
-          (col("n_rows") - col(s"${n}__nn")).as("n_null"),
-          col(s"${n}__nd").as("n_distinct"),
-          col(s"${n}__min").as("min_s"), col(s"${n}__max").as("max_s"))
-      }
-      one.select(explode(array(entries: _*)).as("p"))
-        .select(col("p.*"))
-        .orderBy("col_name")
+      profileBody(s, d, exact = true)
     },
 
     // Sketch-backed profiler twin — the 100 TB form of profile_columns.
@@ -667,35 +711,7 @@ object Stats {
     // at all three SFs, and ScaleAudit records the flattened shuffle
     // fingerprint next to the exact profiler's.
     Decl.noOracle("profile_columns_approx") { (s, d) =>
-      val ev = Tables.events(s, d)
-        .withColumn("v_big", when(col("value") > 400, col("value")))
-        .withColumn("ts_us", Det.epochUs(col("ts")))
-      def numS(c: Column) = c.cast(DecimalType(30, 6)).cast(StringType)
-      def strS(c: Column) = c.cast(StringType)
-      val cols: Seq[(String, Column, Column => Column)] = Seq(
-        ("event_id", col("event_id"), strS),
-        ("event_type", col("event_type"), identity[Column]),
-        ("props", col("props"), identity[Column]),
-        ("ts", col("ts_us"), strS),
-        ("user_id", col("user_id"), strS),
-        ("v_big", col("v_big"), numS),
-        ("value", col("value"), numS))
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
-        case (n, c, p) => Seq(
-          count(c).as(s"${n}__nn"),
-          approx_count_distinct(c, 0.01).as(s"${n}__nd"),
-          p(min(c)).as(s"${n}__min"), p(max(c)).as(s"${n}__max"))
-      }
-      val one = ev.agg(aggs.head, aggs.tail: _*)
-      val entries = cols.map { case (n, _, _) =>
-        struct(lit(n).as("col_name"), col("n_rows"),
-          (col("n_rows") - col(s"${n}__nn")).as("n_null"),
-          col(s"${n}__nd").as("n_distinct_est"),
-          col(s"${n}__min").as("min_s"), col(s"${n}__max").as("max_s"))
-      }
-      one.select(explode(array(entries: _*)).as("p"))
-        .select(col("p.*"))
-        .orderBy("col_name")
+      profileBody(s, d, exact = false)
     }
   )
 }

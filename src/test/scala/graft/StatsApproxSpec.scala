@@ -34,6 +34,38 @@ class StatsApproxSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("profileColumnsRouted: the documented exact-vs-sketch decision " +
+      "rule is code — switchover pinned in both directions (r11 item 7)") {
+    import graft.queries.Stats
+    val dir = "/root/testdata/sf0.01"
+    val nRows = Tables.events(spark, dir).count()
+    // below the ceiling: rows identical to the DECLARED exact profiler
+    val lo = Stats.profileColumnsRouted(spark, dir, exactMaxRows = nRows)
+    assert(lo.schema.fieldNames.contains("n_distinct"))
+    assert(lo.collect().forall(_.getBoolean(6)), "expected the exact regime")
+    val exact = SparkEntry.queries("profile_columns")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(lo.drop("exact_ndv").collect().map(_.toSeq).toSeq == exact,
+      "routed-exact rows diverged from the declared exact profiler")
+    // above the ceiling: the sketch regime, same unified schema, plan
+    // carries HLL partials instead of the NDV-linear Expand
+    val hi = Stats.profileColumnsRouted(spark, dir, exactMaxRows = nRows - 1)
+    assert(hi.collect().forall(!_.getBoolean(6)), "expected the sketch regime")
+    val plan = hi.queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct"),
+      "sketch regime does not plan HLL aggregates")
+    assert(!plan.contains("Expand"),
+      "sketch regime still plans the exact profiler's Expand")
+    // and the routed estimates obey the same ±5% contract
+    val exactNd = exact.map(r => r.head.toString -> r(3).asInstanceOf[Long])
+      .toMap
+    hi.collect().foreach { r =>
+      val (c, nd) = (r.getString(0), r.getLong(3))
+      assert(math.abs(nd - exactNd(c)).toDouble /
+        math.max(exactNd(c), 1L) <= 0.05, s"$c: routed est=$nd")
+    }
+  }
+
   test("dq_expectations_approx: the four exact expectation rows " +
       "bit-identical, unique estimate within 5%·N, at all three SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
