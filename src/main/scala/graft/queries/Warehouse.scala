@@ -709,7 +709,7 @@ object Warehouse {
     * deterministic 2% of orders) — the shared input of the three graph
     * operators. The self-join emits both (a,b) and (b,a), so the
     * result is symmetric without an explicit union. */
-  private def supplierEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def supplierEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_orderkey") % 50 === 0)
       .select("l_orderkey", "l_suppkey")

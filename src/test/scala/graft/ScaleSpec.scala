@@ -237,29 +237,89 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       s"approx dq gate shuffles $aB bytes vs exact $eB — no win")
   }
 
-  test("graph_triangles (degree-oriented) shuffle tracks the edge set — " +
-      "the orientation kills the hub wedge blowup") {
-    // |E| grows 13.3x on this hop (see the pagerank shape note); the
-    // symmetric wedge join would track Σ deg² (superlinear in |E| as
-    // hubs emerge), the oriented one Σ outdeg² with outdeg capped at
-    // O(sqrt E) — pinned at-or-below edge growth like pagerank.
-    val b1 = bytes("graph_triangles", small)
-    val b2 = bytes("graph_triangles", big)
-    assert(b2.toDouble / b1 < 16.0,
-      s"graph_triangles shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) " +
-        "vs 13.3x edge growth — the wedge space is super-edge-linear")
-  }
+  // The graph family's honest scale denominator is |E|, not raw rows:
+  // the DISTINCT co-order pair space itself grows superlinearly in
+  // lineitem rows at these tiny sfs (it saturates only once most
+  // supplier pairs co-occur), so a raw-row ratio measures the DATA's
+  // edge growth, not the operator. These pins MEASURE |E| at both
+  // points and normalize (r11 verdict item 5 — previously the 13.3x
+  // edge growth was a hardcoded claim in a comment).
+  private def edgeCount(dir: String): Long =
+    graft.queries.Warehouse.supplierEdges(spark, dir).count()
 
-  test("graph_pagerank shuffle tracks the edge set, not a pair blowup") {
-    // |E| itself grows 13.3x on this hop (the DISTINCT co-order pair
-    // space is still expanding at these sfs — measured in ScaleAudit's
-    // shape note); the pinned bound is that shuffle growth stays AT OR
-    // BELOW edge growth: a replication bug would multiply them.
+  test("graph_pagerank shuffle is edge-linear: the per-edge byte ratio " +
+      "is pinned ~flat across the fixture hop (measured |E|, not a " +
+      "hardcoded growth claim)") {
+    val e1 = edgeCount(small)
+    val e2 = edgeCount(big)
     val b1 = bytes("graph_pagerank", small)
     val b2 = bytes("graph_pagerank", big)
-    assert(b2.toDouble / b1 < 16.0,
-      s"graph_pagerank shuffle grew ${b2.toDouble / b1}x ($b1 -> $b2) " +
-        "vs 13.3x edge growth — superlinear in |E|")
+    val perEdge = (b2.toDouble / b1) / (e2.toDouble / e1)
+    info(f"edges $e1%,d -> $e2%,d (${e2.toDouble / e1}%.1fx); bytes " +
+      f"$b1%,d -> $b2%,d (${b2.toDouble / b1}%.1fx); per-edge ratio " +
+      f"$perEdge%.2fx")
+    assert(perEdge > 0.3, f"$perEdge%.2fx implausibly sub-edge-linear " +
+      "(measurement broken?)")
+    assert(perEdge < 1.6,
+      f"graph_pagerank per-edge shuffle grew $perEdge%.2fx across the " +
+        "hop — superlinear in |E| (a replication bug multiplies them)")
+  }
+
+  test("graph_triangles (degree-oriented) shuffle is edge-linear: the " +
+      "orientation kills the hub wedge blowup — per-edge ratio ~flat") {
+    // the symmetric wedge join would track Σ deg² (super-edge-linear as
+    // hubs emerge); the oriented one Σ outdeg² with outdeg O(sqrt E)
+    val e1 = edgeCount(small)
+    val e2 = edgeCount(big)
+    val b1 = bytes("graph_triangles", small)
+    val b2 = bytes("graph_triangles", big)
+    val perEdge = (b2.toDouble / b1) / (e2.toDouble / e1)
+    info(f"edges $e1%,d -> $e2%,d; bytes $b1%,d -> $b2%,d; per-edge " +
+      f"ratio $perEdge%.2fx")
+    assert(perEdge > 0.3, f"$perEdge%.2fx implausibly sub-edge-linear " +
+      "(measurement broken?)")
+    assert(perEdge < 1.6,
+      f"graph_triangles per-edge shuffle grew $perEdge%.2fx across the " +
+        "hop — the wedge space is super-edge-linear")
+  }
+
+  test("graph_pagerank third hop: a synthetic 10x-edge graph keeps the " +
+      "per-edge shuffle flat (edge-normalized weak scaling)") {
+    // Ten DISJOINT copies of the co-order graph: l_orderkey shifts by
+    // 1e9 (divisible by 50, so the 2% sparsifier stays aligned per
+    // copy) and l_suppkey by 1e9, so node sets are disjoint and the
+    // within-copy edge structure replicates EXACTLY — |E| scales 10.0x
+    // by construction, unlike the fixture hop where edge growth is a
+    // property of the data. Single-file writes keep map-task counts
+    // comparable (the agg_mad_approx harness discipline).
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = Tables.lineitem(spark, big)
+    def copies(n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000000L)))
+        .reduce(_ union _)
+    val d1 = Catalog.scratch(big, "synth1x_graph")
+    val d10 = Catalog.scratch(big, "synth10x_graph")
+    Catalog.once(spark, big, "synth_graph") {
+      copies(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d1/lineitem.parquet")
+      copies(10).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d10/lineitem.parquet")
+    }
+    val e1 = edgeCount(d1)
+    val e10 = edgeCount(d10)
+    assert(e10 == 10 * e1, s"synthetic graph is not exact weak scaling: " +
+      s"$e1 -> $e10 edges")
+    val b1 = bytes("graph_pagerank", d1)
+    val b10 = bytes("graph_pagerank", d10)
+    val perEdge = (b10.toDouble / b1) / 10.0
+    info(f"third hop: edges $e1%,d -> $e10%,d (10.0x); bytes $b1%,d -> " +
+      f"$b10%,d (${b10.toDouble / b1}%.1fx); per-edge $perEdge%.2fx")
+    assert(perEdge > 0.3, f"$perEdge%.2fx implausibly sublinear")
+    assert(perEdge < 1.6,
+      f"graph_pagerank third-hop per-edge shuffle grew $perEdge%.2fx — " +
+        "superlinear tail in |E| beyond the fixture scales")
   }
 
   test("session-2 model-bounded operators stay flat at 10x rows " +
