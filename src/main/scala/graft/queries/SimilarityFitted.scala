@@ -230,26 +230,44 @@ object SimilarityFitted {
   private[graft] def annAdmissionVerdicts(s: SparkSession, d: String,
       arrivingRaw: DataFrame,
       broadcastArrivals: Boolean = false): DataFrame = {
-    val fcs = broadcast(fittedCsStanding(s, d))
-    val standing = nonNull(Tables.embeddings(s, d))
-      .filter(col("vec_id") % 10 =!= 3)
-      .crossJoin(fcs)
+    val fcs = fittedCsStanding(s, d)
+    val standing = indexFrameOf(
+      nonNull(Tables.embeddings(s, d)).filter(col("vec_id") % 10 =!= 3),
+      fcs)
       .select(col("vec_id").as("vo"), col("embedding").as("emb2"),
-        norm2(col("embedding")).as("n2b"),
+        col("n2").as("n2b"), col("cell"))
+    verdictsAgainst(standing, arrivingRaw, fcs, broadcastArrivals)
+  }
+
+  /** (vec_id, embedding, n2, cell) index rows of an arbitrary
+    * embedding frame under the given fitted centroids — the shape the
+    * MAINTAINED standing index persists. */
+  private def indexFrameOf(df: DataFrame, fcs: DataFrame): DataFrame =
+    df.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(fcs))
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"),
         cellOfArr(col("embedding"), col("cs")).as("cell"))
+
+  /** The admission-gate core against an ARBITRARY standing-index frame
+    * (vo, emb2, n2b, cell): arrivals probe their nProbe fitted cells,
+    * candidates are the index rows in those cells, exact decimal
+    * cosine verifies at 0.35. No pair-dedup step: an index vector
+    * lives in exactly ONE fitted cell and an arrival's probed cells
+    * are distinct, so (vn, vo) cannot repeat (the declared oracle's
+    * DISTINCT is likewise an identity). */
+  private def verdictsAgainst(index: DataFrame, arrivingRaw: DataFrame,
+      fcs: DataFrame, broadcastArrivals: Boolean): DataFrame = {
     val arrivingBase = arrivingRaw.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("n2"))
-    val arriving0 = arrivingBase.crossJoin(fcs)
+    val arriving0 = arrivingBase.crossJoin(broadcast(fcs))
       .select(col("vec_id").as("vn"), col("embedding").as("emb1"),
         col("n2").as("n2a"),
         explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell"))
     val arriving = if (broadcastArrivals) broadcast(arriving0) else arriving0
-    // no pair-dedup step: a standing vector lives in exactly ONE fitted
-    // cell and an arrival's probed cells are distinct, so (vn, vo)
-    // cannot repeat (the oracle's DISTINCT is likewise an identity)
     val m = arriving
-      .join(standing, col("pcell") === col("cell"))
+      .join(index, col("pcell") === col("cell"))
       .filter(cosineWithNorms(col("emb1"), col("emb2"),
         col("n2a"), col("n2b")) >= 0.35)
       .groupBy("vn")
@@ -261,6 +279,80 @@ object SimilarityFitted {
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
         col("vn").isNotNull.as("is_dup"))
       .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------
+  // MAINTAINED standing index (r11 verdict item 6): production does
+  // not recompute the standing corpus's cell assignment per ingest
+  // batch — it persists the assignment table once and APPENDS admitted
+  // arrivals post-verdict. Both writes of a batch (its verdicts and
+  // its admissions) sit in per-batch version dirs made visible by ONE
+  // ledger row written last (the additiveUpsert commit discipline), so
+  // a crash between them leaves torn dirs no reader sees and the
+  // re-delivered batch id overwrites them deterministically —
+  // at-least-once delivery becomes an exactly-once index.
+  // StreamingSpec witnesses two consecutive micro-batches with a crash
+  // injection: batch 2's verdicts MUST see batch 1's admissions.
+  // ---------------------------------------------------------------
+
+  private val indexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(FloatType)),
+    org.apache.spark.sql.types.StructField("n2", DoubleType),
+    org.apache.spark.sql.types.StructField("cell", LongType)))
+
+  private def ledgerHas(s: SparkSession, ledger: String,
+      batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ledger)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(p) && s.read.parquet(ledger)
+      .filter(col("batch_id") === batchId).head(1).nonEmpty
+  }
+
+  /** Bootstrap the persisted index from the standing corpus: its
+    * fitted cell assignment lands as the ledger-committed version −1.
+    * Idempotent on the ledger check. */
+  private[graft] def annIndexBootstrap(s: SparkSession, d: String,
+      indexDir: String, ledger: String): Unit = {
+    if (ledgerHas(s, ledger, -1L)) return
+    indexFrameOf(
+      nonNull(Tables.embeddings(s, d)).filter(col("vec_id") % 10 =!= 3),
+      fittedCsStanding(s, d))
+      .write.mode("overwrite").parquet(s"$indexDir/b-1")
+    import s.implicits._
+    Seq(-1L).toDF("batch_id").write.mode("append").parquet(ledger)
+  }
+
+  /** One exactly-once admission micro-batch over the maintained index:
+    * verdicts are computed against the COMMITTED index view (bootstrap
+    * ∪ admitted arrivals of committed earlier batches — the second
+    * batch judges against the first batch's admissions), the batch's
+    * verdict rows and its admitted (non-dup) arrivals are written to
+    * per-batch dirs, and the ledger row lands LAST as the commit point
+    * covering both. Intra-batch pairs are judged against the index
+    * only (the declared batch-twin semantics); clustering arrivals
+    * among themselves is the keep action's job. */
+  private[graft] def annIndexBatch(s: SparkSession, d: String,
+      batch: DataFrame, batchId: Long, indexDir: String,
+      verdictDir: String, ledger: String): Unit = {
+    if (ledgerHas(s, ledger, batchId)) return
+    val fcs = fittedCsStanding(s, d)
+    val index = graft.streaming.Streaming
+      .gatedSplitRead(s, indexDir, ledger, indexSchema)
+      .select(col("vec_id").as("vo"), col("embedding").as("emb2"),
+        col("n2").as("n2b"), col("cell"))
+    val verdicts =
+      verdictsAgainst(index, batch, fcs, broadcastArrivals = true)
+        .localCheckpoint(true) // one computation feeds both writes
+    verdicts.write.mode("overwrite").parquet(s"$verdictDir/b$batchId")
+    indexFrameOf(
+      batch.join(verdicts.filter(!col("is_dup")).select("vec_id"),
+        Seq("vec_id"), "leftsemi"),
+      fcs)
+      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+    import s.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
   }
 
   // ---------------------------------------------------------------

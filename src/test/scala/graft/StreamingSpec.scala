@@ -1191,4 +1191,87 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         s"${(streamed diff declared).take(3)} vs " +
         s"${(declared diff streamed).take(3)}")
   }
+
+  test("maintained standing ANN index: two consecutive micro-batches " +
+    "under the versioned ledger with a crash injection — batch 2's " +
+    "verdict MUST see batch 1's admission (r11 item 6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.queries.SimilarityFitted
+    implicit val ctx = spark.sqlContext
+    val d = sf
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_annidx").toString
+    val (idx, verd, ledger, ck) =
+      (s"$base/index", s"$base/verdicts", s"$base/ledger", s"$base/ck")
+    // bootstrap: the standing corpus's fitted assignment lands ONCE as
+    // the ledger-committed version -1 (idempotent — the second call is
+    // a no-op)
+    SimilarityFitted.annIndexBootstrap(spark, d, idx, ledger)
+    SimilarityFitted.annIndexBootstrap(spark, d, idx, ledger)
+    // batch 1 carries an arrival the declared batch twin calls NON-dup
+    // (so the gate ADMITS it into the index); batch 2 carries its
+    // exact clone under a fresh id — the clone has no 0.35-match in
+    // the original standing corpus by construction, so it is flagged
+    // dup IFF batch 2's committed view includes batch 1's admission.
+    val twin = SparkEntry.queries("dedup_embedding_incremental")(spark, d)
+      .collect()
+    val nonDupId = twin.filter(!_.getBoolean(3)).map(_.getLong(0)).min
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") === nonDupId)
+      .select("embedding").head.getSeq[Float](0)
+    val cloneId = 900000000L
+    val input = MemoryStream[ArrVec]
+    @volatile var injected = false
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (id == 1L && !injected) {
+          injected = true
+          // crash window: torn per-batch dirs written (ledger-invisible
+          // until the commit row), ledger row missed
+          b.toDF().write.mode("overwrite").parquet(s"$verd/b$id")
+          b.toDF().write.mode("overwrite").parquet(s"$idx/b$id")
+          throw new RuntimeException("injected first-attempt crash")
+        }
+        SimilarityFitted.annIndexBatch(spark, d, b.toDF(), id, idx,
+          verd, ledger)
+      }
+      .start()
+    var q = start()
+    input.addData(ArrVec(nonDupId, emb))
+    q.processAllAvailable() // batch 0 commits: nonDupId admitted
+    input.addData(ArrVec(cloneId, emb))
+    intercept[Exception] { q.processAllAvailable() } // batch 1 crashes
+    assert(injected)
+    q = start() // restart; batch 1 re-delivers and commits exactly once
+    q.processAllAvailable()
+    q.stop()
+    val vSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_matches",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("match_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_dup",
+        org.apache.spark.sql.types.BooleanType)))
+    val verdicts = Streaming.gatedSplitRead(spark, verd, ledger, vSchema)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(verdicts.size == 2, s"expected exactly-once verdicts for 2 " +
+      s"arrivals, got $verdicts")
+    assert(verdicts(nonDupId) == ((0L, -1L, false)),
+      s"batch-1 arrival must be admitted: ${verdicts(nonDupId)}")
+    assert(verdicts(cloneId) == ((1L, nonDupId, true)),
+      "batch-2 clone must match EXACTLY its batch-1 admission " +
+        s"(the maintained-index proof): ${verdicts(cloneId)}")
+    // the committed index carries the admission, never the rejected dup
+    val idxIds = Streaming.gatedSplitRead(spark, idx, ledger,
+      spark.read.parquet(s"$idx/b-1").schema)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds.contains(nonDupId), "admission missing from the index")
+    assert(!idxIds.contains(cloneId), "rejected dup leaked into the index")
+  }
 }
