@@ -182,9 +182,11 @@ object ScaleAudit {
     "dedup_embedding_incremental" -> ("probe-bounded admission gate on " +
       "the STANDING-fitted occupancy-scaled index (r12): arriving x " +
       "standing candidates are ~nProbe x occupancy per arrival; the " +
-      "join strategy is AQE's call in the batch twin (the streaming " +
-      "caller broadcasts its genuinely tiny micro-batch); verdicts " +
-      "aggregate on the arrival key"),
+      "arriving-side broadcast is SIZE-GATED (one count decides — " +
+      "forced for a known-tiny batch, AQE's shuffle join above the " +
+      "ceiling, because AQE's runtime broadcast conversion lands " +
+      "after both legs' map-side shuffle writes); verdicts aggregate " +
+      "on the arrival key"),
     "sim_ann_ivf_fitted" -> ("fitted-index retrieval: the one-time " +
       "Lloyd fit ships input-linear 64-per-vector mean partials; the " +
       "probe query itself is a broadcast 8-row frame gating a " +

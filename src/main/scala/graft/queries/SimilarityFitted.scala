@@ -227,9 +227,24 @@ object SimilarityFitted {
     * to AQE, because its arriving slice is sf-proportional and a
     * forced broadcast of a fact-sized frame is exactly what the plan
     * discipline bans. */
+  /** Arriving-side broadcast ceiling for the admission gate. The r11
+    * ADVICE correctly banned FORCING a broadcast of the declared batch
+    * twin's sf-proportional arriving slice — but leaving the strategy
+    * entirely to AQE re-measured WORSE at the fixtures (SCALING r12:
+    * 891 KB shuffled at sf0.1 vs 8 KB broadcast): AQE's runtime
+    * broadcast conversion happens only after the map-side shuffle
+    * WRITES of both join legs have landed, and the standing index is
+    * the input-linear leg — per ingest batch, exactly the bytes a
+    * production gate must not move. So the hint is SIZE-GATED (the
+    * ADVICE's suggested form): one count of the arriving frame decides
+    * (the profileColumnsRouted statistics discipline); above the
+    * ceiling the gate falls back to AQE's shuffle join, which is the
+    * only correct plan for a genuinely corpus-sized arrival. */
+  private[graft] val AnnBatchBroadcastMaxRows = 1000000L
+
   private[graft] def annAdmissionVerdicts(s: SparkSession, d: String,
       arrivingRaw: DataFrame,
-      broadcastArrivals: Boolean = false): DataFrame = {
+      broadcastArrivals: Boolean): DataFrame = {
     val fcs = fittedCsStanding(s, d)
     val standing = indexFrameOf(
       nonNull(Tables.embeddings(s, d)).filter(col("vec_id") % 10 =!= 3),
@@ -238,6 +253,16 @@ object SimilarityFitted {
         col("n2").as("n2b"), col("cell"))
     verdictsAgainst(standing, arrivingRaw, fcs, broadcastArrivals)
   }
+
+  /** [[annAdmissionVerdicts]] with the size-gated broadcast decision:
+    * callers that KNOW their batch is tiny (the streaming micro-batch
+    * path) pass the flag directly instead. */
+  private[graft] def annAdmissionVerdictsSized(s: SparkSession,
+      d: String, arrivingRaw: DataFrame): DataFrame =
+    annAdmissionVerdicts(s, d, arrivingRaw,
+      broadcastArrivals =
+        arrivingRaw.filter(col("embedding").isNotNull).count() <=
+          AnnBatchBroadcastMaxRows)
 
   /** (vec_id, embedding, n2, cell) index rows of an arbitrary
     * embedding frame under the given fitted centroids — the shape the
@@ -695,7 +720,7 @@ FROM (SELECT vec_id FROM embeddings
       WHERE vec_id % 10 = 3 AND embedding IS NOT NULL) n
 LEFT JOIN m ON m.vn = n.vec_id
 ORDER BY n.vec_id""") { (s, d) =>
-      annAdmissionVerdicts(s, d,
+      annAdmissionVerdictsSized(s, d,
         Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3))
     },
 
