@@ -151,6 +151,10 @@ object PlanDump {
       "promotion of pq_fit_codebooks — refit books (empty cells keep " +
       "seeds) drive both code assignment and the broadcast query " +
       "distance tables"),
+    "sim_ann_ivfpq_fitted" -> ("fully-fitted IVFADC: occupancy-scaled " +
+      "fitted cells gate the scan, refit books supply codes + query " +
+      "tables — the production layout with both halves learned " +
+      "in-engine"),
     "stream_curation" -> ("quarantine gate + NB classify + ppm " +
       "sampling in one composed plan: model and rate tables ride " +
       "broadcast frames; one classify fan-out + one domain-keyed " +

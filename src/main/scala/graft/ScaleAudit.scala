@@ -196,6 +196,10 @@ object ScaleAudit {
       "(pq_fit_codebooks' shape); the scan itself is map-only code " +
       "assignment against the broadcast refit books into two nested " +
       "TakeOrdereds"),
+    "sim_ann_ivfpq_fitted" -> ("fully-fitted IVFADC: both one-time " +
+      "Lloyd fits (input-linear cell-mean partials + <=1024 PQ " +
+      "partials) feed a map-only assigned/coded corpus scan gated by " +
+      "the broadcast 8-row probe frame into two nested TakeOrdereds"),
     "text_decontaminate" -> ("key-only gram join: both splits ship " +
       "sha60 gram HASHES (one distinct each), contamination is a left " +
       "join on the hash key + a doc-keyed count — gram text never " +

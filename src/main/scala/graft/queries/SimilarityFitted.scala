@@ -566,11 +566,99 @@ object SimilarityFitted {
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
   }
 
+  /** Fully-fitted IVFADC retrieval — the production composition with
+    * BOTH halves learned in-engine: the occupancy-scaled fitted cells
+    * gate WHICH rows the ADC scan touches (~nProbe × occupancy rows),
+    * and the refit PQ books supply the code assignment + query
+    * distance tables. Parameterized for the recall spec. */
+  private[graft] def fittedIvfPqTopK(s: SparkSession, d: String,
+      qid: Long, cand: Int, k: Int): DataFrame = {
+    import Similarity.{PqSubDim, PqSubspaces}
+    def aug(embCol: Column, sub: Int, marker: Float): Column =
+      concat(slice(embCol, sub * PqSubDim + 1, PqSubDim),
+        array(lit(marker)))
+    val ne = nonNull(Tables.embeddings(s, d))
+    val fcs = broadcast(fittedCsFull(s, d))
+    val bks = broadcast(fittedPqBooks(s, d))
+    val enc = ne.crossJoin(fcs).crossJoin(bks).select(
+      col("vec_id") +: col("embedding") +:
+        cellOfArr(col("embedding"), col("cs")).as("cell") +:
+        (0 until PqSubspaces).map(sub =>
+          element_at(graft.functions.IvfTopCells(
+            aug(col("embedding"), sub, 1.0f),
+            element_at(col("bs"), sub + 1), 1), 1).as(s"c$sub")): _*)
+    val q = broadcast(ne.filter(col("vec_id") === qid)
+      .crossJoin(fcs).crossJoin(bks)
+      .select(
+        col("embedding").as("qv") +: norm2(col("embedding")).as("qn2") +:
+          explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell") +:
+          (0 until PqSubspaces).map(sub =>
+            transform(element_at(col("bs"), sub + 1),
+              b => dot(aug(col("embedding"), sub, 0.0f),
+                b.getField("cvec"))).as(s"t$sub")): _*))
+    val approx = (0 until PqSubspaces)
+      .map(sub => element_at(col(s"t$sub"),
+        (col(s"c$sub") + 1).cast(IntegerType)))
+      .reduce(_ + _)
+    enc.join(q, col("cell") === col("pcell"))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("qn2"),
+        approx.as("approx"))
+      .orderBy(col("approx").desc, col("vec_id")).limit(cand)
+      .select(col("vec_id"), col("approx"),
+        cosineWithNorms(col("embedding"), col("qv"),
+          norm2(col("embedding")), col("qn2")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
   /** DuckDB CTE block for the refit books: pqa/pqs/pfit (the
     * pq_fit_codebooks fit verbatim) → fvs (REAL-quantized entries) →
     * fixedb (the seed books as VARCHAR→REAL literals) → bk1 (fitted ∪
     * seed, augmented with −hn) → barr (per-sub kernel lists). */
-  private def fittedPqCtes: String = {
+  /** Augmented subvector of `src` for subspace `sub` (twin of the
+    * Spark-side aug): the 8-dim slice ++ [marker] — marker 1.0 picks
+    * up the −hn bias (code assignment), 0.0 leaves the pure dot (the
+    * ADC query table). */
+  private def pqAugSql(src: String, sub: Int, marker: String): String = {
+    import Similarity.PqSubDim
+    s"list_append(($src)[${sub * PqSubDim + 1}:" +
+      s"${sub * PqSubDim + PqSubDim}], CAST($marker AS REAL))"
+  }
+
+  private def pqBlSql(sub: Int) = s"(SELECT bl FROM barr WHERE sub = $sub)"
+
+  /** Per-subspace refit-book code columns c0..c7 (argmax of
+    * dot − hn via the augmented dot; tie → min code). */
+  private def pqECodesSql: String =
+    (0 until Similarity.PqSubspaces).map(sub =>
+      s"-((list_max(list_transform(${pqBlSql(sub)}, cc -> " +
+        s"struct_pack(s := ${dotSql(pqAugSql("embedding", sub, "1.0"),
+          "cc.cvec")}, c := -cc.cid)))).c) AS c$sub").mkString(",\n")
+
+  /** Per-subspace query ADC tables t0..t7 (pure dots, marker 0.0). */
+  private def pqQTablesSql: String =
+    (0 until Similarity.PqSubspaces).map(sub =>
+      s"list_transform(${pqBlSql(sub)}, cc -> " +
+        s"${dotSql(pqAugSql("embedding", sub, "0.0"), "cc.cvec")}) " +
+        s"AS t$sub").mkString(",\n")
+
+  /** ADC approximate dot: left-associative chain of the 8 lookups. */
+  private def pqApproxSql(qAlias: String): String =
+    (0 until Similarity.PqSubspaces)
+      .map(sub => s"($qAlias.t$sub)[e.c$sub + 1]").mkString(" + ")
+
+  private def cosLSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * " +
+      s"sqrt(${dotSql(b, b)}))"
+
+  private val nefCte: String =
+    "nef AS (SELECT vec_id, embedding FROM embeddings " +
+      "WHERE embedding IS NOT NULL)"
+
+  private def fittedPqCtes: String = nefCte + ",\n" + fittedPqCtesBody
+
+  /** [[fittedPqCtes]] without the `nef` corpus CTE — for composition
+    * with [[fittedCtes]] (which defines its own nef). */
+  private def fittedPqCtesBody: String = {
     import Similarity.{PqCodes, PqSubDim, PqSubspaces, pqCodebooks}
     val codes = (0 until PqSubspaces)
       .map(sub => s"${Similarity.sqlPqCode("embedding", sub)} AS fc$sub")
@@ -585,8 +673,6 @@ object SimilarityFitted {
         s"($sub, $i, $vec)"
       }).mkString(", ")
     Seq(
-      "nef AS (SELECT vec_id, embedding FROM embeddings " +
-        "WHERE embedding IS NOT NULL)",
       s"pqa AS (SELECT embedding, $codes FROM nef)",
       s"pqs AS (SELECT CAST(t.sub AS INTEGER) AS sub, " +
         s"CAST(CASE t.sub $codeCase ELSE fc${PqSubspaces - 1} END " +
@@ -771,37 +857,50 @@ FROM cand ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
     // SimilarityTextSpec re-measures recall@10 over 20 probes on this
     // declared path (the refit lifts the fixed-book 0.56 floor).
     Decl("sim_topk_pq_fitted", {
-      import Similarity.{PqSubDim, PqSubspaces}
-      def augE(src: String, sub: Int, marker: String) =
-        s"list_append(($src)[${sub * PqSubDim + 1}:" +
-          s"${sub * PqSubDim + PqSubDim}], CAST($marker AS REAL))"
-      def bl(sub: Int) = s"(SELECT bl FROM barr WHERE sub = $sub)"
-      val eCodes = (0 until PqSubspaces).map(sub =>
-        s"-((list_max(list_transform(${bl(sub)}, cc -> " +
-          s"struct_pack(s := ${dotSql(augE("embedding", sub, "1.0"),
-            "cc.cvec")}, c := -cc.cid)))).c) AS c$sub").mkString(",\n")
-      val qTables = (0 until PqSubspaces).map(sub =>
-        s"list_transform(${bl(sub)}, cc -> " +
-          s"${dotSql(augE("embedding", sub, "0.0"), "cc.cvec")}) " +
-          s"AS t$sub").mkString(",\n")
-      val approx = (0 until PqSubspaces)
-        .map(sub => s"(q.t$sub)[e.c$sub + 1]").mkString(" + ")
-      def cosL(a: String, b: String) =
-        s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * " +
-          s"sqrt(${dotSql(b, b)}))"
+      val approx = pqApproxSql("q")
       s"""WITH ${fittedPqCtes},
 e AS (SELECT vec_id, embedding,
-$eCodes
+$pqECodesSql
   FROM nef),
 q AS (SELECT embedding,
-$qTables
+$pqQTablesSql
   FROM nef WHERE vec_id = 0),
 c AS (SELECT e.vec_id, e.embedding, q.embedding AS qv, $approx AS approx
   FROM e, q ORDER BY approx DESC, e.vec_id LIMIT 100)
-SELECT vec_id, approx, ${cosL("embedding", "qv")} AS sim
+SELECT vec_id, approx, ${cosLSql("embedding", "qv")} AS sim
 FROM c ORDER BY sim DESC, vec_id LIMIT 10"""
     }) { (s, d) =>
       fittedPqTopK(s, d, 0, 100, 10)
+    },
+
+    // Fully-fitted IVFADC — the production billion-vector layout with
+    // BOTH halves learned in-engine and declared: the occupancy-scaled
+    // fitted cells (fittedCtes) gate which rows the ADC scan touches,
+    // the refit PQ books (fittedPqCtesBody) supply code assignment and
+    // the broadcast query distance tables, and the exact decimal
+    // cosine re-ranks the fixed 100-candidate budget. Composes the two
+    // already-oracled fit machineries into one twin — deterministic
+    // end to end, so candidate selection AND re-ranking replay exactly.
+    Decl("sim_ann_ivfpq_fitted", {
+      val approx = pqApproxSql("p")
+      val tcols = (0 until Similarity.PqSubspaces)
+        .map(i => s"t$i").mkString(", ")
+      s"""WITH ${fittedCtes("")},
+${fittedPqCtesBody},
+e AS (SELECT vec_id, embedding, ${cellSqlOf("embedding")} AS cell,
+$pqECodesSql
+  FROM nef),
+q AS (SELECT embedding, ${pcellsSqlOf("embedding")} AS pcells,
+$pqQTablesSql
+  FROM nef WHERE vec_id = 0),
+p AS (SELECT embedding AS qv, $tcols, UNNEST(pcells) AS pcell FROM q),
+c AS (SELECT e.vec_id, e.embedding, p.qv, $approx AS approx
+  FROM e JOIN p ON e.cell = p.pcell
+  ORDER BY approx DESC, e.vec_id LIMIT 100)
+SELECT vec_id, approx, ${cosLSql("embedding", "qv")} AS sim
+FROM c ORDER BY sim DESC, vec_id LIMIT 10"""
+    }) { (s, d) =>
+      fittedIvfPqTopK(s, d, 0, 100, 10)
     }
   )
 }

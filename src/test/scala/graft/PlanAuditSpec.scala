@@ -34,6 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dedup_embedding_incremental", // broadcast single-row centroid array
     "sim_ann_ivf_fitted", // broadcast centroid-array row + 8-row probe frame
     "sim_topk_pq_fitted", // broadcast refit-books row + query ADC table cross
+    "sim_ann_ivfpq_fitted", // broadcast centroid-array + refit-books rows
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare
     "tpch_q11", // broadcast single-row inventory-value cut scalar
     "feature_minmax", // broadcast single-row global-stats join (no condition)

@@ -356,6 +356,17 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
     assert(fitted > fixed,
       f"declared fitted-ADC recall $fitted%.3f does not beat the " +
         f"fixed-codebook $fixed%.3f")
+    // the fully-fitted IVFADC composition prunes the ADC scan to the
+    // fitted probe cells at the SAME 100-candidate re-rank budget:
+    // recall over the pruned scan must stay in the fitted-ADC band
+    // (the sim_ann_ivfpq adjudication — cell pruning trades scan cost,
+    // not the re-rank budget; the uniform corpus is the worst case)
+    val ivfpq = recallOf(qid =>
+      SimilarityFitted.fittedIvfPqTopK(spark, d, qid, 100, 10))
+    info(f"fully-fitted IVFADC recall@10: $ivfpq%.3f (fitted-ADC " +
+      f"unpruned: $fitted%.3f)")
+    assert(ivfpq >= 0.4,
+      f"fully-fitted IVFADC recall $ivfpq%.3f below the floor")
   }
 
   test("text_nb_classify: the in-engine-trained Naive Bayes beats the " +
