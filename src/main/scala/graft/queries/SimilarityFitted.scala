@@ -101,8 +101,18 @@ object SimilarityFitted {
     * (the sim_ivf_fit contract), quantize to float32. Returns the
     * ONE-ROW centroid-array frame (`cs`) the assignment/probe
     * expressions consume. */
-  private def fitCentArr(ne: DataFrame): DataFrame = {
-    val seeds = ne.filter(col("vec_id") % IvfOccupancy === 0)
+  private def fitCentArr(ne: DataFrame): DataFrame =
+    fitCentArrWithStride(ne, IvfOccupancy)
+
+  /** [[fitCentArr]] with an explicit seed stride — the module scaladoc's
+    * two-regime claim made executable: past the broadcast budget a
+    * deployment switches to √n cells by changing ONLY the seed rule
+    * (stride = n/√n), and SimilarityTextSpec witnesses the identical
+    * machinery under that rule. The declared queries stay on the
+    * occupancy rule. */
+  private[graft] def fitCentArrWithStride(ne: DataFrame,
+      stride: Long): DataFrame = {
+    val seeds = ne.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val sArr = seeds
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
@@ -142,6 +152,29 @@ object SimilarityFitted {
       build: => DataFrame): DataFrame =
     memo.computeIfAbsent(
       s"${s.sparkContext.applicationId}@$d@$stage", _ => build)
+
+  /** Top-`k` retrieval of query `qid` over `ne` under an ARBITRARY
+    * fitted centroid-array frame — the index machinery shared by the
+    * declared `sim_ann_ivf_fitted` (occupancy-rule cs) and the
+    * two-regime √n-cells witness (SimilarityTextSpec). */
+  private[graft] def fittedTopKWith(ne: DataFrame, cs: DataFrame,
+      qid: Long, k: Int): DataFrame = {
+    val fcs = broadcast(cs)
+    val e = ne.crossJoin(fcs)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"),
+        cellOfArr(col("embedding"), col("cs")).as("cell"))
+    val q = broadcast(ne.filter(col("vec_id") === qid).crossJoin(fcs)
+      .select(col("embedding").as("qv"),
+        norm2(col("embedding")).as("qn2"),
+        explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell")))
+    e.join(q, col("cell") === col("pcell"))
+      .select(col("vec_id"),
+        cosineWithNorms(col("embedding"), col("qv"),
+          col("n2"), col("qn2")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** Fitted centroid array over the full non-null corpus. */
   private[graft] def fittedCsFull(s: SparkSession, d: String): DataFrame =
@@ -830,22 +863,8 @@ cand AS (SELECT vec_id,
   FROM af JOIN probes ON af.cell = probes.pcell)
 SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
 FROM cand ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
-      val ne = nonNull(Tables.embeddings(s, d))
-      val fcs = broadcast(fittedCsFull(s, d))
-      val e = ne.crossJoin(fcs)
-        .select(col("vec_id"), col("embedding"),
-          norm2(col("embedding")).as("n2"),
-          cellOfArr(col("embedding"), col("cs")).as("cell"))
-      val q = broadcast(ne.filter(col("vec_id") === 0).crossJoin(fcs)
-        .select(col("embedding").as("qv"),
-          norm2(col("embedding")).as("qn2"),
-          explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell")))
-      e.join(q, col("cell") === col("pcell"))
-        .select(col("vec_id"),
-          cosineWithNorms(col("embedding"), col("qv"),
-            col("n2"), col("qn2")).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
+      fittedTopKWith(nonNull(Tables.embeddings(s, d)),
+        fittedCsFull(s, d), 0L, 10)
     },
 
     // PQ/ADC retrieval on the REFIT codebooks — the declared promotion
