@@ -474,5 +474,33 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(r3 < 20.0,
       f"dedup_embedding_ann third hop grew $r3%.2fx — the occupancy " +
         "rule no longer holds the candidate space linear")
+    // the keep ACTION's marginal stages on the same two dirs: the fit
+    // and candidate frames are memoized by the measurement above (this
+    // suite shares the JVM), so these bytes are the closure's own
+    // stages — verify re-joins, the propagation loop's edge-endpoint
+    // frames, the singleton rejoin. Within-copy dup structure
+    // weak-scales exactly, but the keep's 0.35 verify band ALSO
+    // catches the cross-copy cosine tail (sign-flipped random 64-dim
+    // pairs sit at ~N(0, 1/8); 0.35 is a ~3σ cut, and the 10x dir has
+    // ~230k cross-copy candidates — measured: ~5x more edges than
+    // pure weak scaling, whose chains also deepen the propagation).
+    // That tail is the DATA's, not the operator's, so the pin is
+    // edge-NORMALIZED like the graph family: per-edge marginal bytes
+    // must stay ~flat.
+    val ec1 = graft.queries.SimilarityFitted.annDedupEdges(spark, d1)
+      .count()
+    val ec10 = graft.queries.SimilarityFitted.annDedupEdges(spark, d10)
+      .count()
+    val k1 = bytes("dedup_embedding_ann_keep", d1)
+    val k10 = bytes("dedup_embedding_ann_keep", d10)
+    val perEdge = (k10.toDouble / k1) / (ec10.toDouble / ec1)
+    info(f"keep marginal third-hop: edges $ec1%,d -> $ec10%,d " +
+      f"(${ec10.toDouble / ec1}%.1fx); bytes $k1%,d -> $k10%,d " +
+      f"(${k10.toDouble / k1}%.1fx); per-edge $perEdge%.2fx")
+    assert(perEdge > 0.2,
+      f"$perEdge%.2fx implausibly sub-edge-linear (measurement broken?)")
+    assert(perEdge < 3.0,
+      f"dedup_embedding_ann_keep marginal stages grew $perEdge%.2fx " +
+        "per edge at 10x rows — the closure is super-edge-linear")
   }
 }
