@@ -90,7 +90,14 @@ object Tables {
   def onInvalidate(hook: String => Unit): Unit = invalidationHooks.add(hook)
 
   /** Shared hook predicate: a memo key `app@dir@stage` is stale for an
-    * invalidated `path` when the path IS the dir or sits under it. */
+    * invalidated `path` when the path IS the dir or sits under it.
+    *
+    * Parse robustness (r12 ADVICE): the first/last-indexOf('@') split
+    * relies ONLY on the application id and the stage token being
+    * '@'-free — Spark app ids are `local-<millis>`/`app-...`/UUID-ish
+    * and every stage token in this repo is a fixed identifier, so a
+    * data DIR containing '@' still brackets correctly (its own '@'s
+    * fall strictly between the first and last). */
   def keyCoversPath(key: String, path: String): Boolean = {
     val first = key.indexOf('@')
     val last = key.lastIndexOf('@')
@@ -106,7 +113,9 @@ object Tables {
     * rewritten (invalidating embeddings.parquet used to evict Dedup's
     * documents-derived candidate frames). Stale iff the invalidated path
     * is the whole dir, or it touches one of the consumed tables (the
-    * table file itself or anything under it — partitioned layouts). */
+    * table file itself or anything under it — partitioned layouts).
+    * Same '@'-parse contract as [[keyCoversPath]]: app id and stage
+    * token are '@'-free, so a dir containing '@' still splits right. */
   def keyCoversTables(key: String, path: String,
       tables: Seq[String]): Boolean = {
     val first = key.indexOf('@')

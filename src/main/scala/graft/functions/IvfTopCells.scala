@@ -34,10 +34,14 @@ import org.apache.spark.sql.types._
   *
   * Null contract: null result if either input is null, any centroid
   * entry/field is null, or any dot nulls (element null / length
-  * mismatch — the DecimalDot contract). The fitted pipelines filter
-  * null embeddings up front, so this never fires in the declared
-  * queries; it exists so the kernel degrades like its declarative
-  * twin instead of throwing.
+  * mismatch — the DecimalDot contract). Note this whole-result-null
+  * convention is STRICTER than the declarative transform/array_sort
+  * form's (which would sort the null-scored struct and still emit
+  * cids) — the kernel follows DecimalDot's null discipline, not the
+  * HOF twin's. The fitted pipelines filter null embeddings up front,
+  * so the difference is unreachable in the declared queries; the
+  * contract exists so the kernel degrades predictably instead of
+  * throwing.
   */
 case class IvfTopCells(left: Expression, right: Expression, k: Int)
     extends BinaryExpression with ExpectsInputTypes {

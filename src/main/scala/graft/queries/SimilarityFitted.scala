@@ -109,7 +109,18 @@ object SimilarityFitted {
     * deployment switches to √n cells by changing ONLY the seed rule
     * (stride = n/√n), and SimilarityTextSpec witnesses the identical
     * machinery under that rule. The declared queries stay on the
-    * occupancy rule. */
+    * occupancy rule.
+    *
+    * Empty-cell convention (r12 ADVICE): cells EMPTIED by the Lloyd
+    * round are dropped — the mean groupBy ranges over assigned cells
+    * only — deliberately asymmetric to [[fittedPqBooks]]' keep-the-seed
+    * rule. A PQ code must stay addressable (codes index a dense ADC
+    * lookup table, so every slot needs an entry), while an IVF cell
+    * with zero members can only waste one of the nProbe probe slots on
+    * a guaranteed-empty scan — dropping it buys recall at equal probe
+    * budget. The DuckDB twin's `fitm` groups over assigned cells
+    * identically, so both engines see the same (possibly smaller)
+    * fitted cell count. */
   private[graft] def fitCentArrWithStride(ne: DataFrame,
       stride: Long): DataFrame = {
     val seeds = ne.filter(col("vec_id") % stride === 0)
@@ -249,17 +260,6 @@ object SimilarityFitted {
     }
   }
 
-  /** The ANN admission gate over an ARBITRARY arriving frame — the
-    * `dedup_embedding_incremental` body, factored so the streaming
-    * witness runs the identical logic per micro-batch (each arrival's
-    * verdict depends only on its own vector plus the standing corpus
-    * and its fitted index, so chunked scoring is bit-equal to one-shot
-    * scoring). `broadcastArrivals` (r11 ADVICE): the STREAMING caller
-    * sets it — a micro-batch is genuinely tiny next to the standing
-    * corpus — while the declared batch twin leaves the join strategy
-    * to AQE, because its arriving slice is sf-proportional and a
-    * forced broadcast of a fact-sized frame is exactly what the plan
-    * discipline bans. */
   /** Arriving-side broadcast ceiling for the admission gate. The r11
     * ADVICE correctly banned FORCING a broadcast of the declared batch
     * twin's sf-proportional arriving slice — but leaving the strategy
@@ -272,9 +272,33 @@ object SimilarityFitted {
     * ADVICE's suggested form): one count of the arriving frame decides
     * (the profileColumnsRouted statistics discipline); above the
     * ceiling the gate falls back to AQE's shuffle join, which is the
-    * only correct plan for a genuinely corpus-sized arrival. */
-  private[graft] val AnnBatchBroadcastMaxRows = 1000000L
+    * only correct plan for a genuinely corpus-sized arrival.
+    *
+    * The ceiling is sized in BYTES of what is actually broadcast (r12
+    * ADVICE): the frame shipped is the EXPLODED probe frame — each
+    * arriving row becomes [[FittedNProbe]] rows, each carrying the full
+    * 64-float embedding (~256 B) plus n2/ids/struct overhead
+    * ([[AnnProbeRowBytes]]) — so a raw-row-count gate understated the
+    * payload by ~2500× and a 1 M-row ceiling meant a ~2 GB broadcast.
+    * 64 MB of exploded probe rows ⇒ ~26 k arriving rows. */
+  private[graft] val AnnBatchBroadcastMaxBytes = 64L << 20
+  /** Estimated bytes per EXPLODED probe row: 64-float embedding 256 B +
+    * vn/n2a/pcell 24 B + UnsafeRow/array headers ~40 B. */
+  private[graft] val AnnProbeRowBytes = 320L
+  private[graft] def annBatchBroadcastMaxRows: Long =
+    AnnBatchBroadcastMaxBytes / (FittedNProbe * AnnProbeRowBytes)
 
+  /** The ANN admission gate over an ARBITRARY arriving frame — the
+    * `dedup_embedding_incremental` body, factored so the streaming
+    * witness runs the identical logic per micro-batch (each arrival's
+    * verdict depends only on its own vector plus the standing corpus
+    * and its fitted index, so chunked scoring is bit-equal to one-shot
+    * scoring). `broadcastArrivals` (r11 ADVICE): the STREAMING caller
+    * sets it — a micro-batch is genuinely tiny next to the standing
+    * corpus — while the declared batch twin leaves the join strategy
+    * to AQE, because its arriving slice is sf-proportional and a
+    * forced broadcast of a fact-sized frame is exactly what the plan
+    * discipline bans. */
   private[graft] def annAdmissionVerdicts(s: SparkSession, d: String,
       arrivingRaw: DataFrame,
       broadcastArrivals: Boolean): DataFrame = {
@@ -295,7 +319,7 @@ object SimilarityFitted {
     annAdmissionVerdicts(s, d, arrivingRaw,
       broadcastArrivals =
         arrivingRaw.filter(col("embedding").isNotNull).count() <=
-          AnnBatchBroadcastMaxRows)
+          annBatchBroadcastMaxRows)
 
   /** (vec_id, embedding, n2, cell) index rows of an arbitrary
     * embedding frame under the given fitted centroids — the shape the
