@@ -127,10 +127,18 @@ object ScaleAudit {
       "100-row covariance frame, the second power run joins the same " +
       "broadcast-scale frames — adding a component adds zero " +
       "corpus-sized shuffles"),
-    "sim_hard_negatives" -> ("candidate-bounded mining: label-blocked " +
-      "positives + IVF-probe-cell negatives into anchor-keyed windowed " +
-      "argmaxes — candidates are a class/cell fraction, never " +
-      "anchors x corpus"),
+    "sim_hard_negatives" -> ("candidate-bounded mining on the FITTED " +
+      "occupancy-scaled index (r13 — the fixed 8-cell gate retired): " +
+      "label-blocked positives + fitted-probe-cell negatives into " +
+      "anchor-keyed windowed argmaxes; negatives per anchor are " +
+      "nProbe x occupancy rows at any corpus size, plus the one-time " +
+      "input-linear Lloyd-fit partials shared with the dedup family"),
+    "knn_classify_ann" -> ("probe-bounded classification on the FITTED " +
+      "occupancy-scaled index (r13 — the fixed sign-LSH bucket gate " +
+      "retired): candidates per probe are KnnFittedNProbe x occupancy " +
+      "~512 rows at any corpus size; the vote is a probe-keyed window " +
+      "+ count agg over that bounded frame, plus the shared one-time " +
+      "fit partials"),
     "mix_importance_weights" -> ("model-bounded fit + input-linear " +
       "scoring: one conditional-aggregate corpus pass into 1024 " +
       "bucket partials, a broadcast lambda table, then a (doc)-keyed " +
@@ -139,14 +147,18 @@ object ScaleAudit {
       "candidate/component frames (label cardinality); the split gate " +
       "is a per-row map and the leak audit joins the edge list " +
       "(candidates << corpus) against it twice"),
-    "sim_bitext_mine" -> ("cell-blocked cross-side candidates (a " +
-      "probe fraction of |A|x|B|, never the cross product); margins " +
-      "and both best-picks are windows over the candidate-cardinality " +
-      "frame. At FIXED cell count the per-cell pair space grows " +
-      "quadratically in side size (the >10x second hop here) — a " +
-      "deployment raises IvfNumCells with the corpus (the documented " +
-      "ANN-params rule, ~sqrt(n) cells) keeping per-cell membership " +
-      "and the candidate fraction flat"),
+    "sim_bitext_mine" -> ("cross-side candidates gated by the FITTED " +
+      "occupancy-scaled union index (r13 — the last fixed-cell gate " +
+      "retired, r12 verdict item 1): candidates are |side| x nProbe x " +
+      "occupancy, input-LINEAR; margins and both best-picks are " +
+      "windows over that candidate-cardinality frame. NOTE the " +
+      "fixture hops sit in the gate's SMALL-n cap regime (sides of " +
+      "96-381 rows give 3-13 fitted cells, nProbe=8 covers most of " +
+      "them, candidates saturate at ~the full cross — the ratios here " +
+      "read near-quadratic for the same reason any index degenerates " +
+      "below ~nProbe x occupancy = 256 rows/side); the LINEAR-regime " +
+      "witness is ScaleSpec's synthetic 10-copy -> 100-copy hop, " +
+      "measured 14.1x at 10x rows"),
     "mix_temperature" -> ("domain-bounded: one lang-keyed count " +
       "aggregate (map-side partials) + a broadcast 1-row normalizer — " +
       "the whole model is |langs| rows"),

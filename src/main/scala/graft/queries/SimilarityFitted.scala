@@ -87,13 +87,19 @@ object SimilarityFitted {
     * the interpreted HOF path once per centroid per row, which
     * dominates at occupancy-scaled cell counts). Map-only — no join,
     * no shuffle. */
-  private def cellOfArr(emb: Column, cs: Column): Column =
+  private[queries] def cellOfArr(emb: Column, cs: Column): Column =
     element_at(graft.functions.IvfTopCells(emb, cs, 1), 1)
 
-  /** The [[FittedNProbe]] best fitted cells, best first:
-    * (dot DESC, cid ASC) — the same kernel at k = nProbe. */
-  private def probeCellsArr(emb: Column, cs: Column): Column =
-    graft.functions.IvfTopCells(emb, cs, FittedNProbe)
+  /** The `k` best fitted cells, best first: (dot DESC, cid ASC) — the
+    * same kernel at k = nProbe (defaults to [[FittedNProbe]]; the k-NN
+    * classifier widens it for vote-grade recall). Rows that need BOTH
+    * the probe list and the assignment should take `element_at(_, 1)`
+    * of this rather than also calling [[cellOfArr]] — the two kernel
+    * calls are not CSE'd, so that halves the per-row |cells|-dot
+    * assignment work. */
+  private[queries] def probeCellsArr(emb: Column, cs: Column,
+      k: Int = FittedNProbe): Column =
+    graft.functions.IvfTopCells(emb, cs, k)
 
   /** One Lloyd round over `ne` (vec_id, embedding): seed with the
     * stride-[[IvfOccupancy]] corpus vectors, assign every vector to its
@@ -191,6 +197,21 @@ object SimilarityFitted {
   private[graft] def fittedCsFull(s: SparkSession, d: String): DataFrame =
     memoAt(s, d, "fittedCsFull") {
       fitCentArr(nonNull(Tables.embeddings(s, d))
+        .select("vec_id", "embedding")).localCheckpoint(false)
+    }
+
+  /** Fitted centroid array over the BITEXT corpus (label ∈ {0, 1} —
+    * the two "language" sides): one shared occupancy-scaled cell space
+    * fitted on the UNION of the sides, so cross-side candidate gating
+    * is a plain cell equi-join. Fitting on the union (not per side) is
+    * the standard multilingual-miner layout — both sides' vectors live
+    * in one embedding space, and a shared quantizer is what makes a
+    * forward probe and a backward probe land in comparable cells. */
+  private[graft] def fittedCsBitext(
+      s: SparkSession, d: String): DataFrame =
+    memoAt(s, d, "fittedCsBitext") {
+      fitCentArr(nonNull(Tables.embeddings(s, d))
+        .filter(col("label").isin(0, 1))
         .select("vec_id", "embedding")).localCheckpoint(false)
     }
 
@@ -450,7 +471,7 @@ object SimilarityFitted {
     * farr (the one-row centroid array). `extra` is an additional WHERE
     * conjunct on the corpus (the standing filter). Emitted margin-free
     * so interpolation into stripMargin strings is safe. */
-  private def fittedCtes(extra: String): String = Seq(
+  private[queries] def fittedCtes(extra: String): String = Seq(
     s"nef AS (SELECT vec_id, embedding FROM embeddings " +
       s"WHERE embedding IS NOT NULL$extra)",
     s"sarr AS (SELECT list(struct_pack(cid := vec_id, cvec := embedding) " +
@@ -470,16 +491,18 @@ object SimilarityFitted {
   ).mkString(",\n")
 
   /** Fitted-cell assignment of `embExpr` (twin of [[cellOfArr]]). */
-  private def cellSqlOf(embExpr: String): String =
+  private[queries] def cellSqlOf(embExpr: String): String =
     s"-((list_max(list_transform((SELECT cs FROM farr), cc -> " +
       s"struct_pack(s := ${dotSql(embExpr, "cc.cvec")}, " +
       s"c := -cc.cid)))).c)"
 
-  /** Fitted probe list of `embExpr` (twin of [[probeCellsArr]]). */
-  private def pcellsSqlOf(embExpr: String): String =
+  /** Fitted probe list of `embExpr` (twin of [[probeCellsArr]] at the
+    * same `k`). */
+  private[queries] def pcellsSqlOf(embExpr: String,
+      k: Int = FittedNProbe): String =
     s"list_transform(list_sort(list_transform((SELECT cs FROM farr), " +
       s"cc -> struct_pack(s := -(${dotSql(embExpr, "cc.cvec")}), " +
-      s"c := cc.cid)))[1:$FittedNProbe], x -> x.c)"
+      s"c := cc.cid)))[1:$k], x -> x.c)"
 
   /** Shared candidate/verify CTE tail: af (corpus cells) + pe (probe
     * cells) + cand (normalized DISTINCT pairs) + sims (exact cosine

@@ -33,6 +33,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dedup_embedding_ann_keep", // same, + the single-row max-cluster cross
     "dedup_embedding_incremental", // broadcast single-row centroid array
     "sim_ann_ivf_fitted", // broadcast centroid-array row + 8-row probe frame
+    "sim_hard_negatives", // broadcast single-row fitted-centroid array
+    // (r13: the mining gate moved off the fixed constant-folded cells)
+    "knn_classify_ann", // broadcast centroid-array row + probe×pcell frame
     "sim_topk_pq_fitted", // broadcast refit-books row + query ADC table cross
     "sim_ann_ivfpq_fitted", // broadcast centroid-array + refit-books rows
     "tpch_q22", // broadcast single-row avg-acctbal scalar, non-equi compare

@@ -427,6 +427,39 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       f"text_span_scrub third hop grew $r3%.2fx — superlinear rewrite tail")
   }
 
+  /** Sign-flip-decorrelated embedding copies of the sf0.01 corpus:
+    * vec_id shifts by 1e9 per copy (divisible by 32, 20 and 10 — seed
+    * stride, probe sample and standing slice stay aligned); a per-copy
+    * deterministic diagonal ±1 flip preserves every WITHIN-copy cosine
+    * exactly (cos(Sx, Sy) = cos(x, y)) while decorrelating cross-copy
+    * pairs — weak scaling of the data's structure, not its dup count.
+    * Labels ride unchanged, so label-blocked subsets (the bitext
+    * sides) replicate n× too. */
+  private def annCopies(n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val e = spark.read.parquet(s"$small/embeddings.parquet")
+    (0 until n).map(i => e
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, d) -> x * CAST(CASE WHEN " +
+            s"((d + 1) * ${2 * i + 1} * 2654435761) % 97 % 2 = 0 " +
+            "THEN 1 ELSE -1 END AS FLOAT))")))
+      .reduce(_ union _)
+  }
+
+  /** The 1×/10× synthetic dirs of the ANN third-hop audits. */
+  private lazy val annSynthDirs: (String, String) = {
+    val d1 = Catalog.scratch(small, "synth1x_ann")
+    val d10 = Catalog.scratch(small, "synth10x_ann")
+    Catalog.once(spark, small, "synth_ann") {
+      annCopies(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d1/embeddings.parquet")
+      annCopies(10).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d10/embeddings.parquet")
+    }
+    (d1, d10)
+  }
+
   test("dedup_embedding_ann third hop: occupancy-scaled fitted cells " +
       "keep the ANN dedup gate input-linear at 10x vectors (the r11 " +
       "verdict's one superlinear fingerprint, enacted)") {
@@ -448,24 +481,7 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     // is the n x cells assignment work, which is quadratic across the
     // PAIR of points by design — the smaller base keeps the suite fast
     // while the 10x ratio pins the same linearity.
-    import org.apache.spark.sql.functions.{col, expr, lit}
-    val e = spark.read.parquet(s"$small/embeddings.parquet")
-    def copies(n: Int): org.apache.spark.sql.DataFrame =
-      (0 until n).map(i => e
-          .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
-          .withColumn("embedding", expr(
-            "transform(embedding, (x, d) -> x * CAST(CASE WHEN " +
-              s"((d + 1) * ${2 * i + 1} * 2654435761) % 97 % 2 = 0 " +
-              "THEN 1 ELSE -1 END AS FLOAT))")))
-        .reduce(_ union _)
-    val d1 = Catalog.scratch(small, "synth1x_ann")
-    val d10 = Catalog.scratch(small, "synth10x_ann")
-    Catalog.once(spark, small, "synth_ann") {
-      copies(1).coalesce(1)
-        .write.mode("overwrite").parquet(s"$d1/embeddings.parquet")
-      copies(10).coalesce(1)
-        .write.mode("overwrite").parquet(s"$d10/embeddings.parquet")
-    }
+    val (d1, d10) = annSynthDirs
     val b1 = bytes("dedup_embedding_ann", d1)
     val b10 = bytes("dedup_embedding_ann", d10)
     val r3 = b10.toDouble / b1
@@ -502,5 +518,36 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(perEdge < 3.0,
       f"dedup_embedding_ann_keep marginal stages grew $perEdge%.2fx " +
         "per edge at 10x rows — the closure is super-edge-linear")
+  }
+
+  test("sim_bitext_mine third hop: the fitted union-side index keeps " +
+      "cross-side candidates input-linear at 10x vectors (r12 verdict " +
+      "item 1 — the registry's last fixed-cell gate, re-platformed)") {
+    // The BASE must sit in the gate's LINEAR regime: below ~nProbe ×
+    // occupancy = 256 rows/side, 8 probed cells cover most of the
+    // (tiny) fitted cell set and candidates saturate at the full cross
+    // — which is why the fixture hops (96 → 381 bitext rows) cannot
+    // witness linearity and SCALING.md's row carries the cap-regime
+    // note. So the hop here is 10-copy → 100-copy sf0.01 (≈ 480 →
+    // 4800 rows/side, 50 → 500 fitted cells): at both points the probe
+    // fraction is the binding constraint and candidates are
+    // |side| × nProbe × occupancy — the ratio pins the TOTAL shuffle
+    // (fit partials + candidate distinct + cosine re-joins + the four
+    // margin windows) input-linear. The old fixed 8-cell gate measured
+    // ~quadratic here (its per-cell membership grows with the side).
+    val (_, d10) = annSynthDirs
+    val d100 = Catalog.scratch(small, "synth100x_ann")
+    Catalog.once(spark, small, "synth100x_ann") {
+      annCopies(100).coalesce(4)
+        .write.mode("overwrite").parquet(s"$d100/embeddings.parquet")
+    }
+    val b1 = bytes("sim_bitext_mine", d10)
+    val b10 = bytes("sim_bitext_mine", d100)
+    val r3 = b10.toDouble / b1
+    info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"sim_bitext_mine third hop grew $r3%.2fx — the fitted " +
+        "union-side gate no longer holds cross-side candidates linear")
   }
 }
