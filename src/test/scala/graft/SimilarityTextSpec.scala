@@ -440,6 +440,46 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
         f"fraction $fraction%.3f — the index adds nothing")
   }
 
+  test("fitCentArrRouted: the regime choice is statistics-driven and " +
+    "switches in BOTH directions around the row ceiling (r12 verdict " +
+    "item 2)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityFitted
+    // the pure rule first: occupancy stride at/below the ceiling, √n
+    // stride above it, from both sides of the boundary
+    val c = SimilarityFitted.AnnOccupancyRegimeMaxRows
+    assert(SimilarityFitted.fittedStrideFor(c) ===
+      SimilarityFitted.IvfOccupancy.toLong)
+    assert(SimilarityFitted.fittedStrideFor(c + 1) ===
+      math.round(math.sqrt((c + 1).toDouble)))
+    assert(SimilarityFitted.fittedStrideFor(4L * c) ===
+      math.round(math.sqrt((4L * c).toDouble)))
+    // then the routed FIT itself on real data, ceiling pinched to the
+    // fixture so both regimes actually execute: below the ceiling the
+    // routed index IS the occupancy index (same cell count as stride
+    // 32); above it the routed index is the √n index
+    val ne = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding")
+    val n = ne.count()
+    def cellsOf(cs: org.apache.spark.sql.DataFrame): Int =
+      cs.select(size(col("cs"))).head.getInt(0)
+    val occ = cellsOf(SimilarityFitted.fitCentArrRouted(ne, ceiling = n))
+    val occRef = cellsOf(SimilarityFitted.fitCentArrWithStride(ne, 32))
+    assert(occ === occRef,
+      s"routed fit under the ceiling is not the occupancy index " +
+        s"($occ vs $occRef cells)")
+    val rt = cellsOf(SimilarityFitted.fitCentArrRouted(ne, ceiling = n - 1))
+    val rtRef = cellsOf(SimilarityFitted.fitCentArrWithStride(ne,
+      math.round(math.sqrt(n.toDouble))))
+    assert(rt === rtRef,
+      s"routed fit above the ceiling is not the √n index " +
+        s"($rt vs $rtRef cells)")
+    info(s"n=$n: routed cells $occ (occupancy regime) / $rt (√n regime)")
+    assert(occ > rt, "regimes indistinguishable at this fixture size — " +
+      "the switchover pin is vacuous")
+  }
+
   test("text_nb_classify: the in-engine-trained Naive Bayes beats the " +
     "fixed text_lang_id heuristic on held-out docs at sf0.1") {
     // The learned-vs-fixed comparison runs at sf0.1 (4000 train / 1000
