@@ -436,6 +436,10 @@ object SimilarityFitted {
   // at-least-once delivery becomes an exactly-once index.
   // StreamingSpec witnesses two consecutive micro-batches with a crash
   // injection: batch 2's verdicts MUST see batch 1's admissions.
+  // Long-horizon maintenance rides the EPOCH machinery below (r12
+  // items 4–5): ledger-committed compaction keeps the read path at
+  // O(1) dirs, and the occupancy-drift refit re-fits + reassigns the
+  // quantizer exactly once — both crash-witnessed in StreamingSpec.
   // ---------------------------------------------------------------
 
   private val indexSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -445,12 +449,153 @@ object SimilarityFitted {
     org.apache.spark.sql.types.StructField("n2", DoubleType),
     org.apache.spark.sql.types.StructField("cell", LongType)))
 
+  private def fsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+
+  private def pathExists(s: SparkSession, path: String): Boolean =
+    fsOf(s, path).exists(new org.apache.hadoop.fs.Path(path))
+
   private def ledgerHas(s: SparkSession, ledger: String,
-      batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(ledger)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.exists(p) && s.read.parquet(ledger)
+      batchId: Long): Boolean =
+    pathExists(s, ledger) && s.read.parquet(ledger)
       .filter(col("batch_id") === batchId).head(1).nonEmpty
+
+  private def committedBatchIds(s: SparkSession,
+      ledger: String): Array[Long] =
+    if (!pathExists(s, ledger)) Array.empty[Long]
+    else s.read.parquet(ledger)
+      .select("batch_id").collect().map(_.getLong(0)).distinct.sorted
+
+  // ---- index EPOCHS (r12 verdict items 4–5): compaction and refit ----
+  // An epoch is one ledger-committed snapshot dir pair under
+  // `$indexDir/e<id>/`: `base` (the full reassigned/compacted index
+  // frame) + `cents` (the 1-row centroid array the epoch's cells were
+  // assigned under — persisted WITH the snapshot so the index and its
+  // quantizer can never drift apart across a crash). The epoch ledger
+  // (`$ledger-epoch`, rows (epoch_id, upto_batch)) is append-only; ONE
+  // row written LAST is the commit point covering both dirs, exactly
+  // like the batch ledger. Readers resolve max(epoch_id) and union the
+  // epoch base with only the batch dirs committed AFTER upto_batch —
+  // O(1) dirs after compaction instead of one per ingest batch.
+  // Crash anywhere before the epoch row: both dirs are torn and
+  // invisible (the batch dirs still serve), and a re-run overwrites
+  // the same epoch id deterministically. Crash after the row, before
+  // retirement: superseded dirs are dead weight the read path already
+  // ignores (filtered by id > upto_batch); the next advance retires
+  // them. Duplicate epoch rows from an append replay are harmless —
+  // resolution takes the max id.
+
+  private def epochLedgerOf(ledger: String) = s"$ledger-epoch"
+
+  /** Newest committed (epoch_id, upto_batch), if any epoch committed. */
+  private[graft] def committedEpoch(s: SparkSession,
+      ledger: String): Option[(Long, Long)] = {
+    val el = epochLedgerOf(ledger)
+    if (!pathExists(s, el)) None
+    else s.read.parquet(el)
+      .orderBy(col("epoch_id").desc).head(1).headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  /** The committed INDEX view — epoch base (if one committed) unioned
+    * with the batch dirs committed after it; pre-epoch reads union all
+    * committed batch dirs (the r12 behavior). */
+  private[graft] def annIndexView(s: SparkSession, indexDir: String,
+      ledger: String): DataFrame = {
+    val ids = committedBatchIds(s, ledger)
+    val dirs = (committedEpoch(s, ledger) match {
+      case Some((e, upto)) =>
+        s"$indexDir/e$e/base" +:
+          ids.filter(_ > upto).map(id => s"$indexDir/b$id").toSeq
+      case None => ids.map(id => s"$indexDir/b$id").toSeq
+    }).filter(pathExists(s, _))
+    if (dirs.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+    else s.read.schema(indexSchema).parquet(dirs: _*)
+  }
+
+  /** The index's CURRENT quantizer: the committed epoch's persisted
+    * centroid array, or (pre-epoch) the bootstrap standing fit. */
+  private[graft] def annIndexCents(s: SparkSession, d: String,
+      indexDir: String, ledger: String): DataFrame =
+    committedEpoch(s, ledger) match {
+      case Some((e, _)) => s.read.parquet(s"$indexDir/e$e/cents")
+      case None => fittedCsStanding(s, d)
+    }
+
+  /** Epoch dir writes WITHOUT the commit row — exposed so StreamingSpec
+    * can stage the crash window. `refit` = fit FRESH centroids on the
+    * current committed rows (occupancy stride over the index — the
+    * drift repair) and reassign every row under them; otherwise the
+    * epoch keeps the current quantizer and only compacts. */
+  private[graft] def annIndexEpochVersion(s: SparkSession, d: String,
+      indexDir: String, ledger: String, epochId: Long,
+      refit: Boolean): Unit = {
+    val view = annIndexView(s, indexDir, ledger)
+      .localCheckpoint(true) // one committed view feeds cents + base
+    val cents0 =
+      if (refit) fitCentArr(view.select("vec_id", "embedding"))
+      else annIndexCents(s, d, indexDir, ledger)
+    cents0.write.mode("overwrite").parquet(s"$indexDir/e$epochId/cents")
+    // read the PERSISTED quantizer back for the reassignment so the
+    // epoch's base can never disagree with its cents dir
+    val cents = s.read.parquet(s"$indexDir/e$epochId/cents")
+    val base =
+      if (refit) indexFrameOf(view.select("vec_id", "embedding"), cents)
+      else view
+    base.write.mode("overwrite").parquet(s"$indexDir/e$epochId/base")
+  }
+
+  /** Advance the maintained index one epoch — compaction (refit=false)
+    * or refit+compaction (refit=true) — exactly once, then retire the
+    * superseded dirs. Returns the committed epoch id, or None when
+    * there is nothing to do (no committed batches, or an epoch already
+    * covers the newest batch and no refit was asked). */
+  private[graft] def annIndexAdvanceEpoch(s: SparkSession, d: String,
+      indexDir: String, ledger: String, refit: Boolean): Option[Long] = {
+    val ids = committedBatchIds(s, ledger)
+    if (ids.isEmpty) return None
+    val upto = ids.max
+    val prev = committedEpoch(s, ledger)
+    if (!refit && prev.exists(_._2 == upto)) return None
+    val eid = prev.map(_._1 + 1).getOrElse(0L)
+    annIndexEpochVersion(s, d, indexDir, ledger, eid, refit)
+    import s.implicits._
+    Seq((eid, upto)).toDF("epoch_id", "upto_batch")
+      .write.mode("append").parquet(epochLedgerOf(ledger))
+    // retirement (post-commit, idempotent): covered batch dirs and
+    // superseded epoch dirs are invisible to the read path already
+    val fs = fsOf(s, indexDir)
+    ids.filter(_ <= upto).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/b$id"), true)
+    }
+    prev.foreach { case (e, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/e$e"), true)
+    }
+    Some(eid)
+  }
+
+  /** The refit TRIGGER as code (the fitCentArrRouted / profileColumns-
+    * Routed statistics discipline): one count of the committed index
+    * against its current cell count decides. Admissions accumulate
+    * under a quantizer fitted at bootstrap, so mean occupancy drifts
+    * above the [[IvfOccupancy]] target and the per-probe candidate
+    * bound (nProbe × occupancy) loosens with it; past `factor`× target
+    * the epoch advance refits centroids ON the index rows (cells back
+    * to ~n/32, occupancy back to ~32) and reassigns under the new
+    * quantizer, exactly once. Returns whether a refit epoch committed. */
+  private[graft] def annIndexMaybeRefit(s: SparkSession, d: String,
+      indexDir: String, ledger: String, factor: Double = 2.0): Boolean = {
+    val n = annIndexView(s, indexDir, ledger).count()
+    if (n == 0) return false
+    val cells = annIndexCents(s, d, indexDir, ledger)
+      .select(size(col("cs"))).head.getInt(0)
+    val drifted = n.toDouble > factor * IvfOccupancy * cells
+    if (drifted)
+      annIndexAdvanceEpoch(s, d, indexDir, ledger, refit = true).nonEmpty
+    else false
   }
 
   /** Bootstrap the persisted index from the standing corpus: its
@@ -480,9 +625,12 @@ object SimilarityFitted {
       batch: DataFrame, batchId: Long, indexDir: String,
       verdictDir: String, ledger: String): Unit = {
     if (ledgerHas(s, ledger, batchId)) return
-    val fcs = fittedCsStanding(s, d)
-    val index = graft.streaming.Streaming
-      .gatedSplitRead(s, indexDir, ledger, indexSchema)
+    // epoch-aware quantizer + view (r12 items 4–5): after a refit
+    // epoch, verdicts probe and admissions assign under the NEW
+    // persisted centroids; after a compaction the view unions O(1)
+    // dirs instead of one per committed batch
+    val fcs = annIndexCents(s, d, indexDir, ledger)
+    val index = annIndexView(s, indexDir, ledger)
       .select(col("vec_id").as("vo"), col("embedding").as("emb2"),
         col("n2").as("n2b"), col("cell"))
     val verdicts =

@@ -1274,4 +1274,110 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(idxIds.contains(nonDupId), "admission missing from the index")
     assert(!idxIds.contains(cloneId), "rejected dup leaked into the index")
   }
+
+  test("maintained ANN index epochs: ledger-committed compaction (read " +
+    "path back to O(1) dirs, crash-safe across the boundary) and the " +
+    "occupancy-drift refit, verdicts straddling both (r12 items 4-5)") {
+    import spark.implicits._
+    import graft.queries.SimilarityFitted
+    val d = sf
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_annepoch").toString
+    val (idx, verd, ledger) =
+      (s"$base/index", s"$base/verdicts", s"$base/ledger")
+    SimilarityFitted.annIndexBootstrap(spark, d, idx, ledger)
+    // batch 10 admits a non-dup arrival (the existing witness's setup)
+    val twin = SparkEntry.queries("dedup_embedding_incremental")(spark, d)
+      .collect()
+    val nonDupId = twin.filter(!_.getBoolean(3)).map(_.getLong(0)).min
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") === nonDupId)
+      .select("embedding").head.getSeq[Float](0)
+    SimilarityFitted.annIndexBatch(spark, d,
+      Seq(ArrVec(nonDupId, emb)).toDF(), 10L, idx, verd, ledger)
+    val preIds = SimilarityFitted.annIndexView(spark, idx, ledger)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(preIds.contains(nonDupId))
+    def fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirExists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    // CRASH WINDOW: epoch dirs staged, commit row missed — readers must
+    // keep serving the uncompacted union, bit-identically
+    SimilarityFitted.annIndexEpochVersion(spark, d, idx, ledger, 0L,
+      refit = false)
+    assert(SimilarityFitted.committedEpoch(spark, ledger).isEmpty,
+      "torn epoch dirs became visible without the commit row")
+    assert(SimilarityFitted.annIndexView(spark, idx, ledger)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == preIds,
+      "the crash-window read drifted from the committed view")
+    // re-run completes the compaction exactly once
+    assert(SimilarityFitted.annIndexAdvanceEpoch(spark, d, idx, ledger,
+      refit = false).contains(0L))
+    assert(SimilarityFitted.committedEpoch(spark, ledger)
+      .contains((0L, 10L)))
+    // read path is O(1) dirs: the covered batch dirs are retired, the
+    // epoch base alone carries the index
+    assert(!dirExists(s"$idx/b-1") && !dirExists(s"$idx/b10"),
+      "compaction did not retire the covered batch dirs")
+    assert(dirExists(s"$idx/e0/base") && dirExists(s"$idx/e0/cents"))
+    val postIds = SimilarityFitted.annIndexView(spark, idx, ledger)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(postIds == preIds,
+      "compaction changed the committed index content")
+    // a batch AFTER the compaction still sees the pre-compaction
+    // admission (the cross-boundary exactly-once proof): its clone is
+    // flagged dup against exactly that admission
+    val clone1 = 910000000L
+    SimilarityFitted.annIndexBatch(spark, d,
+      Seq(ArrVec(clone1, emb)).toDF(), 11L, idx, verd, ledger)
+    val v1 = spark.read.parquet(s"$verd/b11").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(v1(clone1) == ((1L, nonDupId, true)),
+      s"post-compaction batch lost the pre-compaction admission: $v1")
+    // REFIT trigger, both directions (the statistics rule): at the
+    // bootstrap quantizer occupancy sits ~on target, so the 2x default
+    // must NOT fire; a pinched factor must fire and commit epoch 1
+    assert(!SimilarityFitted.annIndexMaybeRefit(spark, d, idx, ledger),
+      "refit fired with occupancy on target — the trigger is broken")
+    assert(SimilarityFitted.committedEpoch(spark, ledger)
+      .contains((0L, 10L)))
+    assert(SimilarityFitted.annIndexMaybeRefit(spark, d, idx, ledger,
+      factor = 0.05), "pinched-factor refit did not fire")
+    assert(SimilarityFitted.committedEpoch(spark, ledger)
+      .contains((1L, 11L)))
+    assert(!dirExists(s"$idx/e0") && !dirExists(s"$idx/b11"),
+      "refit epoch did not retire the superseded dirs")
+    // occupancy is pinned back to ~the IvfOccupancy target: cells were
+    // re-seeded on the INDEX rows (stride 32), so n/cells ∈ [16, 64]
+    val n = SimilarityFitted.annIndexView(spark, idx, ledger).count()
+    val cells = SimilarityFitted.annIndexCents(spark, d, idx, ledger)
+      .select(org.apache.spark.sql.functions.size(col("cs")))
+      .head.getInt(0)
+    val occ = n.toDouble / cells
+    info(f"post-refit: n=$n cells=$cells mean occupancy $occ%.1f")
+    assert(occ >= 16 && occ <= 64,
+      f"post-refit occupancy $occ%.1f is off the ~32 target")
+    // the reassigned base agrees with the persisted quantizer: every
+    // cell id is one of the epoch's centroid ids
+    val cids = SimilarityFitted.annIndexCents(spark, d, idx, ledger)
+      .select(explode(col("cs.cid")).as("cid"))
+      .collect().map(_.getLong(0)).toSet
+    val badCells = SimilarityFitted.annIndexView(spark, idx, ledger)
+      .select("cell").distinct().collect().map(_.getLong(0))
+      .filterNot(cids)
+    assert(badCells.isEmpty,
+      s"index cells not in the epoch quantizer: ${badCells.take(5)}")
+    // verdicts STRADDLE the refit: a fresh clone after the refit still
+    // matches the (re-assigned) admission, exactly once
+    val clone2 = 920000000L
+    SimilarityFitted.annIndexBatch(spark, d,
+      Seq(ArrVec(clone2, emb)).toDF(), 12L, idx, verd, ledger)
+    val v2 = spark.read.parquet(s"$verd/b12").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(v2(clone2) == ((1L, nonDupId, true)),
+      s"post-refit batch lost the admission under the new quantizer: $v2")
+  }
 }
