@@ -440,6 +440,47 @@ class SimilarityTextSpec extends AnyFunSuite with SparkSuite {
         f"fraction $fraction%.3f — the index adds nothing")
   }
 
+  test("declared fitted-index retrieval holds recall on a CLUSTERED " +
+    "corpus: the sim_ann_ivf_fitted / sim_ann_ivfpq_fitted bodies over " +
+    "the clustered synth (r12 item 6 — the recall claim attaches to " +
+    "the DECLARED path, not just the fit machinery)") {
+    import graft.queries.{Similarity, SimilarityFitted}
+    import org.apache.spark.sql.functions._
+    val synth = clusteredEmbDir()
+    // the declared entries themselves first (their fixed qid = 0)
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val exact0 = topIds(Similarity.bruteTopK(spark, synth, 0, 10))
+    val ivf0 = topIds(
+      SparkEntry.queries("sim_ann_ivf_fitted")(spark, synth))
+    val ivfpq0 = topIds(
+      SparkEntry.queries("sim_ann_ivfpq_fitted")(spark, synth))
+    assert((exact0 intersect ivf0).size >= 9,
+      s"declared sim_ann_ivf_fitted recalls ${(exact0 intersect ivf0).size}" +
+        "/10 on clustered data")
+    // the same declared machinery across 20 probes (the decl bodies
+    // call exactly these functions with a literal qid)
+    val ne = spark.read.parquet(s"$synth/embeddings.parquet")
+      .filter(col("embedding").isNotNull).select("vec_id", "embedding")
+    val cs = SimilarityFitted.fittedCsFull(spark, synth)
+    def recallOf(top: Long => org.apache.spark.sql.DataFrame): Double =
+      (0L until 20L).map { qid =>
+        val exact = topIds(Similarity.bruteTopK(spark, synth, qid, 10))
+        (exact intersect topIds(top(qid))).size / 10.0
+      }.sum / 20.0
+    val ivf = recallOf(qid =>
+      SimilarityFitted.fittedTopKWith(ne, cs, qid, 10))
+    val ivfpq = recallOf(qid =>
+      SimilarityFitted.fittedIvfPqTopK(spark, synth, qid, 100, 10))
+    info(f"clustered recall@10 over 20 probes: fitted IVF $ivf%.3f, " +
+      f"fully-fitted IVFADC $ivfpq%.3f " +
+      f"(ivfpq@qid0: ${(exact0 intersect ivfpq0).size}/10)")
+    assert(ivf >= 0.9, f"fitted-IVF clustered recall $ivf%.3f < 0.9 — " +
+      "the occupancy-scaled cells no longer capture cluster structure")
+    assert(ivfpq >= 0.6,
+      f"fully-fitted IVFADC clustered recall $ivfpq%.3f < 0.6")
+  }
+
   test("fitCentArrRouted: the regime choice is statistics-driven and " +
     "switches in BOTH directions around the row ceiling (r12 verdict " +
     "item 2)") {
