@@ -535,8 +535,11 @@ object SimilarityFitted {
       refit: Boolean): Unit = {
     val view = annIndexView(s, indexDir, ledger)
       .localCheckpoint(true) // one committed view feeds cents + base
+    // a refit routes through the statistics-driven regime rule: an
+    // index grown past AnnOccupancyRegimeMaxRows re-fits at √n cells
+    // instead of n/32 (the fitCentArrRouted contract)
     val cents0 =
-      if (refit) fitCentArr(view.select("vec_id", "embedding"))
+      if (refit) fitCentArrRouted(view.select("vec_id", "embedding"))
       else annIndexCents(s, d, indexDir, ledger)
     cents0.write.mode("overwrite").parquet(s"$indexDir/e$epochId/cents")
     // read the PERSISTED quantizer back for the reassignment so the
