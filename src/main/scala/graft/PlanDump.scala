@@ -71,8 +71,10 @@ object PlanDump {
       "partials — no Expand; the shuffle is output-bounded"),
     "agg_mad_approx" -> ("two bounded-state percentile-sketch " +
       "aggregates, broadcast med join — no window sort anywhere"),
-    "knn_classify_ann" -> ("multi-probe bucket equi-join feeds the " +
-      "vote; per-probe candidates, never the corpus cross"),
+    "knn_classify_ann" -> ("fitted-cell equi-join feeds the vote " +
+      "(r13: KnnFittedNProbe=16 probed cells of the occupancy-scaled " +
+      "index, ~512 candidates per probe at any corpus size) — never " +
+      "the corpus cross"),
     "dq_expectations" -> ("five expectations in ONE conditional " +
       "aggregate over one scan + a hint-free anti-join FK check"),
     "dq_psi" -> ("one scan + one bucket groupBy; midpoint and side " +
@@ -123,10 +125,12 @@ object PlanDump {
       "broadcast into a (doc)-keyed score agg; Gumbel-top-k resample " +
       "is a TakeOrderedAndProject"),
     "sim_hard_negatives" -> ("label-blocked positive join + " +
-      "probe-cell negative join, each into an anchor-partitioned " +
-      "row_number argmax — candidates bounded by class/cell size"),
-    "sim_bitext_mine" -> ("cross-side candidates from two cell " +
-      "equi-joins (probe fraction of |A|×|B|); checkpointed cosine " +
+      "FITTED-probe-cell negative join (r13: the shared occupancy-" +
+      "scaled index), each into an anchor-partitioned row_number " +
+      "argmax — negatives bounded at nProbe × occupancy per anchor"),
+    "sim_bitext_mine" -> ("cross-side candidates from two FITTED-cell " +
+      "equi-joins on the union-side occupancy-scaled index (r13 — " +
+      "|side| × nProbe × occupancy, input-linear); checkpointed cosine " +
       "frame feeds both k-NN denominators and both best-pick windows"),
     "multimodal_audio_decode" -> ("real javax.sound WAV round-trip " +
       "inside mapPartitions; the payload dies at the decode, only the " +

@@ -130,9 +130,16 @@ object ScaleAudit {
     "sim_hard_negatives" -> ("candidate-bounded mining on the FITTED " +
       "occupancy-scaled index (r13 — the fixed 8-cell gate retired): " +
       "label-blocked positives + fitted-probe-cell negatives into " +
-      "anchor-keyed windowed argmaxes; negatives per anchor are " +
-      "nProbe x occupancy rows at any corpus size, plus the one-time " +
-      "input-linear Lloyd-fit partials shared with the dedup family"),
+      "anchor-keyed struct-max argmax AGGREGATES (map-side partials; " +
+      "a row_number window would ship every candidate pair). The " +
+      "shuffled payload is the corpus side of the two joins (input-" +
+      "linear) + anchor-bounded partials + the shared one-time fit. " +
+      "NOTE the r2 hop here reads ~17x from a JOIN-PLAN SWITCH, not a " +
+      "scaling law: at sf0.01 the planner broadcasts the join legs " +
+      "(near-zero shuffle writes), at sf0.1 the corpus side pays its " +
+      "input-linear shuffle — a near-zero base inflates any ratio. " +
+      "ScaleSpec's bounded-class third hop holds BOTH points in the " +
+      "shuffle regime and measures 11.1x at 10x rows"),
     "knn_classify_ann" -> ("probe-bounded classification on the FITTED " +
       "occupancy-scaled index (r13 — the fixed sign-LSH bucket gate " +
       "retired): candidates per probe are KnnFittedNProbe x occupancy " +
@@ -151,14 +158,14 @@ object ScaleAudit {
       "occupancy-scaled union index (r13 — the last fixed-cell gate " +
       "retired, r12 verdict item 1): candidates are |side| x nProbe x " +
       "occupancy, input-LINEAR; margins and both best-picks are " +
-      "windows over that candidate-cardinality frame. NOTE the " +
-      "fixture hops sit in the gate's SMALL-n cap regime (sides of " +
-      "96-381 rows give 3-13 fitted cells, nProbe=8 covers most of " +
-      "them, candidates saturate at ~the full cross — the ratios here " +
-      "read near-quadratic for the same reason any index degenerates " +
-      "below ~nProbe x occupancy = 256 rows/side); the LINEAR-regime " +
-      "witness is ScaleSpec's synthetic 10-copy -> 100-copy hop, " +
-      "measured 14.1x at 10x rows"),
+      "windows over that candidate-cardinality frame. The fixture " +
+      "hops sit in the gate's SMALL-n cap regime (sides of 96-381 " +
+      "rows give 3-13 fitted cells, nProbe=8 covers most of them, " +
+      "candidates saturate at ~the full cross below ~nProbe x " +
+      "occupancy = 256 rows/side) — yet the r2 hop already reads ~9x " +
+      "at 4x rows where the retired fixed 8-cell gate measured 13.5x; " +
+      "the LINEAR-regime witness is ScaleSpec's synthetic 10-copy -> " +
+      "100-copy hop, measured 14.1x at 10x rows"),
     "mix_temperature" -> ("domain-bounded: one lang-keyed count " +
       "aggregate (map-side partials) + a broadcast 1-row normalizer — " +
       "the whole model is |langs| rows"),

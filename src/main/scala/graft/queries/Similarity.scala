@@ -1320,8 +1320,15 @@ object Similarity {
     // pairs that move a model are ANN-MINED HARD negatives: the most
     // similar vector that is NOT the anchor's class). Per probe anchor:
     //   positive  = argmax-cosine SAME-label vector (label-blocked
-    //               join, the dedup_embedding candidate discipline —
-    //               O(n·class), never O(n²));
+    //               join — EXACT by contract, the spec pins positive
+    //               optimality; candidates are anchors × class, which
+    //               is linear in the real mining regime of bounded-
+    //               SIZE duplicate/paraphrase groups and quadratic on
+    //               this fixture's fixed 10-label corpus where class
+    //               ∝ n — the COMPUTE price of exactness. The SHUFFLE
+    //               is anchor-bounded either way: the argmax is an
+    //               associative struct-max aggregate with map-side
+    //               partials, not a window — see pick());
     //   hard neg  = argmax-cosine DIFFERENT-label vector among the
     //               anchor's probed FITTED cells (the occupancy-scaled
     //               index of SimilarityFitted, shared memo with the
@@ -1385,11 +1392,23 @@ object Similarity {
             .as("pcells"))
       val cand = e.select(col("vec_id"), col("label"),
         col("embedding"), col("cell"), col("n2"))
+      // Per-anchor argmax as an AGGREGATE, not a window (r13): a
+      // row_number window ships every candidate pair to its anchor's
+      // partition before ranking, so the shuffle was candidate-sized
+      // (and the exact label-blocked positive side's candidates are
+      // anchors × class — quadratic on this fixed-label fixture, the
+      // 17.5× SCALING hop). max over (sim, −vec_id) structs is
+      // associative, so map-side partials reduce the exchange to one
+      // row per (anchor, partition) — anchor-bounded bytes, identical
+      // values and tie rule (max sim, tie → min vec_id; sims are never
+      // NaN/−0.0 per the DecimalDot contract, so struct-max ordering
+      // equals the window's sort).
       def pick(df: DataFrame, simName: String, idName: String) =
-        df.withColumn("rn", row_number().over(Window.partitionBy("aid")
-            .orderBy(col(simName).desc, col("vec_id"))))
-          .filter(col("rn") === 1)
-          .select(col("aid"), col("vec_id").as(idName), col(simName))
+        df.groupBy("aid")
+          .agg(max(struct(col(simName), (-col("vec_id")).as("nv")))
+            .as("b"))
+          .select(col("aid"), (-col("b.nv")).as(idName),
+            col("b").getField(simName).as(simName))
       val pos = pick(
         anc.join(cand,
             col("label") === col("albl") && col("vec_id") =!= col("aid"))

@@ -550,4 +550,53 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       f"sim_bitext_mine third hop grew $r3%.2fx — the fitted " +
         "union-side gate no longer holds cross-side candidates linear")
   }
+
+  test("sim_hard_negatives third hop: bounded-class weak scaling (10x " +
+      "rows, 10x label VALUES, class size fixed) keeps the mining " +
+      "shuffle input-linear") {
+    // The fixture's 10 fixed labels make class size ∝ n, so the EXACT
+    // label-blocked positive argmax is inherently quadratic COMPUTE
+    // there (the disclosed contract price; the shuffle is still
+    // anchor-bounded via the struct-max aggregate). The real mining
+    // regime has bounded-SIZE duplicate/paraphrase groups — modeled
+    // here by shifting label VALUES per copy (labels stay disjoint
+    // across copies, class size stays fixture-sized while rows grow
+    // 10x). Sign flips decorrelate cross-copy geometry exactly as in
+    // annCopies; vec_id shifts keep the 1/20 anchor sample and the
+    // 1/32 seed stride aligned per copy. BOTH points are 4+ copies so
+    // they sit in the same JOIN-PLAN regime: at raw sf0.01 the planner
+    // broadcasts the join legs (near-zero shuffle writes), which made
+    // a 1-copy base read any bigger point as a fake superlinear hop
+    // (the same plan-switch artifact behind the fixture row's ratio —
+    // see the SCALING.md descriptor); from ~2000 rows up the corpus
+    // side pays its input-linear shuffle at every point and the ratio
+    // measures the actual law.
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val e = spark.read.parquet(s"$small/embeddings.parquet")
+    def copies(n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => e
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
+          .withColumn("label", col("label") + lit(i * 10))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, d) -> x * CAST(CASE WHEN " +
+              s"((d + 1) * ${2 * i + 1} * 2654435761) % 97 % 2 = 0 " +
+              "THEN 1 ELSE -1 END AS FLOAT))")))
+        .reduce(_ union _)
+    val d1 = Catalog.scratch(small, "synth4x_hn")
+    val d10 = Catalog.scratch(small, "synth40x_hn")
+    Catalog.once(spark, small, "synth_hn") {
+      copies(4).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d1/embeddings.parquet")
+      copies(40).coalesce(2)
+        .write.mode("overwrite").parquet(s"$d10/embeddings.parquet")
+    }
+    val b1 = bytes("sim_hard_negatives", d1)
+    val b10 = bytes("sim_hard_negatives", d10)
+    val r3 = b10.toDouble / b1
+    info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"sim_hard_negatives third hop grew $r3%.2fx — mining is no " +
+        "longer linear in the bounded-class regime")
+  }
 }
