@@ -169,7 +169,11 @@ object PlanDump {
       "never gram text"),
     "text_pii_scrub" -> ("pure per-row pass: plant, redact (two " +
       "regexp_replace), count, sha-256 — one map stage into the " +
-      "output sort, no other exchange"))
+      "output sort, no other exchange"),
+    "dq_embedding_drift" -> ("embedding-space PSI on the fitted " +
+      "quantizer: map-only cell assignment against the broadcast " +
+      "centroid array, one |cells|-row count groupBy, smoothing " +
+      "scalars ride broadcast single-row frames"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -782,6 +782,54 @@ object Dedup {
         .orderBy("split")
     },
 
+    // Dedup-AWARE training-mix weights — the sampling policy that
+    // follows from the published deduplication results (Lee et al.
+    // 2021, "Deduplicating Training Data Makes Language Models
+    // Better"): rather than dropping near-duplicates outright, weight
+    // every document by 1/|its near-dup cluster| so each distinct
+    // CONTENT contributes one unit of training mass no matter how many
+    // copies crawled in. Each cluster's weights sum to exactly 1 by
+    // construction, so the corpus' total sampling mass equals its
+    // unique-content count (DedupSpec pins both). Singletons —
+    // including null-text docs, which carry no shingles hence no
+    // edges — weight 1. Scale: rides the memoized component frame
+    // (label-cardinality propagation done once, shared with
+    // dedup_near_keep / dedup_cluster_rep / split_leakage_safe);
+    // sizes is one label-keyed count, and the join back to the
+    // assignment keys on the label — never corpus text.
+    Decl("mix_dedup_weights",
+      s"""WITH RECURSIVE $sqlNearDupCtes,
+         |edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.3),
+         |bidir AS (SELECT d1, d2 FROM edges
+         |          UNION SELECT d2, d1 FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT r.src, b.d2 FROM reach r JOIN bidir b ON r.dst = b.d1),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS label
+         |         FROM reach GROUP BY src),
+         |asg AS (SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS label
+         |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |sizes AS (SELECT label, COUNT(*) AS cluster_size
+         |          FROM asg GROUP BY label)
+         |SELECT a.doc_id, a.label, s.cluster_size,
+         |  CAST(1.0 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE) AS weight
+         |FROM asg a JOIN sizes s ON s.label = a.label
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val labels = nearDupComponentsFor(s, d)
+      val asg = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels.withColumnRenamed("doc_id", "vid"),
+          col("doc_id") === col("vid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("label"))
+      val sizes = asg.groupBy("label")
+        .agg(count(lit(1)).as("cluster_size"))
+      asg.join(sizes, "label")
+        .select(col("doc_id"), col("label"), col("cluster_size"),
+          (lit(1.0) / col("cluster_size").cast(DoubleType)).as("weight"))
+        .orderBy("doc_id")
+    },
+
     // Recency dedup — keep the NEWEST event per (user, hour): the
     // snapshot-compaction primitive (CDC upserts, profile updates,
     // "latest state wins" feeds). One shuffle on the composite key;

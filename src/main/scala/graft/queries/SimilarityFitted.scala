@@ -1158,6 +1158,84 @@ SELECT vec_id, approx, ${cosLSql("embedding", "qv")} AS sim
 FROM c ORDER BY sim DESC, vec_id LIMIT 10"""
     }) { (s, d) =>
       fittedIvfPqTopK(s, d, 0, 100, 10)
+    },
+
+    // EMBEDDING-SPACE drift monitor — the DQ face of the maintained
+    // index's occupancy-drift refit rule (annIndexMaybeRefit): the
+    // fitted quantizer turns the 64-dim space into |cells| discrete
+    // buckets, so distribution drift between the STANDING corpus (the
+    // reference the index was fitted on, vec_id % 10 ≠ 3) and the
+    // ARRIVING slice (vec_id % 10 = 3) is an ordinary per-bucket PSI —
+    // the dq_psi discipline applied where no scalar bucketing exists.
+    // One row per FITTED cell (cells emptied on BOTH sides still
+    // report — a cell going quiet IS drift), +1 Laplace smoothing over
+    // the fixed |cells| denominator so one-sided cells stay finite.
+    // Scale: assignment is map-only against the broadcast centroid
+    // array (the IvfTopCells kernel, fit shared via the
+    // fittedCsStanding memo with the admission gate); the groupBy
+    // carries one row per cell — output-bounded like every monitor.
+    // Determinism: counts are exact longs, p/q are integer-derived
+    // doubles, and the (p−q)·ln(p/q) term quantizes DECIMAL(20,9)
+    // with the VARCHAR hop (the dq_psi recipe), so both engines emit
+    // bit-identical psi9. Thresholding is the CONSUMER's job, and the
+    // textbook 0.1/0.25 bands do NOT transfer to this bucket count:
+    // with K = n/32 cells a 10 % slice has ~3 current rows per cell —
+    // a small-count regime where even in-distribution batches score
+    // several times the large-sample chi-square floor (K−1)·(1/n_cur
+    // + 1/n_ref). Alerts must therefore be NULL-CALIBRATED: score
+    // known-good batches, alert at a multiple of their level —
+    // EmbeddingDriftSpec pins exactly that rule (2.5× the null) on a
+    // clustered synthetic corpus.
+    Decl("dq_embedding_drift",
+      s"""WITH ${fittedCtes(" AND vec_id % 10 != 3")},
+alle AS (SELECT vec_id, embedding FROM embeddings
+         WHERE embedding IS NOT NULL),
+ac AS (SELECT vec_id, ${cellSqlOf("embedding")} AS cell FROM alle),
+g AS (SELECT cell,
+    SUM(CASE WHEN vec_id % 10 != 3 THEN 1 ELSE 0 END) AS n_ref,
+    SUM(CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END) AS n_cur
+  FROM ac GROUP BY cell),
+fullc AS (SELECT f.cid AS cell, COALESCE(g.n_ref, 0) AS n_ref,
+    COALESCE(g.n_cur, 0) AS n_cur
+  FROM fcent f LEFT JOIN g ON g.cell = f.cid),
+kk AS (SELECT COUNT(*) AS k FROM fcent),
+tot AS (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM fullc)
+SELECT cell, CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  CAST(CAST(CAST(
+    ((CAST(n_ref + 1 AS DOUBLE) / CAST(nr + k AS DOUBLE)) -
+     (CAST(n_cur + 1 AS DOUBLE) / CAST(nc + k AS DOUBLE))) *
+    ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nr + k AS DOUBLE)) /
+       (CAST(n_cur + 1 AS DOUBLE) / CAST(nc + k AS DOUBLE)))
+    AS VARCHAR) AS DECIMAL(20,9)) AS DOUBLE) AS psi9
+FROM fullc, kk, tot ORDER BY cell""") { (s, d) =>
+      val fcs = fittedCsStanding(s, d)
+      val assigned = nonNull(Tables.embeddings(s, d))
+        .crossJoin(broadcast(fcs))
+        .select(col("vec_id"),
+          cellOfArr(col("embedding"), col("cs")).as("cell"))
+      val g = assigned.groupBy("cell")
+        .agg(sum(when(col("vec_id") % 10 =!= 3, 1L).otherwise(0L))
+          .as("n_ref"),
+          sum(when(col("vec_id") % 10 === 3, 1L).otherwise(0L))
+            .as("n_cur"))
+      val cells = fcs.select(explode(col("cs")).as("e"))
+        .select(col("e.cid").as("cell"))
+      val fullc = cells.join(g, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val kk = broadcast(fcs.select(size(col("cs")).cast(LongType).as("k")))
+      val tot = broadcast(
+        fullc.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc")))
+      val p = (col("n_ref") + 1).cast(DoubleType) /
+        (col("nr") + col("k")).cast(DoubleType)
+      val q = (col("n_cur") + 1).cast(DoubleType) /
+        (col("nc") + col("k")).cast(DoubleType)
+      fullc.crossJoin(kk).crossJoin(tot)
+        .select(col("cell"), col("n_ref"), col("n_cur"),
+          ((p - q) * log(p / q)).cast(DecimalType(20, 9))
+            .cast(DoubleType).as("psi9"))
+        .orderBy("cell")
     }
   )
 }

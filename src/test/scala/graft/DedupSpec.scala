@@ -190,6 +190,33 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
         s"partition the $globalClusters global components")
   }
 
+  test("mix_dedup_weights conserves training mass: every cluster's " +
+      "weights sum to 1, the corpus total equals the unique-content " +
+      "count, and weights partition the corpus") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("mix_dedup_weights")(spark, d).collect()
+    assert(rows.length == Tables.documents(spark, d).count(),
+      "every document must get a weight")
+    // per-cluster mass: cs copies of 1/cs — exact up to float addition
+    rows.groupBy(_.getLong(1)).foreach { case (label, members) =>
+      val mass = members.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"cluster $label carries mass $mass, not 1")
+      assert(members.map(_.getLong(2)).distinct.length == 1 &&
+        members.head.getLong(2) == members.length,
+        s"cluster $label: cluster_size disagrees with its member count")
+    }
+    // total mass == number of distinct contents (the dedup-aware
+    // premise: a 1000-copy crawl artifact trains like one document)
+    val total = rows.map(_.getDouble(3)).sum
+    val uniq = rows.map(_.getLong(1)).distinct.length
+    assert(math.abs(total - uniq) < 1e-6,
+      s"total mass $total != $uniq unique contents")
+    // duplicates exist on this fixture, so the weighting is exercised
+    assert(rows.exists(_.getLong(2) > 1),
+      "fixture has no near-dup cluster — the op's premise is untestable")
+  }
+
   test("text_span_scrub: the rebuilt documents match an independent " +
       "reconstruction (sha-exact) and the drop counts equal " +
       "dedup_span's detection") {

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `dq_embedding_drift` — the DQ face of the maintained index's
+  * occupancy-drift refit rule: PSI over fitted-cell occupancy,
+  * standing corpus (the fit's reference) vs the arriving slice.
+  *
+  * Two claims are pinned here, neither reachable by the oracle gate:
+  *  - conservation: the monitor partitions BOTH sides exactly — one
+  *    row per fitted cell, side totals equal to the side counts, and
+  *    every PSI term non-negative ((p−q) and ln(p/q) share sign);
+  *  - detection: on a clustered synthetic corpus the statistic
+  *    separates in-distribution arrivals from arrivals drawn out of
+  *    an unseen cluster against a NULL-CALIBRATED alert level (the
+  *    production thresholding rule at this cell geometry), because
+  *    out-of-cluster arrivals pile into cells where the reference has
+  *    ~no mass.
+  */
+class EmbeddingDriftSpec extends AnyFunSuite with SparkSuite {
+
+  test("dq_embedding_drift conserves both sides: one row per fitted " +
+      "cell, side totals exact, every PSI term non-negative") {
+    val rows = SparkEntry.queries("dq_embedding_drift")(spark, sf)
+      .collect()
+    val ne = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+    val nRef = ne.filter(col("vec_id") % 10 =!= 3).count()
+    val nCur = ne.filter(col("vec_id") % 10 === 3).count()
+    val cells = graft.queries.SimilarityFitted
+      .fittedCsStanding(spark, sf)
+      .select(size(col("cs"))).head.getInt(0)
+    assert(rows.length == cells,
+      s"${rows.length} monitor rows != $cells fitted cells")
+    assert(rows.map(_.getLong(1)).sum == nRef,
+      "reference-side counts do not sum to the standing corpus size")
+    assert(rows.map(_.getLong(2)).sum == nCur,
+      "current-side counts do not sum to the arriving slice size")
+    rows.foreach { r =>
+      val psi = r.getDouble(3)
+      assert(!psi.isNaN && !psi.isInfinite && psi >= 0.0,
+        s"cell ${r.getLong(0)}: PSI term $psi outside [0, inf)")
+    }
+  }
+
+  /** Clustered corpus with a switchable arrival distribution: standing
+    * rows (vec_id % 10 != 3) always draw from centers 0–5; arrivals
+    * draw from the same centers (in-distribution, two independent
+    * seeds for null calibration) or all from the one center the
+    * standing corpus never visits (shifted). */
+  private def driftDir(tag: String, seed: Long, shifted: Boolean): String = {
+    import graft.queries.Similarity
+    val base = "/root/testdata/sf0.1"
+    val synth = Catalog.scratch(base, tag)
+    Catalog.once(spark, base, tag) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 2000).map { id =>
+        val arriving = id % 10 == 3
+        val center = if (arriving && shifted) 6 else id % 6
+        val c = Similarity.ivfCentroids(center)
+        (id.toLong, c.map(v => (v + rnd.nextGaussian() * 0.06).toFloat),
+          s"l${id % 4}")
+      }
+      import spark.implicits._
+      rows.toDF("vec_id", "embedding", "label").coalesce(1)
+        .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
+    }
+    synth
+  }
+
+  test("dq_embedding_drift detects distribution shift: arrivals from " +
+      "an unseen cluster clear 2.5x the null-calibrated PSI, and two " +
+      "independent in-distribution draws agree within 2x") {
+    // The textbook 0.1/0.25 PSI bands do NOT transfer here, and
+    // neither does the large-sample chi-square floor (K−1)·(1/n_cur +
+    // 1/n_ref): at occupancy-32 cells a 10 % arrival slice has ~3.2
+    // rows per cell, deep in the small-count regime where the
+    // smoothed (p−q)·ln(p/q) terms run several times the quadratic
+    // approximation (measured ~5x the floor on this corpus). The
+    // production rule is therefore NULL CALIBRATION — score known-good
+    // batches, alert at a multiple of their level — and that is the
+    // rule pinned: two independent in-distribution draws set the
+    // null, the out-of-cluster batch must clear 2.5x the worse one.
+    def totalPsi(dir: String): Double =
+      SparkEntry.queries("dq_embedding_drift")(spark, dir)
+        .agg(sum(col("psi9"))).head.getDouble(0)
+    val null1 = totalPsi(driftDir("drift_null1", 78L, shifted = false))
+    val null2 = totalPsi(driftDir("drift_null2", 79L, shifted = false))
+    val shift = totalPsi(driftDir("drift_shift", 77L, shifted = true))
+    info(f"total PSI: null draws $null1%.4f / $null2%.4f vs " +
+      f"shifted $shift%.4f")
+    val hi = math.max(null1, null2)
+    val lo = math.min(null1, null2)
+    assert(hi / lo < 2.0,
+      f"null draws disagree ${hi / lo}%.2fx — the statistic is too " +
+        "unstable to threshold at all")
+    assert(shift > 2.5 * hi,
+      f"out-of-cluster arrivals read $shift%.4f PSI vs a $hi%.4f " +
+        "null level — the monitor misses exactly the drift the refit " +
+        "rule repairs")
+  }
+}

@@ -65,7 +65,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "stream_curation", // same NB scalars + the broadcast mix normalizers
     "multimodal_pca_fit", // broadcast single-row iterate-norm scalar cross
     "dq_volume_anomaly", // broadcast single-row window-stats scalar cross
-    "dq_psi") // broadcast single-row midpoint + side-total scalar crosses
+    "dq_psi", // broadcast single-row midpoint + side-total scalar crosses
+    "dq_embedding_drift") // broadcast centroid-array row + the single-row
+    // |cells|/side-total smoothing scalars (the dq_psi scaffold on the
+    // fitted quantizer)
 
   private val maxShuffles = 6
 
