@@ -228,11 +228,11 @@ object ScaleAudit {
     "dq_embedding_drift" -> ("cell-bounded embedding-space monitor " +
       "(r13): assignment of every vector to its fitted cell is " +
       "map-only against the broadcast centroid array, so the data " +
-      "pass ships one (cell, side) count partial per cell — the " +
-      "monitor itself is output-bounded at |cells| = n/32 rows; the " +
-      "remaining exchange is the one-time shared Lloyd fit's " +
-      "input-linear 64-per-vector mean partials (the fittedCsStanding " +
-      "memo, identical to the admission gate's)"))
+      "pass ships one (cell, side) count partial per cell — " +
+      "|cells| = n/32 rows, a 1/32-constant input-linear shuffle of " +
+      "12-byte rows; the dominant exchange is the one-time shared " +
+      "Lloyd fit's input-linear 64-per-vector mean partials (the " +
+      "fittedCsStanding memo, identical to the admission gate's)"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);

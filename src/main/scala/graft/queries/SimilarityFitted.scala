@@ -1199,7 +1199,7 @@ fullc AS (SELECT f.cid AS cell, COALESCE(g.n_ref, 0) AS n_ref,
     COALESCE(g.n_cur, 0) AS n_cur
   FROM fcent f LEFT JOIN g ON g.cell = f.cid),
 kk AS (SELECT COUNT(*) AS k FROM fcent),
-tot AS (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM fullc)
+tot AS (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM g)
 SELECT cell, CAST(n_ref AS BIGINT) AS n_ref,
   CAST(n_cur AS BIGINT) AS n_cur,
   CAST(CAST(CAST(
@@ -1214,11 +1214,17 @@ FROM fullc, kk, tot ORDER BY cell""") { (s, d) =>
         .crossJoin(broadcast(fcs))
         .select(col("vec_id"),
           cellOfArr(col("embedding"), col("cs")).as("cell"))
+      // ONE corpus pass: the |cells|-row count frame is lineage-cut
+      // (the split_leakage_safe discipline) so the zero-filled output
+      // rows and the smoothing totals both read it instead of
+      // re-running the n × |cells| assignment; the totals come from g
+      // directly — zero-filled cells add nothing to either sum
       val g = assigned.groupBy("cell")
         .agg(sum(when(col("vec_id") % 10 =!= 3, 1L).otherwise(0L))
           .as("n_ref"),
           sum(when(col("vec_id") % 10 === 3, 1L).otherwise(0L))
             .as("n_cur"))
+        .localCheckpoint(false)
       val cells = fcs.select(explode(col("cs")).as("e"))
         .select(col("e.cid").as("cell"))
       val fullc = cells.join(g, Seq("cell"), "left")
@@ -1226,7 +1232,7 @@ FROM fullc, kk, tot ORDER BY cell""") { (s, d) =>
           coalesce(col("n_cur"), lit(0L)).as("n_cur"))
       val kk = broadcast(fcs.select(size(col("cs")).cast(LongType).as("k")))
       val tot = broadcast(
-        fullc.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc")))
+        g.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc")))
       val p = (col("n_ref") + 1).cast(DoubleType) /
         (col("nr") + col("k")).cast(DoubleType)
       val q = (col("n_cur") + 1).cast(DoubleType) /

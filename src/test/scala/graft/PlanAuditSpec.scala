@@ -100,7 +100,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // rejoin and the summary aggregates — every exchange past the
     // candidate join is candidate-/label-cardinality (the loop's
     // per-round exchanges are behind localCheckpoint lineage cuts)
-    "dedup_embedding_ann_keep" -> 9)
+    "dedup_embedding_ann_keep" -> 9,
+    // unmemoized end-to-end like ann_keep: the near-dup candidate +
+    // verify + component pipeline's exchanges, then the label-keyed
+    // cluster-size count, the label-cardinality rejoin and the output
+    // sort — nothing past the candidate join carries corpus text
+    "mix_dedup_weights" -> 9)
 
   /** The sf-proportional dimensions (customer/supplier/part) carry NO
     * broadcast hint — at 100 TB a forced broadcast OOMs every executor.
