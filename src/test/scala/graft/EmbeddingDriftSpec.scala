@@ -44,6 +44,30 @@ class EmbeddingDriftSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("the monitor's reference side IS the maintained index's " +
+      "persisted occupancy: per-cell n_ref equals the bootstrap " +
+      "assignment's cell counts") {
+    // dq_embedding_drift and annIndexBootstrap assign the standing
+    // corpus through the same fittedCsStanding quantizer, so the
+    // monitor's reference histogram must be EXACTLY the occupancy the
+    // maintained index persists at its ledger-committed bootstrap —
+    // the monitor is the refit rule's statistic, not a parallel
+    // approximation of it.
+    import graft.queries.SimilarityFitted
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_driftidx").toString
+    val (idx, ledger) = (s"$base/index", s"$base/ledger")
+    SimilarityFitted.annIndexBootstrap(spark, sf, idx, ledger)
+    val persisted = SimilarityFitted.annIndexView(spark, idx, ledger)
+      .groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val monitor = SparkEntry.queries("dq_embedding_drift")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(monitor.filter(_._2 > 0) == persisted,
+      "monitor n_ref histogram diverges from the persisted index " +
+        "occupancy — the two paths no longer share the quantizer")
+  }
+
   /** Clustered corpus with a switchable arrival distribution: standing
     * rows (vec_id % 10 != 3) always draw from centers 0–5; arrivals
     * draw from the same centers (in-distribution, two independent
