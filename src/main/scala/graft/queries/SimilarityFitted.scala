@@ -601,6 +601,50 @@ object SimilarityFitted {
     else false
   }
 
+  /** Epoch-aware drift PSI over the MAINTAINED index — the declared
+    * `dq_embedding_drift` body re-pointed at the committed view. The
+    * reference histogram is the index's PERSISTED per-cell occupancy
+    * (no re-assignment — the cells were written under the committed
+    * quantizer, and a refit epoch rewrote them under its new
+    * centroids), the arriving frame assigns through the same committed
+    * quantizer, and the PSI terms follow the identical smoothing and
+    * DECIMAL(20,9) quantization recipe. This is the MIX-drift alert a
+    * production ingest scores per batch (where arrivals land), the
+    * complement of [[annIndexMaybeRefit]]'s VOLUME trigger (how full
+    * cells get); EmbeddingDriftSpec witnesses the lifecycle closing:
+    * OOD arrivals admitted → monitor flags vs the null level → the
+    * refit epoch re-fits the quantizer on the drifted index → the
+    * same batch re-scores far lower. */
+  private[graft] def annIndexDriftPsi(s: SparkSession, d: String,
+      indexDir: String, ledger: String, arriving: DataFrame): DataFrame = {
+    val fcs = annIndexCents(s, d, indexDir, ledger)
+    val refC = annIndexView(s, indexDir, ledger)
+      .groupBy("cell").agg(count(lit(1)).as("n_ref"))
+    val curC = arriving.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(fcs))
+      .select(cellOfArr(col("embedding"), col("cs")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_cur"))
+    val cells = fcs.select(explode(col("cs")).as("e"))
+      .select(col("e.cid").as("cell"))
+    val fullc = cells.join(refC, Seq("cell"), "left")
+      .join(curC, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint(false)
+    val kk = broadcast(fcs.select(size(col("cs")).cast(LongType).as("k")))
+    val tot = broadcast(
+      fullc.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc")))
+    val p = (col("n_ref") + 1).cast(DoubleType) /
+      (col("nr") + col("k")).cast(DoubleType)
+    val q = (col("n_cur") + 1).cast(DoubleType) /
+      (col("nc") + col("k")).cast(DoubleType)
+    fullc.crossJoin(kk).crossJoin(tot)
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        ((p - q) * log(p / q)).cast(DecimalType(20, 9))
+          .cast(DoubleType).as("psi9"))
+      .orderBy("cell")
+  }
+
   /** Bootstrap the persisted index from the standing corpus: its
     * fitted cell assignment lands as the ledger-committed version −1.
     * Idempotent on the ledger check. */
