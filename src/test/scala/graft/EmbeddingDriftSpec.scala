@@ -7,10 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * occupancy-drift refit rule: PSI over fitted-cell occupancy,
   * standing corpus (the fit's reference) vs the arriving slice.
   *
-  * Two claims are pinned here, neither reachable by the oracle gate:
+  * Four claims are pinned here, none reachable by the oracle gate:
   *  - conservation: the monitor partitions BOTH sides exactly — one
   *    row per fitted cell, side totals equal to the side counts, and
   *    every PSI term non-negative ((p−q) and ln(p/q) share sign);
+  *  - coherence: the reference histogram EQUALS the maintained
+  *    index's persisted bootstrap occupancy (the monitor is the refit
+  *    rule's statistic, not a parallel approximation);
+  *  - lifecycle: admitted OOD drift is flagged by the epoch-aware
+  *    monitor, repaired by the refit epoch, and the repair is
+  *    confirmed by the same monitor;
   *  - detection: on a clustered synthetic corpus the statistic
   *    separates in-distribution arrivals from arrivals drawn out of
   *    an unseen cluster against a NULL-CALIBRATED alert level (the
