@@ -551,6 +551,28 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
         "union-side gate no longer holds cross-side candidates linear")
   }
 
+  test("dq_embedding_drift third hop: the monitor's shuffle stays " +
+      "input-linear at 10x vectors (fit partials dominate; the count " +
+      "partials are cell-bounded)") {
+    // Fresh synthetic dirs (the fittedCsStanding memo is per data dir,
+    // so each point measures fit + assignment + counts cold). The
+    // monitor's exchanges decompose as the one-time Lloyd-fit mean
+    // partials (64 per vector — input-linear, the dominant term) plus
+    // one 12-byte (cell, side-counts) partial per cell (n/32 rows).
+    // Neither term is super-linear, so the TOTAL must ride ~10x at
+    // 10x rows; the old fixed-cell gates had nothing like this
+    // monitor, so this is the new query's own scale fingerprint.
+    val (d1, d10) = annSynthDirs
+    val b1 = bytes("dq_embedding_drift", d1)
+    val b10 = bytes("dq_embedding_drift", d10)
+    val r3 = b10.toDouble / b1
+    info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
+    assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
+    assert(r3 < 20.0,
+      f"dq_embedding_drift third hop grew $r3%.2fx — the monitor's " +
+        "shuffle is no longer input-linear")
+  }
+
   test("sim_hard_negatives third hop: bounded-class weak scaling (10x " +
       "rows, 10x label VALUES, class size fixed) keeps the mining " +
       "shuffle input-linear") {
