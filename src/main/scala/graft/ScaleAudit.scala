@@ -230,7 +230,8 @@ object ScaleAudit {
       "map-only against the broadcast centroid array, so the data " +
       "pass ships one (cell, side) count partial per cell — " +
       "|cells| = n/32 rows, a 1/32-constant input-linear shuffle of " +
-      "12-byte rows; the dominant exchange is the one-time shared " +
+      "(cell, n_ref, n_cur) BIGINT triples (~24 payload bytes/row " +
+      "before encoding); the dominant exchange is the one-time shared " +
       "Lloyd fit's input-linear 64-per-vector mean partials (the " +
       "fittedCsStanding memo, identical to the admission gate's)"))
 

@@ -631,6 +631,22 @@ object SimilarityFitted {
       .select(col("cell"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
       .localCheckpoint(false)
+    // conservation fence (r13 ADVICE): the left join above silently
+    // drops any persisted index row whose cell id is absent from the
+    // committed centroid array. The single-writer epoch invariant makes
+    // that unreachable today, but a future maintenance path that
+    // rewrites cents without reassigning base (or a concurrent refit
+    // commit between a reader's cents and view resolutions) would skew
+    // the PSI with no error — so a cents/base mismatch fails LOUDLY
+    // here instead of biasing the statistic. Both counts are
+    // cell-bounded aggregates over already-checkpointed frames.
+    val refTotal = refC.agg(coalesce(sum("n_ref"), lit(0L))).head.getLong(0)
+    val covered = fullc.agg(coalesce(sum("n_ref"), lit(0L))).head.getLong(0)
+    require(covered == refTotal,
+      s"annIndexDriftPsi: $refTotal persisted index rows but only " +
+        s"$covered fall in the committed quantizer's cells — the index " +
+        "base and its centroid array have drifted apart (torn epoch or " +
+        "concurrent maintenance writer?)")
     val kk = broadcast(fcs.select(size(col("cs")).cast(LongType).as("k")))
     val tot = broadcast(
       fullc.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc")))
@@ -643,6 +659,34 @@ object SimilarityFitted {
         ((p - q) * log(p / q)).cast(DecimalType(20, 9))
           .cast(DoubleType).as("psi9"))
       .orderBy("cell")
+  }
+
+  /** Null calibration for [[annIndexDriftPsi]] — the production
+    * thresholding rule shipped as code (r13 verdict item 8), so a
+    * consumer does not have to rediscover EmbeddingDriftSpec's finding
+    * that the textbook 0.1/0.25 PSI bands do not transfer to
+    * occupancy-32 cell geometry. Scores `nBatches` disjoint KNOWN-GOOD
+    * slices — the deterministic vec_id residue classes of the committed
+    * index itself, in-distribution by construction since they ARE the
+    * reference — through the monitor and returns the WORST total PSI
+    * observed. Alert rule: flag an arriving batch whose total PSI
+    * clears a multiple of this level (2.5x is the pinned default).
+    * PSI is n_cur-dependent in the small-count regime, so pick
+    * `nBatches` to make |index|/nBatches comparable to the production
+    * batch size (the EmbeddingDriftSpec equal-slice discipline).
+    * Cost: nBatches cell-bounded monitor passes over one checkpointed
+    * read of the committed view — a calibration-time call, re-run
+    * after a refit epoch (the quantizer changed), not per batch. */
+  private[graft] def driftNullLevel(s: SparkSession, d: String,
+      indexDir: String, ledger: String, nBatches: Int): Double = {
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    val view = annIndexView(s, indexDir, ledger)
+      .select("vec_id", "embedding").localCheckpoint(false)
+    (0 until nBatches).map { k =>
+      annIndexDriftPsi(s, d, indexDir, ledger,
+        view.filter(pmod(col("vec_id"), lit(nBatches.toLong)) === k))
+        .agg(coalesce(sum("psi9"), lit(0.0))).head.getDouble(0)
+    }.max
   }
 
   /** Bootstrap the persisted index from the standing corpus: its

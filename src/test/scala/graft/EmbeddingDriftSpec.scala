@@ -106,7 +106,12 @@ class EmbeddingDriftSpec extends AnyFunSuite with SparkSuite {
         (id0 + i.toLong, Similarity.ivfCentroids(center(i))
           .map(v => (v + rnd.nextGaussian() * 0.06).toFloat).toSeq)
       }.toDF("vec_id", "embedding")
-    val nullLevel = totalPsi(draw(200, 5000000L, _ % 6))
+    // null batch drawn at the SAME size as the OOD batch (600): in the
+    // small-count regime PSI is n_cur-dependent, so a smaller null
+    // draw would inflate the null level and make the 2.5x multiple
+    // compare unlike batch sizes (r13 ADVICE — matches the detection
+    // test's equal-slice design)
+    val nullLevel = totalPsi(draw(600, 5000000L, _ % 6))
     val ood = draw(600, 6000000L, _ => 6)
     val psiPre = totalPsi(ood)
     info(f"monitor: null $nullLevel%.3f, OOD pre-refit $psiPre%.3f")
@@ -130,6 +135,51 @@ class EmbeddingDriftSpec extends AnyFunSuite with SparkSuite {
       f"refit did not repair the quantizer: OOD re-scored $psiPost%.3f " +
         f"vs pre-refit $psiPre%.3f — the epoch centroids do not cover " +
         "the admitted cluster")
+  }
+
+  test("driftNullLevel ships the null-calibration rule as code: the " +
+      "helper's level separates — an OOD batch clears 2.5x it, an " +
+      "in-distribution batch does not") {
+    // r13 verdict item 8: the 2.5x-null alert rule was pinned but a
+    // consumer had to rediscover the calibration procedure. The helper
+    // scores K disjoint residue slices of the committed index itself
+    // (in-distribution by construction) and returns the worst level;
+    // this witnesses the rule END TO END on the same clustered corpus
+    // as the detection test: a fresh in-distribution draw stays under
+    // the alert line, the out-of-cluster draw clears it.
+    import graft.queries.{Similarity, SimilarityFitted}
+    import spark.implicits._
+    val d = driftDir("drift_null1", 78L, shifted = false)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_driftcal").toString
+    val (idx, ledger) = (s"$base/index", s"$base/ledger")
+    SimilarityFitted.annIndexBootstrap(spark, d, idx, ledger)
+    // 1800 standing rows / 3 slices = 600-row calibration batches —
+    // the equal-slice discipline (PSI is n_cur-dependent; the scored
+    // batches below are also 600 rows)
+    val level = SimilarityFitted.driftNullLevel(spark, d, idx, ledger, 3)
+    info(f"calibrated null level (worst of 3 slices): $level%.4f")
+    assert(level > 0.0 && !level.isNaN && !level.isInfinite,
+      f"calibrated level $level%.4f is not a usable threshold")
+    val rnd = new scala.util.Random(97L)
+    def draw(n: Int, id0: Long, center: Int => Int) =
+      (0 until n).map { i =>
+        (id0 + i.toLong, Similarity.ivfCentroids(center(i))
+          .map(v => (v + rnd.nextGaussian() * 0.06).toFloat).toSeq)
+      }.toDF("vec_id", "embedding")
+    def score(b: org.apache.spark.sql.DataFrame): Double =
+      SimilarityFitted.annIndexDriftPsi(spark, d, idx, ledger, b)
+        .agg(sum(col("psi9"))).head.getDouble(0)
+    val inDist = score(draw(600, 7000000L, _ % 6))
+    val ood = score(draw(600, 8000000L, _ => 6))
+    info(f"scored vs 2.5x level ${2.5 * level}%.4f: " +
+      f"in-dist $inDist%.4f, OOD $ood%.4f")
+    assert(inDist <= 2.5 * level,
+      f"in-distribution batch $inDist%.4f clears the alert line " +
+        f"${2.5 * level}%.4f — the shipped rule false-alarms")
+    assert(ood > 2.5 * level,
+      f"OOD batch $ood%.4f under the alert line ${2.5 * level}%.4f — " +
+        "the shipped rule misses the drift the refit repairs")
   }
 
   /** Clustered corpus with a switchable arrival distribution: standing

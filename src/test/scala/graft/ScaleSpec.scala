@@ -447,6 +447,24 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       .reduce(_ union _)
   }
 
+  /** [[annCopies]] for LARGE n: the same id shift + flip pattern, but
+    * built as one cross join against a copy-index range instead of an
+    * n-way plan union (a 1000-leg union is an analyzer stress test,
+    * not a data generator). Values are identical to annCopies(n) —
+    * the flip expression just reads the copy index from the `ci`
+    * column instead of inlining it. */
+  private def annCopiesBig(n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    spark.read.parquet(s"$small/embeddings.parquet")
+      .crossJoin(spark.range(n).select(col("id").as("ci")))
+      .withColumn("vec_id", col("vec_id") + col("ci") * lit(1000000000L))
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, d) -> x * CAST(CASE WHEN " +
+          "((d + 1) * (2 * ci + 1) * 2654435761) % 97 % 2 = 0 " +
+          "THEN 1 ELSE -1 END AS FLOAT))"))
+      .drop("ci")
+  }
+
   /** The 1×/10× synthetic dirs of the ANN third-hop audits. */
   private lazy val annSynthDirs: (String, String) = {
     val d1 = Catalog.scratch(small, "synth1x_ann")
@@ -546,9 +564,45 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     val r3 = b10.toDouble / b1
     info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
     assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
-    assert(r3 < 20.0,
+    // measured 14.1x at 10x rows (committed r13); 16x is what the
+    // measurement supports — the old 20x ceiling left room for a
+    // ~1.4x curvature regression (r13 verdict item 3)
+    assert(r3 < 16.0,
       f"sim_bitext_mine third hop grew $r3%.2fx — the fitted " +
         "union-side gate no longer holds cross-side candidates linear")
+  }
+
+  test("sim_bitext_mine fourth hop (100x -> 1000x copies): a SECOND " +
+      "consecutive decade hop pins the fitted union gate's curvature, " +
+      "not just one linear-regime point (r13 verdict item 3)") {
+    // One linear-regime point (the 10x->100x hop above, 14.1x) cannot
+    // distinguish an honest ~1.4 constant above ideal-linear from slow
+    // curvature creep; two CONSECUTIVE decade hops can — creep would
+    // compound (14.1x then ~20x), a constant repeats (~10-14x twice).
+    // Both points measured COLD: the fitted-centroid memo is per data
+    // dir and synth100x_ann was already measured (hence warmed) by the
+    // third-hop test in this shared JVM, so the 100x point gets a
+    // path-distinct twin with identical content. 100x: ~4800
+    // rows/side, ~1500 fitted union cells; 1000x: ~48k rows/side,
+    // ~15k cells — the probe fraction binds at both points and
+    // candidates stay |side| x nProbe x occupancy.
+    val d100b = Catalog.scratch(small, "synth100xb_ann")
+    val d1000 = Catalog.scratch(small, "synth1000x_ann")
+    Catalog.once(spark, small, "synth_bitext_hop2") {
+      annCopiesBig(100).coalesce(4)
+        .write.mode("overwrite").parquet(s"$d100b/embeddings.parquet")
+      annCopiesBig(1000).coalesce(16)
+        .write.mode("overwrite").parquet(s"$d1000/embeddings.parquet")
+    }
+    val b1 = bytes("sim_bitext_mine", d100b)
+    val b10 = bytes("sim_bitext_mine", d1000)
+    val r4 = b10.toDouble / b1
+    info(f"fourth-hop ratio: $b1%,d -> $b10%,d bytes ($r4%.2fx at 10x rows)")
+    assert(r4 > 3.0, f"$r4%.2fx implausibly sublinear (measurement broken?)")
+    assert(r4 < 16.0,
+      f"sim_bitext_mine fourth hop grew $r4%.2fx — consecutive decade " +
+        "hops no longer repeat a constant: the fitted union gate has " +
+        "curvature, not a constant factor, above ideal-linear")
   }
 
   test("dq_embedding_drift third hop: the monitor's shuffle stays " +
@@ -568,7 +622,10 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     val r3 = b10.toDouble / b1
     info(f"third-hop ratio: $b1%,d -> $b10%,d bytes ($r3%.2fx at 10x rows)")
     assert(r3 > 3.0, f"$r3%.2fx implausibly sublinear (measurement broken?)")
-    assert(r3 < 20.0,
+    // measured ~9.0x at 10x rows (committed r13); 15x leaves honest
+    // constant-factor room while catching a ~2x super-linearity
+    // regression the old 20x ceiling would have passed (r13 ADVICE)
+    assert(r3 < 15.0,
       f"dq_embedding_drift third hop grew $r3%.2fx — the monitor's " +
         "shuffle is no longer input-linear")
   }
