@@ -210,6 +210,16 @@ object ScaleAudit {
       "Lloyd fit ships input-linear 64-per-vector mean partials; the " +
       "probe query itself is a broadcast 8-row frame gating a " +
       "map-only-assigned corpus scan into TakeOrdered"),
+    "sim_ann_batch" -> ("batched-probe retrieval (r14): a FIXED 25-" +
+      "probe batch served against the fitted index — corpus cell " +
+      "assignment is map-only against the broadcast centroid array, " +
+      "the exploded probe frame (25 x nProbe rows) broadcasts into " +
+      "the cell equi-join, and the only exchange is the per-probe " +
+      "rank window over probes x nProbe x occupancy candidate rows — " +
+      "~flat as the corpus grows (occupancy ~32 under the fitted cell " +
+      "rule; ScaleSpec pins the warm-fit marginal <=2x at 10x rows); " +
+      "the one-time shared Lloyd fit's input-linear partials are the " +
+      "fittedCsFull memo, identical to the dedup family's"),
     "sim_topk_pq_fitted" -> ("refit-ADC retrieval: the one-time PQ " +
       "Lloyd fit ships <=1024 (sub, code, dim) mean partials " +
       "(pq_fit_codebooks' shape); the scan itself is map-only code " +

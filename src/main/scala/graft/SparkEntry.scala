@@ -24,6 +24,7 @@ object SparkEntry {
       _root_.graft.queries.SimilarityFitted.decls ++
       _root_.graft.queries.Text.decls ++
       _root_.graft.queries.Dedup.decls ++
+      _root_.graft.queries.Curation.decls ++
       _root_.graft.queries.Sketches.decls ++
       _root_.graft.queries.CatalogIO.decls ++
       _root_.graft.queries.Dq.decls ++

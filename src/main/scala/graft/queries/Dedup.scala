@@ -140,7 +140,9 @@ object Dedup {
   /** [[sqlCandCtes]] extended with the shingle-Jaccard verify CTE —
     * the full near-dup detection pipeline as DuckDB CTE text, shared
     * by the dedup_near and dedup_near_keep oracles. */
-  private def sqlNearDupCtes: String =
+  // private[queries]: the composed curation_pipeline_e2e oracle chains
+  // this exact pipeline text as its near-dedup stage
+  private[queries] def sqlNearDupCtes: String =
     s"""$sqlCandCtes,
        |jac AS (SELECT d1, d2,
        |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /

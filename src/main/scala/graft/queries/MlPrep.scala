@@ -76,7 +76,26 @@ object MlPrep {
 
   private val ChunkTok = 50 // tokens per chunk
   private val Stride = 40   // chunk start stride (10-token overlap)
-  private val PackCap = 2048 // target tokens per packed batch
+  private[queries] val PackCap = 2048 // target tokens per packed batch
+
+  /** Decontamination gram CTE chain (d → g → eg), shared between the
+    * text_decontaminate oracle and the composed curation_pipeline_e2e
+    * oracle: per-doc distinct sha60 8-gram hashes over docs with ≥8
+    * tokens, plus the eval split's (doc_id % 20 = 0) distinct gram
+    * set. ONE source of truth so the standalone stage and the
+    * pipeline's chained replay can never drift apart. */
+  private[queries] def sqlGramCtes: String =
+    s"""d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tks
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
+       |g AS (SELECT doc_id, n_chars,
+       |    list_distinct(list_transform(range(1, len(tks) - 7 + 1),
+       |      i -> ${graft.functions.XHash.sqlSha60(
+              "concat_ws(' ', tks[i], tks[i+1], tks[i+2], tks[i+3]," +
+                " tks[i+4], tks[i+5], tks[i+6], tks[i+7])")})) AS gs
+       |  FROM d),
+       |eg AS (SELECT DISTINCT unnest(gs) AS h FROM g
+       |       WHERE doc_id % 20 = 0)""".stripMargin
 
   def decls: Seq[Decl] = Seq(
 
@@ -281,17 +300,7 @@ object MlPrep {
     // one distinct per side, one left join on the hash key — ships
     // keys, never gram text.
     Decl("text_decontaminate",
-      s"""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tks
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
-         |g AS (SELECT doc_id, n_chars,
-         |    list_distinct(list_transform(range(1, len(tks) - 7 + 1),
-         |      i -> ${graft.functions.XHash.sqlSha60(
-                 "concat_ws(' ', tks[i], tks[i+1], tks[i+2], tks[i+3]," +
-                   " tks[i+4], tks[i+5], tks[i+6], tks[i+7])")})) AS gs
-         |  FROM d),
-         |eg AS (SELECT DISTINCT unnest(gs) AS h FROM g
-         |       WHERE doc_id % 20 = 0),
+      s"""WITH $sqlGramCtes,
          |tg AS (SELECT doc_id, n_chars, unnest(gs) AS h FROM g
          |       WHERE doc_id % 20 <> 0),
          |hits AS (SELECT doc_id, MAX(n_chars) AS n_chars,

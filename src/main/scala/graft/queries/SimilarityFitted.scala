@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Decl, Tables}
+import graft.{Decl, HiveTables, Tables}
 import graft.functions.VectorOps.{cosineWithNorms, dot, norm2}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -689,6 +689,57 @@ object SimilarityFitted {
     }.max
   }
 
+  // ---- Hive-catalog persistence (r13 verdict item 5): the fitted
+  // index as MANAGED metastore tables — tier A (the catalog bridge)
+  // meets tier C (the fitted family). A serving session finds the
+  // index BY NAME through the same get_table path every other catalog
+  // consumer uses; until now the deployment story was a memo note.
+
+  /** Persist the fitted index through the Hive catalog: the
+    * (vec_id, embedding, n2, cell) assignment frame and the one-row
+    * centroid-array frame land as managed tables
+    * `database.{prefix}_base` / `database.{prefix}_cents` (the same
+    * pair an index EPOCH snapshots to its dirs — here registered in
+    * the metastore instead of addressed by path). Overwrite semantics
+    * are [[HiveTables.writeManaged]]'s full-refresh contract: both
+    * tables are replaced atomically per saveAsTable, the pair's
+    * coherence being the caller's single-writer job exactly as with
+    * epoch dirs. Scale: the base write is the map-only assignment
+    * pass (broadcast centroid array, no shuffle) straight into the
+    * table location; cents is one row. */
+  private[graft] def annIndexSaveToCatalog(s: SparkSession, d: String,
+      database: String, prefix: String): Unit = {
+    val fcs = fittedCsFull(s, d)
+    HiveTables.writeManaged(s, database, s"${prefix}_cents", fcs)
+    HiveTables.writeManaged(s, database, s"${prefix}_base",
+      indexFrameOf(nonNull(Tables.embeddings(s, d))
+        .select("vec_id", "embedding"), fcs))
+  }
+
+  /** Serve top-`k` for corpus query `qid` FROM the catalog-loaded
+    * index — NO refit and NO corpus reassignment inside the query: the
+    * persisted `cell` column gates the scan, only the single query row
+    * computes its probe cells against the broadcast persisted
+    * centroids. This is [[fittedTopKWith]]'s dataflow with the fit and
+    * the assignment pass replaced by catalog reads, so CatalogSpec's
+    * equality witness (served ≡ in-memory fitted path) is exact, not
+    * approximate. */
+  private[graft] def annTopKFromCatalog(s: SparkSession,
+      database: String, prefix: String, qid: Long, k: Int): DataFrame = {
+    val base = HiveTables.table(s, database, s"${prefix}_base")
+    val cents = broadcast(
+      HiveTables.table(s, database, s"${prefix}_cents"))
+    val q = broadcast(base.filter(col("vec_id") === qid).crossJoin(cents)
+      .select(col("embedding").as("qv"), col("n2").as("qn2"),
+        explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell")))
+    base.join(q, col("cell") === col("pcell"))
+      .select(col("vec_id"),
+        cosineWithNorms(col("embedding"), col("qv"),
+          col("n2"), col("qn2")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Bootstrap the persisted index from the standing corpus: its
     * fitted cell assignment lands as the ledger-committed version −1.
     * Idempotent on the ledger check. */
@@ -1191,6 +1242,66 @@ SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
 FROM cand ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
       fittedTopKWith(nonNull(Tables.embeddings(s, d)),
         fittedCsFull(s, d), 0L, 10)
+    },
+
+    // BATCHED-probe retrieval on the fitted index (r13 verdict item
+    // 4): production retrieval serves a probe SET, not one query
+    // vector — top-5 neighbors for every probe in a FIXED batch
+    // (vec_id % 20 = 0 AND vec_id < 500 — 25 probes at every SF, so
+    // the batch is the fixed workload and the CORPUS is what scales,
+    // the standing-index serving shape). One pass: corpus cells and
+    // the exploded probe cells are both map-only against the broadcast
+    // fitted centroid array, the probe frame (25 × nProbe rows)
+    // broadcasts into the cell equi-join, and the only exchange is the
+    // per-probe rank window over the CANDIDATE frame — probes ×
+    // nProbe × occupancy rows, ~flat as the corpus grows because
+    // occupancy stays ~32 under the fitted cell rule (ScaleSpec pins
+    // the warm-fit marginal ~1x on the synthetic 10x axis). Self-hits
+    // are excluded (neighbors, not identity); ties rank (sim DESC,
+    // vec_id) on exact-decimal-derived doubles, both engines
+    // bit-identical per the DecimalDot contract.
+    Decl("sim_ann_batch",
+      s"""WITH ${fittedCtes("")},
+b AS (SELECT vec_id, embedding, ${cellSqlOf("embedding")} AS cell
+      FROM nef),
+probe AS (SELECT vec_id AS qid, embedding AS qv,
+    ${pcellsSqlOf("embedding")} AS pcells
+  FROM nef WHERE vec_id % 20 = 0 AND vec_id < 500),
+pr AS (SELECT qid, qv, UNNEST(pcells) AS pcell FROM probe),
+cand AS (SELECT qid, b.vec_id,
+    ${dotSql("b.embedding", "pr.qv")} AS dot,
+    ${dotSql("b.embedding", "b.embedding")} AS nx,
+    ${dotSql("pr.qv", "pr.qv")} AS ny
+  FROM b JOIN pr ON b.cell = pr.pcell WHERE b.vec_id <> pr.qid),
+ranked AS (SELECT qid, vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+  FROM cand)
+SELECT qid, CAST(rn AS BIGINT) AS rnk, vec_id, sim
+FROM ranked WHERE rn <= 5 ORDER BY qid, rnk""") { (s, d) =>
+      val ne = nonNull(Tables.embeddings(s, d))
+      val fcs = broadcast(fittedCsFull(s, d))
+      val e = ne.crossJoin(fcs)
+        .select(col("vec_id"), col("embedding"),
+          norm2(col("embedding")).as("n2"),
+          cellOfArr(col("embedding"), col("cs")).as("cell"))
+      val q = broadcast(
+        ne.filter(col("vec_id") % 20 === 0 && col("vec_id") < 500)
+          .crossJoin(fcs)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            norm2(col("embedding")).as("qn2"),
+            explode(probeCellsArr(col("embedding"), col("cs")))
+              .as("pcell")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      e.join(q, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosineWithNorms(col("embedding"), col("qv"),
+            col("n2"), col("qn2")).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("sim"))
+        .orderBy("qid", "rnk")
     },
 
     // PQ/ADC retrieval on the REFIT codebooks — the declared promotion

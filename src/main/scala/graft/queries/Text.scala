@@ -24,6 +24,62 @@ object Text {
 
   private val toks = split(col("text"), " ")
 
+  // ---- shared stage twins (text_gopher_rules / text_pii_scrub ⇄ the
+  // composed curation_pipeline_e2e oracle): ONE source of truth for
+  // each stage's SQL so the standalone declared query and the
+  // pipeline's chained replay can never drift apart ----
+
+  /** Gopher-gate CTE chain (tc → agg → f): per-doc token count, mean
+    * token length, stopword hits, top-token share. */
+  private[queries] val sqlGopherCtes: String =
+    """tc AS (SELECT doc_id, t, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |        FROM documents) GROUP BY doc_id, t),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS n_tok,
+      |    CAST(MAX(c) AS BIGINT) AS top_c
+      |  FROM tc GROUP BY doc_id),
+      |f AS (SELECT d.doc_id, n_tok,
+      |    CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok AS mean_tok_len,
+      |    len(list_intersect(string_split(text, ' '),
+      |      ['the', 'of', 'and', 'der', 'el', 'le'])) AS n_stop,
+      |    CAST(top_c AS DOUBLE) / n_tok AS top_share
+      |  FROM documents d JOIN agg ON d.doc_id = agg.doc_id)""".stripMargin
+
+  /** The Gopher keep conjunction over `f`'s columns. */
+  private[queries] val sqlGopherKeep: String =
+    "(n_tok BETWEEN 10 AND 100000)\n" +
+      "    AND (mean_tok_len BETWEEN 2 AND 12)\n" +
+      "    AND n_stop >= 1 AND top_share <= 0.2"
+
+  /** PII patterns + the deterministic plant (the fixture carries no
+    * PII, so every 3rd doc gets an email / every 3rd a phone appended
+    * from generator arithmetic both engines construct identically —
+    * see the text_pii_scrub scaladoc). */
+  private[queries] val PiiEmailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+  private[queries] val PiiPhoneRe = "555-[0-9]+"
+  // single line: a continuation line starting with '||' would be
+  // eaten by an enclosing stripMargin
+  private[queries] val piiAugSql: String =
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' " +
+      "|| CAST(doc_id AS VARCHAR) || '@example.com now' " +
+      "WHEN doc_id % 3 = 1 THEN text || ' call 555-0' " +
+      "|| CAST(doc_id % 1000 AS VARCHAR) || ' today' ELSE text END"
+  private[queries] def piiCleanSql(augExpr: String): String =
+    s"regexp_replace(regexp_replace($augExpr, '$PiiEmailRe', " +
+      s"'<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g')"
+  private[queries] def piiAugCol: Column =
+    when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast(StringType), lit("@example.com now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" call 555-0"),
+          (col("doc_id") % 1000).cast(StringType), lit(" today")))
+      .otherwise(col("text"))
+  private[queries] def piiCleanCol(aug: Column): Column =
+    regexp_replace(
+      regexp_replace(aug, PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>")
+
   /** The trained Naive Bayes model as frames (text_nb_train's
     * parameters, shaped for scoring): the (class, token) count table,
     * the per-class totals, the vocabulary size, and the log-priors.
@@ -505,45 +561,26 @@ object Text {
     // identically in Java regex and RE2; DuckDB needs the 'g' flag
     // where Spark replaces globally by default). Map-only — scales as
     // a pure per-row pass.
-    Decl("text_pii_scrub", {
-      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
-      val phone = "555-[0-9]+"
-      // single line: a continuation line starting with '||' would be
-      // eaten by the enclosing stripMargin
-      val aug = "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' " +
-        "|| CAST(doc_id AS VARCHAR) || '@example.com now' " +
-        "WHEN doc_id % 3 = 1 THEN text || ' call 555-0' " +
-        "|| CAST(doc_id % 1000 AS VARCHAR) || ' today' ELSE text END"
-      s"""WITH a AS (SELECT doc_id, $aug AS t FROM documents
+    Decl("text_pii_scrub",
+      s"""WITH a AS (SELECT doc_id, $piiAugSql AS t FROM documents
          |           WHERE text IS NOT NULL),
          |s AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT)
+         |    CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS BIGINT)
          |      AS n_emails,
-         |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT)
+         |    CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS BIGINT)
          |      AS n_phones,
-         |    regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
-         |      '$phone', '<PHONE>', 'g') AS clean
+         |    ${piiCleanSql("t")} AS clean
          |  FROM a)
          |SELECT doc_id, n_emails, n_phones,
          |  CAST(len(clean) AS BIGINT) AS clean_len,
          |  sha256(clean) AS clean_sha
-         |FROM s ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
-      val phone = "555-[0-9]+"
-      val aug = when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" contact user"),
-            col("doc_id").cast(StringType), lit("@example.com now")))
-        .when(col("doc_id") % 3 === 1,
-          concat(col("text"), lit(" call 555-0"),
-            (col("doc_id") % 1000).cast(StringType), lit(" today")))
-        .otherwise(col("text"))
-      val clean = regexp_replace(
-        regexp_replace(aug, email, "<EMAIL>"), phone, "<PHONE>")
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = piiAugCol
+      val clean = piiCleanCol(aug)
       Tables.documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"),
-          regexp_count(aug, lit(email)).cast(LongType).as("n_emails"),
-          regexp_count(aug, lit(phone)).cast(LongType).as("n_phones"),
+          regexp_count(aug, lit(PiiEmailRe)).cast(LongType).as("n_emails"),
+          regexp_count(aug, lit(PiiPhoneRe)).cast(LongType).as("n_phones"),
           length(clean).cast(LongType).as("clean_len"),
           sha2(clean, 256).as("clean_sha"))
         .orderBy("doc_id")
@@ -861,28 +898,16 @@ object Text {
     // integers; the two ratios are identical single double divisions.
     // Scale: one explode-free pass (array built-ins only) + one exact
     // per-doc token aggregate — map-side heavy, one shuffle on doc_id.
+    // CTE text + keep predicate are shared with the composed
+    // curation_pipeline_e2e oracle (sqlGopherCtes/sqlGopherKeep).
     Decl("text_gopher_rules",
-      """WITH tc AS (SELECT doc_id, t, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        |        FROM documents) GROUP BY doc_id, t),
-        |agg AS (SELECT doc_id,
-        |    CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS n_tok,
-        |    CAST(MAX(c) AS BIGINT) AS top_c
-        |  FROM tc GROUP BY doc_id),
-        |f AS (SELECT d.doc_id, n_tok,
-        |    CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok AS mean_tok_len,
-        |    len(list_intersect(string_split(text, ' '),
-        |      ['the', 'of', 'and', 'der', 'el', 'le'])) AS n_stop,
-        |    CAST(top_c AS DOUBLE) / n_tok AS top_share
-        |  FROM documents d JOIN agg ON d.doc_id = agg.doc_id)
+      s"""WITH $sqlGopherCtes
         |SELECT doc_id, n_tok, mean_tok_len, n_stop, top_share,
         |  n_tok BETWEEN 10 AND 100000 AS pass_len,
         |  mean_tok_len BETWEEN 2 AND 12 AS pass_tok_len,
         |  n_stop >= 1 AS pass_stop,
         |  top_share <= 0.2 AS pass_rep,
-        |  (n_tok BETWEEN 10 AND 100000)
-        |    AND (mean_tok_len BETWEEN 2 AND 12)
-        |    AND n_stop >= 1 AND top_share <= 0.2 AS keep
+        |  $sqlGopherKeep AS keep
         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       val stops = Seq("the", "of", "and", "der", "el", "le")
       val agg = Tables.documents(s, d)

@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dedup_embedding_ann_keep", // same, + the single-row max-cluster cross
     "dedup_embedding_incremental", // broadcast single-row centroid array
     "sim_ann_ivf_fitted", // broadcast centroid-array row + 8-row probe frame
+    "sim_ann_batch", // broadcast centroid-array row + 25-probe pcell frame
     "sim_hard_negatives", // broadcast single-row fitted-centroid array
     // (r13: the mining gate moved off the fixed constant-folded cells)
     "knn_classify_ann", // broadcast centroid-array row + probe×pcell frame
@@ -66,9 +67,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "multimodal_pca_fit", // broadcast single-row iterate-norm scalar cross
     "dq_volume_anomaly", // broadcast single-row window-stats scalar cross
     "dq_psi", // broadcast single-row midpoint + side-total scalar crosses
-    "dq_embedding_drift") // broadcast centroid-array row + the single-row
+    "dq_embedding_drift", // broadcast centroid-array row + the single-row
     // |cells|/side-total smoothing scalars (the dq_psi scaffold on the
     // fitted quantizer)
+    "curation_pipeline_e2e") // the report assembly: nine broadcast
+    // single-row stage-count/metric scalar crosses (every corpus-sized
+    // exchange lives behind the stages' lineage-cut ID frames)
 
   private val maxShuffles = 6
 

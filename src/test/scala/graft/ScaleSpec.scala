@@ -605,6 +605,31 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
         "curvature, not a constant factor, above ideal-linear")
   }
 
+  test("sim_ann_batch marginal retrieval is probe-bounded: warm-fit " +
+      "shuffle ~flat at 10x corpus (the probe batch is fixed — the " +
+      "standing-index serving shape, r13 verdict item 4)") {
+    // The declared probe batch is vec_id % 20 = 0 AND vec_id < 500 —
+    // 25 probes at EVERY corpus size (copies shift vec_id by 1e9, so
+    // only copy 0 contributes probes on the synthetic axis). With the
+    // shared Lloyd fit warmed on both dirs (its input-linear partials
+    // are the dedup family's audited cost, memoized across the whole
+    // fitted family), the retrieval marginal is the per-probe rank
+    // window over probes x nProbe x occupancy candidates plus the
+    // 125-row output sort — occupancy stays ~32 as cells scale with
+    // the corpus, so the shuffle must stay ~flat at 10x rows.
+    val (d1, d10) = annSynthDirs
+    graft.queries.SimilarityFitted.fittedCsFull(spark, d1).count()
+    graft.queries.SimilarityFitted.fittedCsFull(spark, d10).count()
+    val b1 = bytes("sim_ann_batch", d1)
+    val b10 = bytes("sim_ann_batch", d10)
+    info(f"warm-fit marginal: $b1%,d -> $b10%,d bytes " +
+      f"(${b10.toDouble / b1}%.2fx at 10x rows)")
+    assert(b1 > 0, "expected a (bounded) candidate-window shuffle")
+    assert(b10 <= 2 * b1,
+      f"sim_ann_batch marginal shuffle grew $b1%,d -> $b10%,d at 10x " +
+        "corpus — retrieval is no longer probe-bounded")
+  }
+
   test("dq_embedding_drift third hop: the monitor's shuffle stays " +
       "input-linear at 10x vectors (fit partials dominate; the count " +
       "partials are cell-bounded)") {
