@@ -132,6 +132,16 @@ object PlanDump {
       "equi-joins on the union-side occupancy-scaled index (r13 — " +
       "|side| × nProbe × occupancy, input-linear); checkpointed cosine " +
       "frame feeds both k-NN denominators and both best-pick windows"),
+    "sim_ann_batch" -> ("batched-probe serving (r14): map-only corpus " +
+      "cell assignment against the broadcast centroid array, the " +
+      "25-probe exploded pcell frame broadcasts into the cell " +
+      "equi-join, one candidate-bounded rank window — the shuffle " +
+      "stays probe-bounded at any corpus size"),
+    "curation_pipeline_e2e" -> ("the composed curation pipeline " +
+      "(r14): each stage's own plan behind a lineage-cut survivor-ID " +
+      "frame (Gopher agg, LSH components via the memoized frames, " +
+      "gram-hash decontamination join, map-only scrub, pack window); " +
+      "the 9-row report assembles from single-row broadcast crosses"),
     "multimodal_audio_decode" -> ("real javax.sound WAV round-trip " +
       "inside mapPartitions; the payload dies at the decode, only the " +
       "6-long feature row flows — no shuffle before the sort"),

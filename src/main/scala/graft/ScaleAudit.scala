@@ -164,8 +164,12 @@ object ScaleAudit {
       "candidates saturate at ~the full cross below ~nProbe x " +
       "occupancy = 256 rows/side) — yet the r2 hop already reads ~9x " +
       "at 4x rows where the retired fixed 8-cell gate measured 13.5x; " +
-      "the LINEAR-regime witness is ScaleSpec's synthetic 10-copy -> " +
-      "100-copy hop, measured 14.1x at 10x rows"),
+      "the LINEAR-regime witness is ScaleSpec's TWO synthetic decade " +
+      "hops (10->100 and 30->300 copies on the r14 signed-permutation " +
+      "generator — the r13 flip-only copies left same-base cross-copy " +
+      "pairs axis-correlated, which read as gate curvature), both " +
+      "pinned < 16x; the kernel-bearing side frame is checkpointed " +
+      "once (r14) instead of re-evaluated per candidate/cosine leg"),
     "mix_temperature" -> ("domain-bounded: one lang-keyed count " +
       "aggregate (map-side partials) + a broadcast 1-row normalizer — " +
       "the whole model is |langs| rows"),
@@ -210,6 +214,13 @@ object ScaleAudit {
       "Lloyd fit ships input-linear 64-per-vector mean partials; the " +
       "probe query itself is a broadcast 8-row frame gating a " +
       "map-only-assigned corpus scan into TakeOrdered"),
+    "curation_pipeline_e2e" -> ("composed stage pipeline (r14): every " +
+      "exchange is a declared stage's own — the Gopher token " +
+      "aggregate, LSH band keys, the sha60 gram-hash join, the pack " +
+      "window (all input-linear, none ships corpus text past its " +
+      "stage) and the label-bounded component propagation (memoized, " +
+      "shared with the dedup family); the report assembly is nine " +
+      "single-row broadcast crosses — expect ~input-linear totals"),
     "sim_ann_batch" -> ("batched-probe retrieval (r14): a FIXED 25-" +
       "probe batch served against the fitted index — corpus cell " +
       "assignment is map-only against the broadcast centroid array, " +

@@ -1511,6 +1511,14 @@ object Similarity {
     }) { (s, d) =>
       import graft.functions.VectorOps.{cosineWithNorms, norm2}
       val fcs = broadcast(SimilarityFitted.fittedCsBitext(s, d))
+      // localCheckpoint (r14): this frame is read SIX times (both
+      // candidate legs read each side twice, the cosine re-join reads
+      // both sides again) and its pcells column is the |cells|-dot
+      // IvfTopCells kernel — without the lineage cut every reference
+      // re-runs the full assignment pass (differently-aliased subplans
+      // get no ReusedExchange), turning the one-time O(n × cells)
+      // kernel cost into ~6x. One (row, pcells, n2) materialization is
+      // strictly cheaper — the split_leakage_safe discipline.
       val e = Tables.embeddings(s, d)
         .filter(col("embedding").isNotNull && col("label").isin(0, 1))
         .crossJoin(fcs)
@@ -1519,6 +1527,7 @@ object Similarity {
             .as("pcells"),
           norm2(col("embedding")).as("n2"))
         .withColumn("cell", element_at(col("pcells"), 1))
+        .localCheckpoint(false)
       val aS = e.filter(col("label") === 0)
       val bS = e.filter(col("label") === 1)
       val cfwd = aS.select(col("vec_id").as("xid"),

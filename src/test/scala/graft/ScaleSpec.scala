@@ -434,33 +434,50 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     * exactly (cos(Sx, Sy) = cos(x, y)) while decorrelating cross-copy
     * pairs — weak scaling of the data's structure, not its dup count.
     * Labels ride unchanged, so label-blocked subsets (the bitext
-    * sides) replicate n× too. */
-  private def annCopies(n: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
-    val e = spark.read.parquet(s"$small/embeddings.parquet")
-    (0 until n).map(i => e
-        .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
-        .withColumn("embedding", expr(
-          "transform(embedding, (x, d) -> x * CAST(CASE WHEN " +
-            s"((d + 1) * ${2 * i + 1} * 2654435761) % 97 % 2 = 0 " +
-            "THEN 1 ELSE -1 END AS FLOAT))")))
-      .reduce(_ union _)
-  }
+    * sides) replicate n× too.
+    *
+    * Two generator artifacts were caught BY the hop pins and fixed:
+    *  - the flip pattern is a function of (2i+1) mod the modulus, so
+    *    its PERIOD in the copy index is the modulus — the original
+    *    % 97 made copies i and i+97 EXACT duplicates and the bitext
+    *    fourth hop read 51x at 10x rows (data-dup growth, not the
+    *    operator); the modulus is now 100003;
+    *  - flips alone are AXIS-ALIGNED: for copies of the same base
+    *    vector, cos(Sx, S'x) = Σ ± x_d²/|x|² — weighted by the
+    *    base's dominant coordinates, so same-base cross-copy pairs
+    *    stay correlated and form soft clusters that GROW with the
+    *    copy count (probed-cell occupancy drifts up; the fourth hop
+    *    still read 22.5x). Each copy now applies a signed affine
+    *    PERMUTATION of the dimensions — a full orthogonal transform:
+    *    within-copy inner products are preserved exactly (DecimalDot
+    *    sums are order-free, so even bit-exactly), and cross-copy
+    *    correlation drops to ~N(0, 1/64) regardless of coordinate
+    *    concentration, the independence true weak scaling needs. */
+  private def annCopies(n: Int): org.apache.spark.sql.DataFrame =
+    annCopiesBig(n)
 
-  /** [[annCopies]] for LARGE n: the same id shift + flip pattern, but
-    * built as one cross join against a copy-index range instead of an
-    * n-way plan union (a 1000-leg union is an analyzer stress test,
-    * not a data generator). Values are identical to annCopies(n) —
-    * the flip expression just reads the copy index from the `ci`
-    * column instead of inlining it. */
+  /** [[annCopies]]' engine: one cross join against a copy-index range
+    * instead of an n-way plan union (a 300-leg union is an analyzer
+    * stress test, not a data generator). The big product wraps the
+    * 100003 modulus thousands of times, so the %2 parity is
+    * pseudo-random per (dim, copy) — NOT degenerate the way a
+    * non-wrapping product would be (whose parity collapses to
+    * parity(d+1), the same flip for every copy). */
   private def annCopiesBig(n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit}
+    // signed affine permutation per copy: position d takes component
+    // π(d) = ((2ci+1)·d + 31·ci) mod 64 (odd multiplier ⇒ bijective
+    // mod a power of two) times a ±1 whose parity wraps the 100003
+    // modulus thousands of times (a non-wrapping product's parity
+    // would collapse to parity(d+1) — the same flip for every copy)
     spark.read.parquet(s"$small/embeddings.parquet")
       .crossJoin(spark.range(n).select(col("id").as("ci")))
       .withColumn("vec_id", col("vec_id") + col("ci") * lit(1000000000L))
       .withColumn("embedding", expr(
-        "transform(embedding, (x, d) -> x * CAST(CASE WHEN " +
-          "((d + 1) * (2 * ci + 1) * 2654435761) % 97 % 2 = 0 " +
+        "transform(embedding, (x, d) -> " +
+          "element_at(embedding, CAST(((2 * ci + 1) * d + 31 * ci) " +
+          "% 64 AS INT) + 1) * CAST(CASE WHEN " +
+          "((d + 1) * (2 * ci + 1) * 2654435761) % 100003 % 2 = 0 " +
           "THEN 1 ELSE -1 END AS FLOAT))"))
       .drop("ci")
   }
@@ -591,13 +608,28 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     val d30 = Catalog.scratch(small, "synth30x_ann")
     val d300 = Catalog.scratch(small, "synth300x_ann")
     Catalog.once(spark, small, "synth_bitext_hop2") {
-      annCopiesBig(30).coalesce(2)
+      // repartition (not coalesce): the flip-copies compress so well
+      // that a few-file layout is one row group per file, and row
+      // groups are the parquet split atom — a 2-file corpus would pin
+      // the kernel-heavy scan stages to 2 tasks no matter what
+      // maxPartitionBytes asks for
+      annCopiesBig(30).repartition(8)
         .write.mode("overwrite").parquet(s"$d30/embeddings.parquet")
-      annCopiesBig(300).coalesce(8)
+      annCopiesBig(300).repartition(32)
         .write.mode("overwrite").parquet(s"$d300/embeddings.parquet")
     }
-    val b1 = bytes("sim_bitext_mine", d30)
-    val b10 = bytes("sim_bitext_mine", d300)
+    // the sign-flip copies compress to ~23 MB parquet, so the default
+    // 128 MB maxPartitionBytes bundles the whole 150k-row corpus into
+    // 1–2 scan partitions and the per-row cell-assignment kernel runs
+    // single-threaded — split the scan so the measurement exercises
+    // the suite's 4 cores (shuffle BYTES, the pinned quantity, are
+    // partitioning-invariant; both points measure under the same conf)
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val prevMpb = spark.conf.get(mpbKey)
+    spark.conf.set(mpbKey, (512 * 1024).toString)
+    val (b1, b10) =
+      try (bytes("sim_bitext_mine", d30), bytes("sim_bitext_mine", d300))
+      finally spark.conf.set(mpbKey, prevMpb)
     val r4 = b10.toDouble / b1
     info(f"fourth-hop ratio: $b1%,d -> $b10%,d bytes ($r4%.2fx at 10x rows)")
     assert(r4 > 3.0, f"$r4%.2fx implausibly sublinear (measurement broken?)")
