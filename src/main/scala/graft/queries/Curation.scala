@@ -196,7 +196,9 @@ object Curation {
          |    n0.c AS n_in, n0.c AS n_out, CAST(0.0 AS DOUBLE) AS metric
          |  FROM n0
          |  UNION ALL SELECT 1, 'quality_gate', n0.c, n1.c,
-         |    CAST(n1.c AS DOUBLE) / CAST(n0.c AS DOUBLE) FROM n0, n1
+         |    CASE WHEN n0.c = 0 THEN 0.0 ELSE
+         |      CAST(n1.c AS DOUBLE) / CAST(n0.c AS DOUBLE) END
+         |  FROM n0, n1
          |  UNION ALL SELECT 2, 'dedup_exact', n1.c, n2.c,
          |    CAST(n1.c - n2.c AS DOUBLE) FROM n1, n2
          |  UNION ALL SELECT 3, 'dedup_near', n2.c, n3.c,
@@ -256,8 +258,12 @@ object Curation {
           col("n_docs").as("n_in"), col("total_tokens").as("n_out"),
           dbl(col("last_doc")).as("metric"))
       row(0L, "input", col("c0"), col("c0"), lit(0.0))
+        // day-zero guard (EmptyInputSpec): ANSI division errors on a
+        // zero divisor even for doubles — an empty corpus reports
+        // keep-rate 0, it doesn't throw
         .unionByName(row(1L, "quality_gate", col("c0"), col("c1"),
-          dbl(col("c1")) / dbl(col("c0"))))
+          when(col("c0") === 0, lit(0.0))
+            .otherwise(dbl(col("c1")) / dbl(col("c0")))))
         .unionByName(row(2L, "dedup_exact", col("c1"), col("c2"),
           dbl(col("c1") - col("c2"))))
         .unionByName(row(3L, "dedup_near", col("c2"), col("c3"),
