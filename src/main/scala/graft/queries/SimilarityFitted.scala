@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Decl, HiveTables, Tables}
+import graft.{Catalog, Decl, HiveTables, Tables}
 import graft.functions.VectorOps.{cosineWithNorms, dot, norm2}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -734,12 +734,17 @@ object SimilarityFitted {
       refitted: Boolean, compacted: Boolean)
 
   // per-epoch null-calibration cache: the level is a property of the
-  // committed quantizer (it changes exactly when a refit epoch does),
-  // so it is computed once per (indexDir, epoch) and reused across
-  // ticks; a restarted maintainer recalibrates — the level is derived
-  // state, never authoritative
+  // committed quantizer (it changes exactly when a refit epoch does)
+  // AND of the slice size it was measured at (PSI is n_cur-dependent),
+  // so the cache carries (level, committed rows at calibration) and is
+  // reused across ticks until either the epoch changes or the index
+  // has grown past 2x the calibration-time row count (r14 ADVICE: a
+  // compaction-carried level computed on a much smaller index slowly
+  // drifts off the equal-slice discipline — growth, not only refit,
+  // invalidates it); a restarted maintainer recalibrates — the level
+  // is derived state, never authoritative
   private val calMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Long)]()
 
   /** The admission micro-batch WITH the maintenance policy — index
     * maintenance wired into the streaming ingest loop as a DECLARED
@@ -794,8 +799,14 @@ object SimilarityFitted {
       val epoch = committedEpoch(s, ledger).map(_._1).getOrElse(-1L)
       val key = s"${s.sparkContext.applicationId}@$indexDir" +
         s"@cal$epoch@$calSlices"
-      val nullLevel: Double = calMemo.computeIfAbsent(key,
-        _ => driftNullLevel(s, d, indexDir, ledger, calSlices))
+      // committed rows right now — the growth guard's trigger state
+      // (one count over the parquet view, paid only on ticks)
+      val viewRows = annIndexView(s, indexDir, ledger).count()
+      val cal = calMemo.compute(key, (_, old) =>
+        if (old == null || viewRows > 2L * old._2)
+          (driftNullLevel(s, d, indexDir, ledger, calSlices), viewRows)
+        else old)
+      val nullLevel: Double = cal._1
       val alert = psi > alertMultiple * nullLevel
       val refitted =
         if (alert)
@@ -807,13 +818,15 @@ object SimilarityFitted {
           val adv =
             annIndexAdvanceEpoch(s, d, indexDir, ledger, refit = false)
           // a compaction keeps the quantizer, so the calibration stays
-          // valid — carry it to the new epoch's key instead of paying
+          // valid — carry it (WITH its calibration-time row count, so
+          // the 2x growth guard keeps counting from the original
+          // measurement) to the new epoch's key instead of paying
           // calSlices monitor passes again; a REFIT epoch deliberately
           // does NOT carry (new quantizer ⇒ new null level, recomputed
           // at the next tick)
           adv.foreach { e =>
             calMemo.put(s"${s.sparkContext.applicationId}@$indexDir" +
-              s"@cal$e@$calSlices", nullLevel)
+              s"@cal$e@$calSlices", cal)
           }
           adv.nonEmpty
         }
@@ -1246,6 +1259,27 @@ object SimilarityFitted {
   // Declared queries
   // ---------------------------------------------------------------
 
+  // Shared by sim_ann_ivf_fitted and sim_ann_catalog_served: the two
+  // queries are the SAME retrieval contract (qid 0, top-10, fitted
+  // probe gating) differing only in where the index lives (in-memory
+  // memo vs managed catalog tables), so one oracle string keeps them
+  // provably in lockstep — a drift in either body fails its own
+  // correctness row instead of hiding behind a diverged twin.
+  private val annIvfFittedOracle: String =
+    s"""WITH ${fittedCtes("")},
+af AS (SELECT vec_id, embedding, ${cellSqlOf("embedding")} AS cell
+       FROM nef),
+qf AS (SELECT embedding AS qv, ${pcellsSqlOf("embedding")} AS pcells
+       FROM nef WHERE vec_id = 0),
+probes AS (SELECT qv, UNNEST(pcells) AS pcell FROM qf),
+cand AS (SELECT vec_id,
+    ${dotSql("af.embedding", "probes.qv")} AS dot,
+    ${dotSql("af.embedding", "af.embedding")} AS nx,
+    ${dotSql("probes.qv", "probes.qv")} AS ny
+  FROM af JOIN probes ON af.cell = probes.pcell)
+SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
+FROM cand ORDER BY sim DESC, vec_id LIMIT 10"""
+
   private[graft] val decls: Seq[Decl] = Seq(
 
     // ANN-GATED semantic dedup on the FITTED, corpus-scaled index —
@@ -1358,22 +1392,39 @@ ORDER BY n.vec_id""") { (s, d) =>
     // ~nProbe × occupancy rows, the exact decimal cosine ranks them.
     // sim_ann_ivf (fixed seeded centroids) stays declared as the
     // constant-index baseline; this is the production dataflow.
-    Decl("sim_ann_ivf_fitted",
-      s"""WITH ${fittedCtes("")},
-af AS (SELECT vec_id, embedding, ${cellSqlOf("embedding")} AS cell
-       FROM nef),
-qf AS (SELECT embedding AS qv, ${pcellsSqlOf("embedding")} AS pcells
-       FROM nef WHERE vec_id = 0),
-probes AS (SELECT qv, UNNEST(pcells) AS pcell FROM qf),
-cand AS (SELECT vec_id,
-    ${dotSql("af.embedding", "probes.qv")} AS dot,
-    ${dotSql("af.embedding", "af.embedding")} AS nx,
-    ${dotSql("probes.qv", "probes.qv")} AS ny
-  FROM af JOIN probes ON af.cell = probes.pcell)
-SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS sim
-FROM cand ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
+    Decl("sim_ann_ivf_fitted", annIvfFittedOracle) { (s, d) =>
       fittedTopKWith(nonNull(Tables.embeddings(s, d)),
         fittedCsFull(s, d), 0L, 10)
+    },
+
+    // CATALOG-SERVED retrieval (r14 verdict item 5): the deployment
+    // story as a DECLARED query — the fitted index is persisted as
+    // managed metastore tables once per (app, data root), then top-k is
+    // served BY NAME with NO refit and NO corpus reassignment inside
+    // the query: the persisted `cell` column gates the scan, only the
+    // single query row probes against the broadcast persisted
+    // centroids. Semantically identical to sim_ann_ivf_fitted (the
+    // CatalogSpec equality witness proves served ≡ in-memory fitted
+    // row-for-row), so it shares that query's oracle verbatim — the
+    // catalog round-trip itself is what this declaration checks. The
+    // database is fingerprinted per data root (concurrent scale
+    // factors never serve each other's index) and LOCATED under the
+    // per-process Catalog scratch tree: a session catalog is
+    // per-process state, so its managed-table locations must be too —
+    // a fixed warehouse path would collide with a dead run's leftover
+    // dir (LOCATION_ALREADY_EXISTS on a fresh catalog that no longer
+    // knows the table), while scratch dirs are pid-keyed and orphan-
+    // reaped. The save is Catalog.once-guarded (take-min reruns
+    // serve, they don't re-save — exactly the production shape:
+    // write once, read many).
+    Decl("sim_ann_catalog_served", annIvfFittedOracle) { (s, d) =>
+      val db = f"graft_ann_${d.hashCode & 0xffffff}%06x"
+      Catalog.once(s, d, s"annCatalogSave@$db") {
+        val loc = Catalog.scratch(d, "ann_catalog")
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+        annIndexSaveToCatalog(s, d, db, "idx")
+      }
+      annTopKFromCatalog(s, db, "idx", qid = 0L, k = 10)
     },
 
     // BATCHED-probe retrieval on the fitted index (r13 verdict item

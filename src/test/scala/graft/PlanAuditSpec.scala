@@ -33,6 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     "dedup_embedding_ann_keep", // same, + the single-row max-cluster cross
     "dedup_embedding_incremental", // broadcast single-row centroid array
     "sim_ann_ivf_fitted", // broadcast centroid-array row + 8-row probe frame
+    "sim_ann_catalog_served", // the served twin: broadcast persisted-cents
+    // row crossed into the single query row's probe frame (r15)
     "sim_ann_batch", // broadcast centroid-array row + 25-probe pcell frame
     "sim_hard_negatives", // broadcast single-row fitted-centroid array
     // (r13: the mining gate moved off the fixed constant-folded cells)
