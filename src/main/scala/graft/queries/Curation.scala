@@ -73,7 +73,19 @@ object Curation {
       nk: DataFrame, dk: DataFrame, contaminated: DataFrame,
       mw: DataFrame, packs: DataFrame)
 
-  private[graft] def stages(s: SparkSession, d: String): Stages = {
+  // per-(app, data root) stage-frame memo: the survivor-ID frames are
+  // lineage-cut (localCheckpoint) and deterministic, so the pipeline
+  // report and the per-language slice share ONE computation of the
+  // expensive chain (LSH components, gram joins) instead of paying it
+  // per declared query — the same memo discipline as the fitted index.
+  private val stageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Stages]()
+
+  private[graft] def stages(s: SparkSession, d: String): Stages =
+    stageMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}@$d", _ => stagesUncached(s, d))
+
+  private def stagesUncached(s: SparkSession, d: String): Stages = {
     val docs = Tables.documents(s, d)
     // stage 1: the declared Gopher gate's keep set
     val qk = q("text_gopher_rules")(s, d).filter(col("keep"))
@@ -117,42 +129,51 @@ object Curation {
     Stages(qk, ek, nk, dk, contaminated, mw, packs)
   }
 
+  /** The survivor-chain CTE prefix (raw corpus → qk → ek → nk → dk,
+    * plus the asg/sizes cluster frames) shared VERBATIM by the
+    * end-to-end report and the per-language slice — one source of
+    * truth, so the two declared views of the same pipeline cannot
+    * drift (the same discipline as the stage twins' shared CTE
+    * constants). */
+  private val sqlStageCtes: String =
+    s"""${Dedup.sqlNearDupCtes},
+       |${Text.sqlGopherCtes},
+       |qk AS MATERIALIZED (SELECT doc_id FROM f
+       |  WHERE ${Text.sqlGopherKeep}),
+       |ek AS MATERIALIZED (SELECT MIN(dd.doc_id) AS doc_id
+       |  FROM documents dd JOIN qk ON qk.doc_id = dd.doc_id
+       |  GROUP BY sha256(dd.text)),
+       |edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.3),
+       |bidir AS (SELECT d1, d2 FROM edges
+       |          UNION SELECT d2, d1 FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT r.src, b.d2 FROM reach r JOIN bidir b ON r.dst = b.d1),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS label
+       |         FROM reach GROUP BY src),
+       |asg AS MATERIALIZED (SELECT dd.doc_id,
+       |    COALESCE(c.label, dd.doc_id) AS label
+       |  FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size
+       |          FROM asg GROUP BY label),
+       |nk AS MATERIALIZED (SELECT MIN(a.doc_id) AS doc_id
+       |  FROM asg a JOIN ek ON ek.doc_id = a.doc_id
+       |  GROUP BY a.label),
+       |${MlPrep.sqlGramCtes},
+       |ct AS (SELECT DISTINCT t.doc_id FROM (
+       |    SELECT g.doc_id, unnest(g.gs) AS h FROM g
+       |    JOIN nk ON nk.doc_id = g.doc_id
+       |    WHERE g.doc_id % 20 <> 0) t
+       |  WHERE t.h IN (SELECT h FROM eg)),
+       |dk AS MATERIALIZED (SELECT doc_id FROM nk
+       |  WHERE doc_id % 20 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM ct))""".stripMargin
+
   def decls: Seq[Decl] = Seq(
 
     Decl("curation_pipeline_e2e",
-      s"""WITH RECURSIVE ${Dedup.sqlNearDupCtes},
-         |${Text.sqlGopherCtes},
-         |qk AS MATERIALIZED (SELECT doc_id FROM f
-         |  WHERE ${Text.sqlGopherKeep}),
-         |ek AS MATERIALIZED (SELECT MIN(dd.doc_id) AS doc_id
-         |  FROM documents dd JOIN qk ON qk.doc_id = dd.doc_id
-         |  GROUP BY sha256(dd.text)),
-         |edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.3),
-         |bidir AS (SELECT d1, d2 FROM edges
-         |          UNION SELECT d2, d1 FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM sh
-         |  UNION
-         |  SELECT r.src, b.d2 FROM reach r JOIN bidir b ON r.dst = b.d1),
-         |comp AS (SELECT src AS doc_id, MIN(dst) AS label
-         |         FROM reach GROUP BY src),
-         |asg AS MATERIALIZED (SELECT dd.doc_id,
-         |    COALESCE(c.label, dd.doc_id) AS label
-         |  FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id),
-         |sizes AS (SELECT label, COUNT(*) AS cluster_size
-         |          FROM asg GROUP BY label),
-         |nk AS MATERIALIZED (SELECT MIN(a.doc_id) AS doc_id
-         |  FROM asg a JOIN ek ON ek.doc_id = a.doc_id
-         |  GROUP BY a.label),
-         |${MlPrep.sqlGramCtes},
-         |ct AS (SELECT DISTINCT t.doc_id FROM (
-         |    SELECT g.doc_id, unnest(g.gs) AS h FROM g
-         |    JOIN nk ON nk.doc_id = g.doc_id
-         |    WHERE g.doc_id % 20 <> 0) t
-         |  WHERE t.h IN (SELECT h FROM eg)),
-         |dk AS MATERIALIZED (SELECT doc_id FROM nk
-         |  WHERE doc_id % 20 <> 0
-         |    AND doc_id NOT IN (SELECT doc_id FROM ct)),
+      s"""WITH RECURSIVE $sqlStageCtes,
          |pa AS (SELECT doc_id, lang, ${Text.piiAugSql} AS t
          |       FROM documents
          |       WHERE doc_id IN (SELECT doc_id FROM dk)),
@@ -278,6 +299,73 @@ object Curation {
           dbl(col("tt"))))
         .unionByName(row8)
         .orderBy("stage_id")
+    },
+
+    // Per-LANGUAGE curation report (r14 verdict item 7): the slice a
+    // data team reviews before changing a gate — survivor counts per
+    // (stage × lang) for the five count-bearing stages, DENSE (a
+    // language extinct at a stage reports 0, it doesn't vanish from
+    // the report; extinction IS the signal a reviewer is looking for).
+    // One pass: the raw corpus left-joins the four survivor-ID frames
+    // on doc_id (all key-aligned — one exchange shape, reused), per-doc
+    // membership flags aggregate in a single lang-bounded groupBy, and
+    // stack() unpivots the five counters — rows = 5 × |langs|, output-
+    // bounded at any corpus size. The oracle chains the IDENTICAL
+    // shared stage CTEs (sqlStageCtes — pipeline and slice cannot
+    // drift) with the same flag/sum shape. NULL lang is a real group
+    // (the null twin plants them); both engines sort it first.
+    Decl("curation_by_lang",
+      s"""WITH RECURSIVE $sqlStageCtes,
+         |lf AS (SELECT dd.lang,
+         |    CASE WHEN qk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f1,
+         |    CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f2,
+         |    CASE WHEN nk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f3,
+         |    CASE WHEN dk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f4
+         |  FROM documents dd
+         |  LEFT JOIN qk ON qk.doc_id = dd.doc_id
+         |  LEFT JOIN ek ON ek.doc_id = dd.doc_id
+         |  LEFT JOIN nk ON nk.doc_id = dd.doc_id
+         |  LEFT JOIN dk ON dk.doc_id = dd.doc_id),
+         |lg AS (SELECT lang, COUNT(*) AS n0,
+         |    COALESCE(SUM(f1), 0) AS n1, COALESCE(SUM(f2), 0) AS n2,
+         |    COALESCE(SUM(f3), 0) AS n3, COALESCE(SUM(f4), 0) AS n4
+         |  FROM lf GROUP BY lang)
+         |SELECT stage_id, stage, lang, n_docs FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_id, 'input' AS stage,
+         |    lang, CAST(n0 AS BIGINT) AS n_docs FROM lg
+         |  UNION ALL SELECT 1, 'quality_gate', lang, CAST(n1 AS BIGINT)
+         |  FROM lg
+         |  UNION ALL SELECT 2, 'dedup_exact', lang, CAST(n2 AS BIGINT)
+         |  FROM lg
+         |  UNION ALL SELECT 3, 'dedup_near', lang, CAST(n3 AS BIGINT)
+         |  FROM lg
+         |  UNION ALL SELECT 4, 'decontaminate', lang, CAST(n4 AS BIGINT)
+         |  FROM lg
+         |) ORDER BY stage_id, lang NULLS FIRST""".stripMargin) { (s, d) =>
+      val st = stages(s, d)
+      def flag(ids: DataFrame, n: String) =
+        ids.withColumn(n, lit(1L))
+      val flagged = Tables.documents(s, d).select("doc_id", "lang")
+        .join(flag(st.qk, "f1"), Seq("doc_id"), "left")
+        .join(flag(st.ek, "f2"), Seq("doc_id"), "left")
+        .join(flag(st.nk, "f3"), Seq("doc_id"), "left")
+        .join(flag(st.dk, "f4"), Seq("doc_id"), "left")
+      val g = flagged.groupBy("lang").agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum(col("f1")), lit(0L)).as("n1"),
+        coalesce(sum(col("f2")), lit(0L)).as("n2"),
+        coalesce(sum(col("f3")), lit(0L)).as("n3"),
+        coalesce(sum(col("f4")), lit(0L)).as("n4"))
+      g.select(col("lang"), expr(
+        """stack(5,
+          |  CAST(0 AS BIGINT), 'input', n0,
+          |  CAST(1 AS BIGINT), 'quality_gate', n1,
+          |  CAST(2 AS BIGINT), 'dedup_exact', n2,
+          |  CAST(3 AS BIGINT), 'dedup_near', n3,
+          |  CAST(4 AS BIGINT), 'decontaminate', n4
+          |) AS (stage_id, stage, n_docs)""".stripMargin))
+        .select("stage_id", "stage", "lang", "n_docs")
+        .orderBy(col("stage_id"), col("lang").asc_nulls_first)
     }
   )
 }
