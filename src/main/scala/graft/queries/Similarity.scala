@@ -645,6 +645,51 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
 
+  /** sim_bitext_mine's side frames + union-fitted candidate gate,
+    * extracted so ScaleSpec can pin the gate's output ROWS directly —
+    * the allocator-INDEPENDENT linearity quantity (r14 verdict item 4:
+    * the candidate distinct's shuffle BYTES depend on how much the
+    * map-side hash partials combined before spilling, which is a
+    * function of heap size; the distinct row COUNT the gate produces
+    * is a semantic property of (corpus, quantizer) and reproduces
+    * bit-stably in any JVM). Returns (side A, side B, candidates).
+    *
+    * localCheckpoint on the side frame (r14): it is read SIX times
+    * (both candidate legs read each side twice, the cosine re-join
+    * reads both sides again) and its pcells column is the |cells|-dot
+    * IvfTopCells kernel — without the lineage cut every reference
+    * re-runs the full assignment pass (differently-aliased subplans
+    * get no ReusedExchange), turning the one-time O(n × cells) kernel
+    * cost into ~6x. One (row, pcells, n2) materialization is strictly
+    * cheaper — the split_leakage_safe discipline. */
+  private[graft] def bitextSidesAndCandidates(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorOps.norm2
+    val fcs = broadcast(SimilarityFitted.fittedCsBitext(s, d))
+    val e = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && col("label").isin(0, 1))
+      .crossJoin(fcs)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        SimilarityFitted.probeCellsArr(col("embedding"), col("cs"))
+          .as("pcells"),
+        norm2(col("embedding")).as("n2"))
+      .withColumn("cell", element_at(col("pcells"), 1))
+      .localCheckpoint(false)
+    val aS = e.filter(col("label") === 0)
+    val bS = e.filter(col("label") === 1)
+    val cfwd = aS.select(col("vec_id").as("xid"),
+        explode(col("pcells")).as("pc"))
+      .join(bS.select(col("vec_id").as("yid"), col("cell")),
+        col("cell") === col("pc"))
+      .select("xid", "yid")
+    val cbwd = bS.select(col("vec_id").as("yid"),
+        explode(col("pcells")).as("pc"))
+      .join(aS.select(col("vec_id").as("xid"), col("cell")),
+        col("cell") === col("pc"))
+      .select("xid", "yid")
+    (aS, bS, cfwd.unionByName(cbwd).distinct())
+  }
+
   /** Shared oracle CTE: cosine of every embedding against vec 0. */
   private def simsCte(extraCols: String = ""): String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1376,6 +1421,17 @@ object Similarity {
       "ORDER BY anchor_id") { (s, d) =>
       import graft.functions.VectorOps.{cosineWithNorms, norm2}
       val fcs = broadcast(SimilarityFitted.fittedCsFull(s, d))
+      // Multi-eval audit (r15, the bitext ~6x class — measured, NOT
+      // applied): both argmax legs re-read this corpus frame and the
+      // anchor frame, so the assignment kernels do run twice — but a
+      // localCheckpoint lineage cut here measured 0.85 s → 7.0 s
+      // steady-state at sf0.1 (isolated, take-min): the materialized
+      // anchor frame's in-memory stats push the planner off the
+      // anchor-side broadcast onto a sort-merge join keyed by the
+      // 10-value label column, which costs far more than the second
+      // kernel pass. Unlike the bitext side frame (read 6x, joins
+      // keyed on high-cardinality cell/vec_id), this shape wants its
+      // lineage intact. PLANS.md r15 audit note carries the numbers.
       val e = Tables.embeddings(s, d)
         .filter(col("embedding").isNotNull)
         .crossJoin(fcs)
@@ -1509,38 +1565,8 @@ object Similarity {
         "ON bwd.bx = f.xid AND bwd.byid = f.yid " +
         "ORDER BY src_id"
     }) { (s, d) =>
-      import graft.functions.VectorOps.{cosineWithNorms, norm2}
-      val fcs = broadcast(SimilarityFitted.fittedCsBitext(s, d))
-      // localCheckpoint (r14): this frame is read SIX times (both
-      // candidate legs read each side twice, the cosine re-join reads
-      // both sides again) and its pcells column is the |cells|-dot
-      // IvfTopCells kernel — without the lineage cut every reference
-      // re-runs the full assignment pass (differently-aliased subplans
-      // get no ReusedExchange), turning the one-time O(n × cells)
-      // kernel cost into ~6x. One (row, pcells, n2) materialization is
-      // strictly cheaper — the split_leakage_safe discipline.
-      val e = Tables.embeddings(s, d)
-        .filter(col("embedding").isNotNull && col("label").isin(0, 1))
-        .crossJoin(fcs)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          SimilarityFitted.probeCellsArr(col("embedding"), col("cs"))
-            .as("pcells"),
-          norm2(col("embedding")).as("n2"))
-        .withColumn("cell", element_at(col("pcells"), 1))
-        .localCheckpoint(false)
-      val aS = e.filter(col("label") === 0)
-      val bS = e.filter(col("label") === 1)
-      val cfwd = aS.select(col("vec_id").as("xid"),
-          explode(col("pcells")).as("pc"))
-        .join(bS.select(col("vec_id").as("yid"), col("cell")),
-          col("cell") === col("pc"))
-        .select("xid", "yid")
-      val cbwd = bS.select(col("vec_id").as("yid"),
-          explode(col("pcells")).as("pc"))
-        .join(aS.select(col("vec_id").as("xid"), col("cell")),
-          col("cell") === col("pc"))
-        .select("xid", "yid")
-      val cand = cfwd.unionByName(cbwd).distinct()
+      import graft.functions.VectorOps.cosineWithNorms
+      val (aS, bS, cand) = bitextSidesAndCandidates(s, d)
       val cosm = cand
         .join(aS.select(col("vec_id").as("xid"), col("embedding").as("xe"),
           col("n2").as("xn2")), "xid")

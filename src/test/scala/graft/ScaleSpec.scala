@@ -627,27 +627,38 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val prevMpb = spark.conf.get(mpbKey)
     spark.conf.set(mpbKey, (512 * 1024).toString)
-    val (b1, b10) =
-      try (bytes("sim_bitext_mine", d30), bytes("sim_bitext_mine", d300))
-      finally spark.conf.set(mpbKey, prevMpb)
-    val r4 = b10.toDouble / b1
-    info(f"fourth-hop ratio: $b1%,d -> $b10%,d bytes ($r4%.2fx at 10x rows)")
+    // The PINNED quantity is the candidate gate's distinct row COUNT
+    // (r14 verdict item 4): shuffle BYTES at the 300-copy point are
+    // allocator-DEPENDENT — the candidate distinct's map-side hash
+    // partials exceed a 4 GB JVM's execution memory and spill,
+    // emitting less-combined rows, so the same dirs measured 9.83x in
+    // an 8 GB JVM but 20.38x under sbt's 4 GB test JVM (r14 commit
+    // e0f3fc4 had to loosen the byte ceiling to 24x, under which a
+    // real ~2x curvature could hide). Candidate rows are a semantic
+    // property of (corpus, quantizer) — |side| x nProbe x occupancy,
+    // deduped — and reproduce bit-stably in any heap, so the ceiling
+    // returns to the measurement-supported 16x in BOTH JVM sizes.
+    val (c30, c300, b1, b10) =
+      try {
+        val c30 = graft.queries.Similarity
+          .bitextSidesAndCandidates(spark, d30)._3.count()
+        val c300 = graft.queries.Similarity
+          .bitextSidesAndCandidates(spark, d300)._3.count()
+        (c30, c300,
+          bytes("sim_bitext_mine", d30), bytes("sim_bitext_mine", d300))
+      } finally spark.conf.set(mpbKey, prevMpb)
+    val r4 = c300.toDouble / c30
+    info(f"fourth-hop candidate rows: $c30%,d -> $c300%,d " +
+      f"($r4%.2fx at 10x rows)")
+    // byte tally kept INFO-ONLY: useful for eyeballing stage mix, not
+    // assertable past the spill threshold (see above)
+    info(f"fourth-hop shuffle bytes (info-only, heap-dependent): " +
+      f"$b1%,d -> $b10%,d (${b10.toDouble / b1}%.2fx)")
     assert(r4 > 3.0, f"$r4%.2fx implausibly sublinear (measurement broken?)")
-    // Measured 9.83x in an 8 GB JVM and 20.38x in sbt's 4 GB test JVM
-    // — SAME dirs, same plan: at the 300-copy point the candidate
-    // distinct's map-side hash partials exceed the smaller heap's
-    // execution memory and spill, emitting less-combined rows, so the
-    // byte tally stops being allocator-independent exactly here (every
-    // smaller hop, including this test's own 30x base and the 10->100
-    // hop's 12.1x, reproduces bit-stably across both JVMs). The 24x
-    // ceiling tolerates that spill band while still failing loudly on
-    // genuine curvature — a quadratic gate would read >= 50x — and the
-    // LINEARITY claim itself rests on the allocator-free pair
-    // (12.1x, 9.8x).
-    assert(r4 < 24.0,
-      f"sim_bitext_mine fourth hop grew $r4%.2fx — beyond even the " +
-        "spill band: the fitted union gate has curvature, not a " +
-        "constant factor, above ideal-linear")
+    assert(r4 < 16.0,
+      f"sim_bitext_mine fourth hop grew candidates $r4%.2fx — the " +
+        "fitted union gate has curvature, not a constant factor, " +
+        "above ideal-linear")
   }
 
   test("sim_ann_batch marginal retrieval is probe-bounded: warm-fit " +
