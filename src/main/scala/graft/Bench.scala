@@ -161,12 +161,6 @@ object Bench {
     val headline = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(subset)},"sf":"$sfDir","n_queries":${walls.size},"n_failed":$failed,"runs_failed_total":${results.map(_._3).sum},"baseline14_total":${jnum(subTotal)},"baseline14_ref_sec":14.78,"load1_max":${jnum(results.map(_._2._5).foldLeft(-1.0)(math.max))}}"""
     println(headline)
     println(fullLine)
-    // Belt and braces #2 (r13 verdict item 6): sbt's logger prefixes
-    // every STDOUT line with "[info] ", which is what keeps the
-    // driver's strict per-line JSON parse at parsed=null even though
-    // the complete headline sits in the tail — stderr passes through
-    // sbt un-prefixed, so print the headline there too.
-    System.err.println(headline)
     // Belt and braces: sbt prefixes every stdout line with "[info] ", so
     // a strict per-line JSON parse of the captured tail can still fail —
     // persist the same payloads as files next to the build.
@@ -178,6 +172,12 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
     println(headline)
+    // Exactly ONE stderr copy, as the very last statement after
+    // spark.stop() (r14 ADVICE: a consumer expecting one parseable
+    // stderr line must not see duplicates). Note sbt's logger prefixes
+    // stderr lines "[error] " just as it prefixes stdout "[info] "
+    // (verified r14) — under sbt the FILES above are the canonical
+    // artifact; the stderr copy serves plain-java invocations.
     System.err.println(headline)
   }
 }

@@ -254,7 +254,21 @@ object ScaleAudit {
       "(cell, n_ref, n_cur) BIGINT triples (~24 payload bytes/row " +
       "before encoding); the dominant exchange is the one-time shared " +
       "Lloyd fit's input-linear 64-per-vector mean partials (the " +
-      "fittedCsStanding memo, identical to the admission gate's)"))
+      "fittedCsStanding memo, identical to the admission gate's)"),
+    "sim_ann_catalog_served" -> ("catalog-served retrieval (r15): " +
+      "after the once-guarded save (map-only assignment written " +
+      "straight into the managed table — no exchange), serving is a " +
+      "persisted-cell-gated scan joined by the broadcast single-row " +
+      "query probe into TakeOrdered — expect ~flat serving bytes at " +
+      "any corpus size (the save's write is the input-linear part, " +
+      "and it is write-once, not per-query)"),
+    "curation_by_lang" -> ("per-language curation slice (r15): four " +
+      "doc_id-keyed survivor joins over the memoized lineage-cut " +
+      "stage frames + ONE lang-bounded count aggregate + the stack " +
+      "unpivot — the stage frames' own exchanges are charged to the " +
+      "e2e pipeline's audit row (shared memo); this query's marginal " +
+      "shuffle is the ID joins + a |langs|-row aggregate, " +
+      "input-linear in IDs, output-bounded in the report"))
 
   /** The three driver scale factors — two 10× hops. The ratio PAIR
     * separates shapes mechanically: input-linear shows (~10×, ~10×);
