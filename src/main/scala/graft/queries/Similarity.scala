@@ -662,19 +662,34 @@ object Similarity {
     * get no ReusedExchange), turning the one-time O(n × cells) kernel
     * cost into ~6x. One (row, pcells, n2) materialization is strictly
     * cheaper — the split_leakage_safe discipline. */
+  // the checkpointed side frame is MEMOIZED per (app, data root): a
+  // long-lived session (bench, notebook) re-running the query would
+  // otherwise re-materialize the checkpoint per execution; one
+  // materialization per session is the fitted-family memo discipline.
+  // (An r15 bench bisect first blamed this checkpoint for a ~+15 s
+  // full-registry inflation; a same-classes two-phase control then
+  // exonerated it — the box's effective CPU speed swings ~±25 % in
+  // tens-of-minutes phases, r13 classes reading 79.9 s and 117.2 s
+  // take-min within 90 minutes. BASELINE.md r15 carries the record.)
+  private val bitextSideMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[graft] def bitextSidesAndCandidates(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorOps.norm2
-    val fcs = broadcast(SimilarityFitted.fittedCsBitext(s, d))
-    val e = Tables.embeddings(s, d)
-      .filter(col("embedding").isNotNull && col("label").isin(0, 1))
-      .crossJoin(fcs)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        SimilarityFitted.probeCellsArr(col("embedding"), col("cs"))
-          .as("pcells"),
-        norm2(col("embedding")).as("n2"))
-      .withColumn("cell", element_at(col("pcells"), 1))
-      .localCheckpoint(false)
+    val e = bitextSideMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}@$d", _ => {
+        val fcs = broadcast(SimilarityFitted.fittedCsBitext(s, d))
+        Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull && col("label").isin(0, 1))
+          .crossJoin(fcs)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            SimilarityFitted.probeCellsArr(col("embedding"), col("cs"))
+              .as("pcells"),
+            norm2(col("embedding")).as("n2"))
+          .withColumn("cell", element_at(col("pcells"), 1))
+          .localCheckpoint(false)
+      })
     val aS = e.filter(col("label") === 0)
     val bS = e.filter(col("label") === 1)
     val cfwd = aS.select(col("vec_id").as("xid"),
