@@ -136,6 +136,23 @@ object HiveTables {
       .saveAsTable(s"${q(database)}.${q(name)}")
   }
 
+  /** [[writeManaged]] with Spark-native BUCKETING on `bucketCol`: the
+    * serving-index layout — an equality or IN predicate on the bucket
+    * column prunes whole buckets at scan planning (FileSourceStrategy's
+    * bucket set), and two tables bucketed the same way co-locate their
+    * join without an exchange. The frame is repartitioned by the
+    * bucket column first so each bucket lands as ONE file (a bucketed
+    * write without clustering emits tasks × buckets files — the
+    * small-files failure mode); that one clustering shuffle is paid at
+    * write time, the write-once/read-many trade. */
+  def writeManagedBucketed(spark: SparkSession, database: String,
+      name: String, df: DataFrame, buckets: Int,
+      bucketCol: String): Unit =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(s"${q(database)}.${q(name)}")
+
   /** Dynamic-partition overwrite INSERT: only the partitions present
     * in `df` are replaced; all others keep their data — the
     * incremental-load contract (a daily job rewrites yesterday's

@@ -194,11 +194,14 @@ object PlanDump {
       "centroid array, one |cells|-row count groupBy, smoothing " +
       "scalars ride broadcast single-row frames"),
     "sim_ann_catalog_served" -> ("catalog-served retrieval (r15): " +
-      "the persisted cell column gates the managed base-table scan, " +
-      "only the one query row probes against the broadcast persisted " +
-      "centroids — NO refit or corpus reassignment in the plan, " +
-      "TakeOrdered closes it; save is once-guarded, serve is " +
-      "read-many"),
+      "the base table is BUCKETED by cell and the serve scan is " +
+      "gated by a literal probe-cell IN list, so the plan shows " +
+      "SelectedBucketsCount 8 out of 64 — the scan reads " +
+      "~nProbe/buckets of the index at any corpus size; only the one " +
+      "query row probes against the broadcast persisted centroids — " +
+      "NO refit or corpus reassignment in the plan, TakeOrdered " +
+      "closes it; save is once-guarded (one write-time clustering " +
+      "shuffle), serve is read-many"),
     "curation_by_lang" -> ("per-language curation slice (r15): the " +
       "four survivor-ID frames (shared, memoized with the e2e " +
       "pipeline) left-join the corpus on the one doc_id key shape, " +

@@ -256,12 +256,13 @@ object ScaleAudit {
       "Lloyd fit's input-linear 64-per-vector mean partials (the " +
       "fittedCsStanding memo, identical to the admission gate's)"),
     "sim_ann_catalog_served" -> ("catalog-served retrieval (r15): " +
-      "after the once-guarded save (map-only assignment written " +
-      "straight into the managed table — no exchange), serving is a " +
-      "persisted-cell-gated scan joined by the broadcast single-row " +
-      "query probe into TakeOrdered — expect ~flat serving bytes at " +
-      "any corpus size (the save's write is the input-linear part, " +
-      "and it is write-once, not per-query)"),
+      "the once-guarded save clusters the base table into its cell " +
+      "BUCKETS (one input-linear repartition — write-once, paid here " +
+      "because the audit's first touch per dir IS the save); serving " +
+      "itself is a bucket-PRUNED scan (literal probe-cell IN list, " +
+      "~nProbe/64 of the index read) joined by the broadcast " +
+      "single-row query probe into TakeOrdered — the per-query " +
+      "marginal is ~zero shuffle at any corpus size"),
     "curation_by_lang" -> ("per-language curation slice (r15): four " +
       "doc_id-keyed survivor joins over the memoized lineage-cut " +
       "stage frames + ONE lang-bounded count aggregate + the stack " +

@@ -849,16 +849,26 @@ object SimilarityFitted {
     * are [[HiveTables.writeManaged]]'s full-refresh contract: both
     * tables are replaced atomically per saveAsTable, the pair's
     * coherence being the caller's single-writer job exactly as with
-    * epoch dirs. Scale: the base write is the map-only assignment
-    * pass (broadcast centroid array, no shuffle) straight into the
-    * table location; cents is one row. */
+    * epoch dirs.
+    *
+    * Scale (r15): base is BUCKETED by `cell` (and clustered to one
+    * file per bucket via a cell-keyed repartition) — serving gates
+    * the scan with a LITERAL probe-cell IN list, and Spark's bucket
+    * pruning then reads ~nProbe/`buckets` of the index instead of
+    * all of it ([[annTopKFromCatalog]]; CatalogSpec pins
+    * SelectedBucketsCount in the served plan). The clustering
+    * shuffle is paid ONCE at save time — the write-once/read-many
+    * trade every serving index makes; without it a bucketed write
+    * emits (tasks × buckets) files, the small-files failure mode at
+    * any real size. cents is one row. */
   private[graft] def annIndexSaveToCatalog(s: SparkSession, d: String,
-      database: String, prefix: String): Unit = {
+      database: String, prefix: String, buckets: Int = 64): Unit = {
     val fcs = fittedCsFull(s, d)
     HiveTables.writeManaged(s, database, s"${prefix}_cents", fcs)
-    HiveTables.writeManaged(s, database, s"${prefix}_base",
+    HiveTables.writeManagedBucketed(s, database, s"${prefix}_base",
       indexFrameOf(nonNull(Tables.embeddings(s, d))
-        .select("vec_id", "embedding"), fcs))
+        .select("vec_id", "embedding"), fcs),
+      buckets, "cell")
   }
 
   /** Serve top-`k` for corpus query `qid` FROM the catalog-loaded
@@ -868,16 +878,44 @@ object SimilarityFitted {
     * centroids. This is [[fittedTopKWith]]'s dataflow with the fit and
     * the assignment pass replaced by catalog reads, so CatalogSpec's
     * equality witness (served ≡ in-memory fitted path) is exact, not
-    * approximate. */
+    * approximate.
+    *
+    * r15: the probe cells are first resolved to LITERALS (one `head()`
+    * on the single query row — metadata-scale driver values, the same
+    * class as the ledger reads) and the scan is gated with
+    * `cell IN (...)` — a JOIN gate cannot prune buckets, a literal IN
+    * list can, so the bucketed base table's scan touches
+    * ~nProbe/buckets of the index at any corpus size. The candidate
+    * set is identical either way (cells in the probe list); the
+    * broadcast join still carries qv/qn2 to the cosine. */
   private[graft] def annTopKFromCatalog(s: SparkSession,
       database: String, prefix: String, qid: Long, k: Int): DataFrame = {
+    // Spark's DisableUnnecessaryBucketedScan keeps a bucketed scan
+    // only when a JOIN/AGGREGATE consumes the hash distribution — it
+    // does not credit bucket PRUNING, so with the default
+    // autoBucketedScan the serve scan reads every bucket despite the
+    // pushed IN ("Bucketed: false (disabled by query planner)").
+    // A serving session therefore runs with autoBucketedScan off —
+    // the documented Spark recipe for pruning-reliant reads. Session-
+    // level and sticky by necessity: planning happens at the caller's
+    // action, after this function returns. The only other bucketed
+    // consumer in the registry (bucketed_join) is unaffected: its
+    // join IS the interesting operator, so its scan stays bucketed
+    // under either setting.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
     val base = HiveTables.table(s, database, s"${prefix}_base")
     val cents = broadcast(
       HiveTables.table(s, database, s"${prefix}_cents"))
+    val qrow = base.filter(col("vec_id") === qid).crossJoin(cents)
+      .select(probeCellsArr(col("embedding"), col("cs")).as("pcells"))
+      .head()
+    val pcells: Seq[Long] = qrow.getSeq[Long](0)
     val q = broadcast(base.filter(col("vec_id") === qid).crossJoin(cents)
       .select(col("embedding").as("qv"), col("n2").as("qn2"),
         explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell")))
-    base.join(q, col("cell") === col("pcell"))
+    base.filter(col("cell").isin(pcells: _*))
+      .join(q, col("cell") === col("pcell"))
       .select(col("vec_id"),
         cosineWithNorms(col("embedding"), col("qv"),
           col("n2"), col("qn2")).as("sim"))

@@ -351,6 +351,21 @@ class CatalogSpec extends AnyFunSuite {
       assert(served.map(_._1) ==
         SparkEntry.queries("sim_ann_ivf_fitted")(spark, sf)
           .collect().map(_.getLong(0)).toSeq)
+      // r15: serving must BUCKET-PRUNE — the base table is bucketed by
+      // cell and the query gates the scan with a literal probe-cell IN
+      // list, so the planned scan selects only the probe cells'
+      // buckets (at 100 TB this is the difference between reading
+      // ~nProbe/64 of the index and reading all of it)
+      val servedDf = SimilarityFitted
+        .annTopKFromCatalog(spark, "ann_db", "idx", qid = 0L, k = 10)
+      servedDf.collect() // AQE finalizes; bucketed-scan choice is made
+      val servedPlan = servedDf.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(servedPlan)
+      assert(sel.nonEmpty,
+        s"served scan is not bucket-pruned:\n${servedPlan.take(1500)}")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"bucket pruning selected every bucket: ${sel.get.matched}")
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
