@@ -43,7 +43,89 @@ object Bench {
       .waitUntilEmpty(spark.sparkContext, 10000)
     catch { case _: Throwable => () }
 
+  /** INTERLEAVED A/B bench (r15 verdict item 5): the box this suite
+    * benches on has CPU-frequency PHASES (~±25% over tens of minutes,
+    * BASELINE.md round-15 record), so two sequential runs of two trees
+    * measure the phase difference, not the tree difference — r14's
+    * "177→290 s regression" was exactly that artifact. The protocol
+    * that survived the round's 7-run bisect is INTERLEAVING: alternate
+    * the suspect and control trees within one wall-clock window so any
+    * phase shift hits both arms ~equally and the RATIO self-cancels.
+    *
+    * `SPARK_GRAFT_AB_CP=<control classpath>` turns this main into the
+    * orchestrator: it spawns `SPARK_GRAFT_AB_PASSES` (default 3) PAIRS
+    * of child bench JVMs in ABBA order (A = this JVM's classpath, B =
+    * the control's; ABBA cancels linear drift within a pair, the pass
+    * loop cancels slower phases), each child a fresh JVM with this
+    * JVM's own flags and env (minus the AB vars — no recursion), its
+    * totals read back from the BENCH_SELF.json it writes into its own
+    * temp cwd. Output: one `ab_interleaved` JSON line with both arms'
+    * totals, medians, and the b/a ratio — plus BENCH_SELF_AB.json.
+    * All other SPARK_GRAFT_* knobs pass through to the children, so
+    * `SPARK_GRAFT_ONLY=... SPARK_GRAFT_AB_CP=...` A/Bs one query. */
+  private def runAbInterleaved(cpB: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val passes =
+      sys.env.get("SPARK_GRAFT_AB_PASSES").map(_.toInt).getOrElse(3)
+    val cpA = System.getProperty("java.class.path")
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    def one(cp: String, tag: String): (Double, Double, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ab_$tag")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      pb.directory(dir.toFile)
+      pb.environment().remove("SPARK_GRAFT_AB_CP")
+      pb.environment().remove("SPARK_GRAFT_AB_PASSES")
+      pb.redirectOutput(dir.resolve("out.log").toFile)
+      pb.redirectError(dir.resolve("err.log").toFile)
+      val rc = pb.start().waitFor()
+      val self = dir.resolve("BENCH_SELF.json")
+      if (rc != 0 || !java.nio.file.Files.exists(self))
+        (-1.0, -1.0, -1.0)
+      else {
+        val line = java.nio.file.Files.readString(self)
+        def num(k: String): Double =
+          ("\"" + k + "\":(-?[0-9.]+)").r.findFirstMatchIn(line)
+            .map(_.group(1).toDouble).getOrElse(-1.0)
+        (num("value"), num("baseline14_total"), num("load1_max"))
+      }
+    }
+    val runs = (0 until passes).flatMap { i =>
+      val pair = if (i % 2 == 0) Seq("a", "b") else Seq("b", "a")
+      pair.map(t => t -> one(if (t == "a") cpA else cpB, t))
+    }
+    def arm(t: String) = runs.collect { case (`t`, r) => r._1 }
+    def med(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val (as, bs) = (arm("a"), arm("b"))
+    def jarr(xs: Seq[Double]) =
+      xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val (am, bm) = (med(as), med(bs))
+    val ratio = if (am > 0 && bm > 0) bm / am else -1.0
+    // classpaths fingerprinted, not inlined: a wildcard-expanded cp is
+    // tens of KB and would blow the consumer's JSON-line tail window
+    def cpTag(cp: String): String = {
+      val head = cp.takeWhile(_ != java.io.File.pathSeparatorChar)
+      f"$head+${cp.count(_ == java.io.File.pathSeparatorChar)}%d@${cp.hashCode & 0xffffff}%06x"
+    }
+    val line = s"""{"metric":"ab_interleaved","unit":"sec","passes":$passes,"order":"ABBA","a_totals":${jarr(as)},"b_totals":${jarr(bs)},"a_median":${f"$am%.3f"},"b_median":${f"$bm%.3f"},"b_over_a":${f"$ratio%.4f"},"load1_max":${f"${runs.map(_._2._3).foldLeft(-1.0)(math.max)}%.3f"},"a_cp":"${cpTag(cpA)}","b_cp":"${cpTag(cpB)}"}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF_AB.json"), line + "\n")
+    catch { case _: Throwable => () }
+    System.err.println(line)
+  }
+
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_AB_CP") match {
+      case Some(cpB) => runAbInterleaved(cpB); return
+      case None => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

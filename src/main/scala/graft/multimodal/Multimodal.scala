@@ -830,23 +830,21 @@ object Multimodal {
     * checkpoint-backed. Dependencies are resolved BEFORE entering a
     * memo update (nested computeIfAbsent on one map throws
     * "Recursive update" when keys share a bin — the Dedup lesson). */
-  private val pcaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  // r16: graft.SessionMemo — weak per-context outer layer (r15 ADVICE)
+  private val pcaMemo = new graft.SessionMemo[AnyRef]
   // see Dedup.frameMemo: an in-app rewrite routed through
   // Tables.invalidate drops the checkpointed PCA frames for that dir
   // instead of serving stale covariance/axis frames (r10 ADVICE)
   // table-scoped (r11 ADVICE): the PCA pipeline reads documents.parquet
   // only, so a sibling-table rewrite in the dir keeps the fitted frames
   graft.Tables.onInvalidate { path =>
-    val it = pcaMemo.keySet.iterator()
-    while (it.hasNext)
-      if (graft.Tables.keyCoversTables(it.next(), path, Seq("documents")))
-        it.remove()
+    pcaMemo.invalidateKeys(
+      graft.Tables.keyCoversTables(_, path, Seq("documents")))
   }
   private def pcaMemoAt[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
       d: String, stage: String)(build: => T): T =
-    pcaMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}@$d@$stage", _ => build)
+    pcaMemo.getOrCompute(
+      s, s"${s.sparkContext.applicationId}@$d@$stage")(build)
       .asInstanceOf[T]
 
   /** Memoized [[pcaCore]]. */

@@ -78,12 +78,13 @@ object Curation {
   // report and the per-language slice share ONE computation of the
   // expensive chain (LSH components, gram joins) instead of paying it
   // per declared query — the same memo discipline as the fitted index.
-  private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Stages]()
+  // r16: graft.SessionMemo — weak per-context outer layer (r15 ADVICE),
+  // see the class scaladoc for the lifetime + conf-capture contract.
+  private val stageMemo = new graft.SessionMemo[Stages]
 
   private[graft] def stages(s: SparkSession, d: String): Stages =
-    stageMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}@$d", _ => stagesUncached(s, d))
+    stageMemo.getOrCompute(
+      s, s"${s.sparkContext.applicationId}@$d")(stagesUncached(s, d))
 
   private def stagesUncached(s: SparkSession, d: String): Stages = {
     val docs = Tables.documents(s, d)

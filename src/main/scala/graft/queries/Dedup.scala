@@ -453,8 +453,10 @@ object Dedup {
     * never corpus text. The unkeyed builders ([[candidatePairs]],
     * [[nearDupPairs]], [[nearDupComponents]]) stay unmemoized for
     * tests and custom-threshold callers. */
-  private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // r16: graft.SessionMemo — weak per-context outer layer (r15 ADVICE),
+  // same sibling-session sharing as before, but a stopped context's
+  // frames become collectible with it.
+  private val frameMemo = new graft.SessionMemo[DataFrame]
   // Tables.invalidate(path) must drop the derived frames too — a
   // same-tick in-app rewrite of documents would otherwise keep serving
   // stale checkpointed candidate/component frames after the schema memo
@@ -465,15 +467,13 @@ object Dedup {
   // the same dir (embeddings, orders, …) keeps these checkpointed
   // frames — they were not derived from it and are not stale.
   Tables.onInvalidate { path =>
-    val it = frameMemo.keySet.iterator()
-    while (it.hasNext)
-      if (Tables.keyCoversTables(it.next(), path, Seq("documents")))
-        it.remove()
+    frameMemo.invalidateKeys(
+      Tables.keyCoversTables(_, path, Seq("documents")))
   }
   private def memoFrame(s: org.apache.spark.sql.SparkSession, d: String,
       stage: String)(build: => DataFrame): DataFrame =
-    frameMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}@$d@$stage", _ => build)
+    frameMemo.getOrCompute(
+      s, s"${s.sparkContext.applicationId}@$d@$stage")(build)
 
   private def docsOf(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).filter(col("text").isNotNull)

@@ -671,14 +671,17 @@ object Similarity {
   // exonerated it — the box's effective CPU speed swings ~±25 % in
   // tens-of-minutes phases, r13 classes reading 79.9 s and 117.2 s
   // take-min within 90 minutes. BASELINE.md r15 carries the record.)
-  private val bitextSideMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // r16: graft.SessionMemo — weak per-context outer layer, so a test
+  // suite's stopped sessions no longer pin their checkpointed side
+  // frames for the JVM's lifetime (r15 ADVICE; conf-capture contract
+  // documented on the class).
+  private val bitextSideMemo = new graft.SessionMemo[DataFrame]
 
   private[graft] def bitextSidesAndCandidates(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorOps.norm2
-    val e = bitextSideMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}@$d", _ => {
+    val e = bitextSideMemo.getOrCompute(
+      s, s"${s.sparkContext.applicationId}@$d") {
         val fcs = broadcast(SimilarityFitted.fittedCsBitext(s, d))
         Tables.embeddings(s, d)
           .filter(col("embedding").isNotNull && col("label").isin(0, 1))
@@ -689,7 +692,7 @@ object Similarity {
             norm2(col("embedding")).as("n2"))
           .withColumn("cell", element_at(col("pcells"), 1))
           .localCheckpoint(false)
-      })
+      }
     val aS = e.filter(col("label") === 0)
     val bS = e.filter(col("label") === 1)
     val cfwd = aS.select(col("vec_id").as("xid"),

@@ -195,20 +195,18 @@ object SimilarityFitted {
     * frameMemo rule): three declared queries + the streaming admission
     * gate consume the same fit, which costs one n×cells assignment
     * pass. Frames are single-row and checkpoint-backed. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // r16: graft.SessionMemo — weak per-context outer layer (r15 ADVICE)
+  private val memo = new graft.SessionMemo[DataFrame]
   // table-scoped invalidation (r11 ADVICE): the fit reads
   // embeddings.parquet only — a sibling-table rewrite keeps it
   Tables.onInvalidate { path =>
-    val it = memo.keySet.iterator()
-    while (it.hasNext)
-      if (Tables.keyCoversTables(it.next(), path, Seq("embeddings")))
-        it.remove()
+    memo.invalidateKeys(
+      Tables.keyCoversTables(_, path, Seq("embeddings")))
   }
   private def memoAt(s: SparkSession, d: String, stage: String)(
       build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}@$d@$stage", _ => build)
+    memo.getOrCompute(
+      s, s"${s.sparkContext.applicationId}@$d@$stage")(build)
 
   /** Top-`k` retrieval of query `qid` over `ne` under an ARBITRARY
     * fitted centroid-array frame — the index machinery shared by the
@@ -880,14 +878,19 @@ object SimilarityFitted {
     * equality witness (served ≡ in-memory fitted path) is exact, not
     * approximate.
     *
-    * r15: the probe cells are first resolved to LITERALS (one `head()`
-    * on the single query row — metadata-scale driver values, the same
+    * r15: the probe cells are first resolved to LITERALS (one driver
+    * read of the single query row — metadata-scale values, the same
     * class as the ledger reads) and the scan is gated with
     * `cell IN (...)` — a JOIN gate cannot prune buckets, a literal IN
     * list can, so the bucketed base table's scan touches
     * ~nProbe/buckets of the index at any corpus size. The candidate
     * set is identical either way (cells in the probe list); the
-    * broadcast join still carries qv/qn2 to the cosine. */
+    * broadcast join still carries qv/qn2 to the cosine.
+    *
+    * r16: a `qid` absent from the served base table (including the
+    * zero-row corpus) returns the declared EMPTY k-shape — a missing
+    * query vector is a lookup miss, not an error (the r15 `head()`
+    * threw NoSuchElementException; EmptyInputSpec caught it). */
   private[graft] def annTopKFromCatalog(s: SparkSession,
       database: String, prefix: String, qid: Long, k: Int): DataFrame = {
     // Spark's DisableUnnecessaryBucketedScan keeps a bucketed scan
@@ -895,32 +898,138 @@ object SimilarityFitted {
     // does not credit bucket PRUNING, so with the default
     // autoBucketedScan the serve scan reads every bucket despite the
     // pushed IN ("Bucketed: false (disabled by query planner)").
-    // A serving session therefore runs with autoBucketedScan off —
-    // the documented Spark recipe for pruning-reliant reads. Session-
-    // level and sticky by necessity: planning happens at the caller's
-    // action, after this function returns. The only other bucketed
-    // consumer in the registry (bucketed_join) is unaffected: its
-    // join IS the interesting operator, so its scan stays bucketed
-    // under either setting.
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
-    val base = HiveTables.table(s, database, s"${prefix}_base")
+    // Serving therefore plans with autoBucketedScan off — the
+    // documented Spark recipe for pruning-reliant reads. Because
+    // planning happens at the caller's action, after this function
+    // returns, the setting cannot be snapshot/restored here; r16
+    // scopes it to a dedicated SERVING SESSION (same SparkContext and
+    // shared Hive catalog, own SessionState) so the caller's session
+    // conf is never mutated — CatalogSpec pins that a bucketed_join
+    // planned after a serve in the same root session still consumes
+    // bucketed scans.
+    val sv = servingSession(s)
+    val base = HiveTables.table(sv, database, s"${prefix}_base")
     val cents = broadcast(
-      HiveTables.table(s, database, s"${prefix}_cents"))
-    val qrow = base.filter(col("vec_id") === qid).crossJoin(cents)
-      .select(probeCellsArr(col("embedding"), col("cs")).as("pcells"))
-      .head()
-    val pcells: Seq[Long] = qrow.getSeq[Long](0)
+      HiveTables.table(sv, database, s"${prefix}_cents"))
+    val pcells: Seq[Long] =
+      base.filter(col("vec_id") === qid).crossJoin(cents)
+        .select(probeCellsArr(col("embedding"), col("cs")).as("pcells"))
+        .collect().headOption
+        .map(_.getSeq[Long](0)).getOrElse(Seq.empty)
+    // empty probe list (qid miss / empty corpus) ⇒ a false gate: the
+    // same plan shape, zero candidate rows, the declared empty k-shape
+    val gate = if (pcells.nonEmpty) col("cell").isin(pcells: _*)
+               else lit(false)
     val q = broadcast(base.filter(col("vec_id") === qid).crossJoin(cents)
       .select(col("embedding").as("qv"), col("n2").as("qn2"),
         explode(probeCellsArr(col("embedding"), col("cs"))).as("pcell")))
-    base.filter(col("cell").isin(pcells: _*))
+    base.filter(gate)
       .join(q, col("cell") === col("pcell"))
       .select(col("vec_id"),
         cosineWithNorms(col("embedding"), col("qv"),
           col("n2"), col("qn2")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Per-root-session SERVING session memo: catalog serving plans
+    * under `autoBucketedScan=false` (see [[annTopKFromCatalog]]), and
+    * that must not leak into the caller's session — Spark's
+    * session-conf is the only way to reach the planner at the
+    * consumer's action time, so the serve gets its OWN session
+    * (shared SparkContext + Hive external catalog, private
+    * SessionState/conf). Weak keys: entries die with their root
+    * session, so stopped-context frames never accumulate (the
+    * Catalog.viewsDir discipline). Runtime conf is re-synced from the
+    * root on every call (modifiable keys only) so axis sweeps that
+    * flip session conf mid-process reach the serving planner too. */
+  private val serveSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+  private[graft] def servingSession(s: SparkSession): SparkSession = {
+    val sv = serveSessions.synchronized {
+      Option(serveSessions.get(s)).getOrElse {
+        val ns = s.newSession()
+        serveSessions.put(s, ns)
+        ns
+      }
+    }
+    s.conf.getAll.foreach { case (kk, vv) =>
+      scala.util.Try(sv.conf.set(kk, vv)) // static keys refuse: keep
+    }
+    sv.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    sv
+  }
+
+  /** Ensure the fitted index is persisted as managed catalog tables
+    * for data root `d` and return the serving DATABASE name. The name
+    * mirrors [[Catalog.scratch]]'s scheme (r15 ADVICE): the sanitized
+    * sf BASENAME plus the full-dir fingerprint — a bare 24-bit hash
+    * could collide across distinct roots, and because [[Catalog.once]]
+    * keys on the FULL dir, both roots would then save into the one db
+    * whose `CREATE DATABASE IF NOT EXISTS` kept the FIRST location:
+    * the first root would silently serve the second root's overwritten
+    * index. Basename + fingerprint makes distinct roots distinct dbs
+    * by construction. The db is LOCATED under the per-process Catalog
+    * scratch tree (see the sim_ann_catalog_served Decl comment for why
+    * a fixed warehouse path cannot work), and the save is once-guarded
+    * per (app, root): reruns serve, they don't re-save. */
+  private[graft] def annCatalogEnsure(s: SparkSession, d: String): String = {
+    val sf = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9]", "_")
+    val db = f"graft_ann_${sf}_${d.hashCode & 0xffffff}%06x"
+    Catalog.once(s, d, s"annCatalogSave@$db") {
+      val loc = Catalog.scratch(d, "ann_catalog")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      annIndexSaveToCatalog(s, d, db, "idx")
+    }
+    db
+  }
+
+  /** [[annCatalogEnsure]] plus the ARRIVALS side: the vec_id % 10 = 3
+    * slice assigned under the SAME fitted centroids, persisted as
+    * `{prefix}_arr` with the IDENTICAL bucket spec as `{prefix}_base`
+    * (64 buckets on `cell`, one clustered file per bucket) — the
+    * co-bucketed pair [[annCobucketedCandidates]] joins exchange-free.
+    * Returns the database name. */
+  private[graft] def annCatalogEnsureArr(s: SparkSession,
+      d: String): String = {
+    val db = annCatalogEnsure(s, d)
+    Catalog.once(s, d, s"annCatalogSaveArr@$db") {
+      HiveTables.writeManagedBucketed(s, db, "idx_arr",
+        indexFrameOf(
+          Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+            .select("vec_id", "embedding"),
+          fittedCsFull(s, d)),
+        buckets = 64, bucketCol = "cell")
+    }
+    db
+  }
+
+  /** Candidate generation served ENTIRELY from the catalog over the
+    * co-bucketed pair: `{prefix}_arr` (arrivals) joins `{prefix}_base`
+    * (standing index) on `cell` — both tables bucketed 64 ways on the
+    * join key, so with broadcast off the sort-merge join consumes the
+    * two scans' hash distribution directly: ZERO shuffle Exchange on
+    * `cell` at any corpus size (CatalogSpec pins it on the executed
+    * plan). Self-pairs are excluded after the using-join (Catalyst
+    * folds the predicate into the join condition); the only remaining
+    * exchange is the per-arrival aggregate, output-bounded by the
+    * arrival count with map-side partials. Per arrival: candidate
+    * count and best exact cosine over stored norms. */
+  private[graft] def annCobucketedCandidates(s: SparkSession,
+      database: String, prefix: String = "idx"): DataFrame = {
+    val base = HiveTables.table(s, database, s"${prefix}_base")
+    val arr = HiveTables.table(s, database, s"${prefix}_arr")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("n2").as("qn2"), col("cell"))
+    arr.join(base, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        cosineWithNorms(col("embedding"), col("qv"),
+          col("n2"), col("qn2")).as("sim"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_cand"), max(col("sim")).as("best_sim"))
+      .orderBy("qid")
   }
 
   /** Bootstrap the persisted index from the standing corpus: its
@@ -1456,13 +1565,38 @@ ORDER BY n.vec_id""") { (s, d) =>
     // serve, they don't re-save — exactly the production shape:
     // write once, read many).
     Decl("sim_ann_catalog_served", annIvfFittedOracle) { (s, d) =>
-      val db = f"graft_ann_${d.hashCode & 0xffffff}%06x"
-      Catalog.once(s, d, s"annCatalogSave@$db") {
-        val loc = Catalog.scratch(d, "ann_catalog")
-        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-        annIndexSaveToCatalog(s, d, db, "idx")
-      }
-      annTopKFromCatalog(s, db, "idx", qid = 0L, k = 10)
+      annTopKFromCatalog(s, annCatalogEnsure(s, d), "idx",
+        qid = 0L, k = 10)
+    },
+
+    // CO-BUCKETED two-index join serving (r15 verdict "what's
+    // missing" item 1): the natural completion of the bucketed
+    // catalog index — a SECOND table (the arriving slice's
+    // assignments under the SAME fitted centroids) persisted with the
+    // IDENTICAL bucket spec (64 buckets on `cell`), so the candidate
+    // join between arrivals and the standing index consumes both
+    // scans' hash distribution directly: ZERO shuffle Exchange on the
+    // join key at ANY corpus size (CatalogSpec pins it on the
+    // executed plan with broadcast off). This is the admission gate's
+    // candidate generation served entirely from the catalog — the
+    // write-time clustering shuffle paid once, every subsequent batch
+    // join exchange-free; the only remaining exchange is the
+    // output-bounded per-arrival aggregate. Candidates are same-cell
+    // rows (≈ occupancy ~32 per arrival — input-linear), self-pairs
+    // excluded; per arrival the count and the best exact cosine.
+    // Arrivals whose cell holds no OTHER vector produce no row (inner
+    // join semantics, mirrored by the oracle's join).
+    Decl("sim_ann_cobucketed_candidates",
+      s"""WITH ${fittedCtes("")},
+b AS (SELECT vec_id, embedding, ${cellSqlOf("embedding")} AS cell
+      FROM nef),
+a AS (SELECT vec_id, embedding, cell FROM b WHERE vec_id % 10 = 3),
+j AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+    ${cosLSql("b.embedding", "a.embedding")} AS sim
+  FROM a JOIN b ON b.cell = a.cell AND b.vec_id <> a.vec_id)
+SELECT qid, COUNT(*) AS n_cand, MAX(sim) AS best_sim
+FROM j GROUP BY qid ORDER BY qid""") { (s, d) =>
+      annCobucketedCandidates(s, annCatalogEnsureArr(s, d))
     },
 
     // BATCHED-probe retrieval on the fitted index (r13 verdict item

@@ -435,4 +435,173 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog serving never mutates the caller's session (r15 verdict " +
+    "item 3): a bucketed_join planned AFTER a serve in the same root " +
+    "session still consumes bucketed scans; degenerate serve inputs " +
+    "(qid miss, rows < buckets, single-cell corpus) return, not throw") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = HiveTables.session(appName = "graft-annserve-spec",
+      metastoreUris = None, master = "local[2]",
+      localBase = "/root/repo/target/hive_annserve")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      import graft.queries.SimilarityFitted
+      val sf = "/root/testdata/sf0.001"
+      spark.sql("CREATE DATABASE IF NOT EXISTS srv_db")
+      SimilarityFitted.annIndexSaveToCatalog(spark, sf, "srv_db", "idx")
+
+      // serve once — r15 set autoBucketedScan=false on the ROOT session
+      // as a side effect here; r16 scopes it to a child serving session
+      val served = SimilarityFitted
+        .annTopKFromCatalog(spark, "srv_db", "idx", qid = 0L, k = 10)
+      assert(served.collect().length == 10)
+      assert(spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true",
+        "serving must not flip the root session's autoBucketedScan conf")
+      // and the serving session still bucket-prunes (the reason the
+      // conf exists at all)
+      assert(served.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"))
+
+      // the sticky-conf interaction pinned as a plan, not prose: a
+      // bucketed join planned in the SAME root session after the serve
+      // must still be exchange-free on bucketed scans
+      spark.sql("DROP TABLE IF EXISTS srv_db.orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS srv_db.cust_bkt")
+      Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable("srv_db.orders_bkt")
+      Tables.customer(spark, sf)
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable("srv_db.cust_bkt")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = spark.table("srv_db.orders_bkt")
+          .join(spark.table("srv_db.cust_bkt"),
+            col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"),
+          s"post-serve bucketed join must not shuffle:\n$plan")
+        assert(plan.contains("Bucketed: true"),
+          s"post-serve join must consume BUCKETED scans:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+
+      // degenerate serve inputs (r15 verdict item 7) — the adjacent
+      // cases to EmptyInputSpec's zero-row corpus, same contract: a
+      // lookup miss or a pathological layout degrades, never throws
+      // (a) qid absent from a NON-empty corpus → the empty k-shape
+      val miss = SimilarityFitted
+        .annTopKFromCatalog(spark, "srv_db", "idx", qid = 9999999L, k = 10)
+      assert(miss.columns.toSeq == Seq("vec_id", "sim"))
+      assert(miss.count() == 0)
+      // (b) rows < buckets: a 40-row corpus under the 64-bucket spec —
+      // most buckets empty, serve must still match the in-memory path
+      val deg = new java.io.File("target/ann_degenerate").getAbsolutePath
+      spark.read.parquet(s"$sf/embeddings.parquet").limit(40)
+        .write.mode("overwrite").parquet(s"$deg/tiny/embeddings.parquet")
+      spark.sql("CREATE DATABASE IF NOT EXISTS srv_tiny")
+      SimilarityFitted.annIndexSaveToCatalog(
+        spark, s"$deg/tiny", "srv_tiny", "idx")
+      val tinyServed = SimilarityFitted
+        .annTopKFromCatalog(spark, "srv_tiny", "idx", qid = 0L, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val tinyInMem = SimilarityFitted.fittedTopKWith(
+        Tables.embeddings(spark, s"$deg/tiny")
+          .filter(col("embedding").isNotNull),
+        SimilarityFitted.fittedCsFull(spark, s"$deg/tiny"),
+        qid = 0L, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(tinyServed.nonEmpty && tinyServed == tinyInMem,
+        s"rows<buckets serve diverged: $tinyServed vs $tinyInMem")
+      // (c) every vector in ONE cell (identical embeddings): the fit
+      // collapses to a single centroid, all candidates share its
+      // bucket — serve returns the full top-k, sims all 1.0
+      val one = spark.read.parquet(s"$sf/embeddings.parquet").limit(40)
+        .select(col("vec_id"),
+          first(col("embedding")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy("vec_id").rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow))
+            .as("embedding"))
+      one.write.mode("overwrite").parquet(s"$deg/one/embeddings.parquet")
+      spark.sql("CREATE DATABASE IF NOT EXISTS srv_one")
+      SimilarityFitted.annIndexSaveToCatalog(
+        spark, s"$deg/one", "srv_one", "idx")
+      val oneServed = SimilarityFitted
+        .annTopKFromCatalog(spark, "srv_one", "idx", qid = 0L, k = 10)
+        .collect()
+      assert(oneServed.length == 10, "single-cell corpus must serve k")
+      assert(oneServed.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("co-bucketed two-index serving (r15 verdict missing item 1): " +
+    "arrivals and standing index persisted under the IDENTICAL bucket " +
+    "spec join with ZERO shuffle Exchange on the join key") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = HiveTables.session(appName = "graft-cobkt-spec",
+      metastoreUris = None, master = "local[2]",
+      localBase = "/root/repo/target/hive_cobkt")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      import graft.queries.SimilarityFitted
+      val sf = "/root/testdata/sf0.001"
+      val db = SimilarityFitted.annCatalogEnsureArr(spark, sf)
+      // both tables carry the identical 64-bucket spec on `cell`
+      Seq("idx_base", "idx_arr").foreach { t =>
+        val bspec = spark.sharedState.externalCatalog
+          .getTable(db, t).bucketSpec
+        assert(bspec.exists(b => b.numBuckets == 64 &&
+          b.bucketColumnNames == Seq("cell")),
+          s"$t bucket spec: $bspec")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val cand = SimilarityFitted.annCobucketedCandidates(spark, db)
+        val rows = cand.collect()
+        assert(rows.nonEmpty, "sf0.001 arrivals must yield candidates")
+        // the candidate JOIN consumes the co-bucketed distribution:
+        // no ShuffleExchange anywhere BELOW the SortMergeJoin — the
+        // only exchanges in the whole plan serve the output-bounded
+        // per-arrival aggregate and the final sort
+        val exec = cand.queryExecution.executedPlan
+        val smjs = exec.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        assert(smjs.nonEmpty,
+          s"expected a sort-merge join:\n${exec.toString.take(1500)}")
+        val exchBelowJoin = smjs.flatMap(_.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        })
+        assert(exchBelowJoin.isEmpty,
+          s"co-bucketed join must not shuffle its inputs:\n$exec")
+        assert(exec.toString.contains("Bucketed: true"),
+          s"join must consume BUCKETED scans:\n${exec.toString.take(1500)}")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
 }
