@@ -67,7 +67,15 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val passes =
       sys.env.get("SPARK_GRAFT_AB_PASSES").map(_.toInt).getOrElse(3)
-    val cpA = System.getProperty("java.class.path")
+    // children run from their own temp cwd, so RELATIVE classpath
+    // entries (a plain `-cp target/...` invocation) would resolve to
+    // nothing there — absolutize every entry against this JVM's cwd
+    // (wildcard entries pass through File unchanged)
+    def absCp(cp: String): String = cp
+      .split(java.io.File.pathSeparatorChar)
+      .map(e => new java.io.File(e).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
+    val cpA = absCp(System.getProperty("java.class.path"))
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
@@ -75,7 +83,8 @@ object Bench {
     def one(cp: String, tag: String): (Double, Double, Double) = {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_ab_$tag")
       val pb = new ProcessBuilder(
-        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+        (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", absCp(cp), "graft.Bench")).asJava)
       pb.directory(dir.toFile)
       pb.environment().remove("SPARK_GRAFT_AB_CP")
       pb.environment().remove("SPARK_GRAFT_AB_PASSES")

@@ -206,7 +206,15 @@ object PlanDump {
       "four survivor-ID frames (shared, memoized with the e2e " +
       "pipeline) left-join the corpus on the one doc_id key shape, " +
       "membership flags aggregate in a single lang-bounded groupBy, " +
-      "stack() unpivots — rows = stages x langs, output-bounded"))
+      "stack() unpivots — rows = stages x langs, output-bounded"),
+    "sim_ann_cobucketed_candidates" -> ("co-bucketed two-index join " +
+      "serving (r16): arrivals and the standing index are persisted " +
+      "under the IDENTICAL 64-bucket cell spec, so the candidate " +
+      "join consumes both bucketed scans' hash distribution — no " +
+      "exchange on the join key (with broadcast the small arrivals " +
+      "side rides a BroadcastHashJoin instead; either way the scans " +
+      "shuffle nothing) — and the only exchanges serve the " +
+      "per-arrival count/best-cosine aggregate and the output sort"))
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

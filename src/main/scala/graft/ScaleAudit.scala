@@ -263,6 +263,16 @@ object ScaleAudit {
       "~nProbe/64 of the index read) joined by the broadcast " +
       "single-row query probe into TakeOrdered — the per-query " +
       "marginal is ~zero shuffle at any corpus size"),
+    "sim_ann_cobucketed_candidates" -> ("co-bucketed two-index join " +
+      "serving (r16): the once-guarded saves cluster BOTH tables " +
+      "(standing index + arrivals) into the identical 64-bucket cell " +
+      "spec — two input-linear write-time repartitions, paid here " +
+      "because the audit's first touch per dir IS the save; the " +
+      "candidate join itself consumes the co-bucketed distribution " +
+      "with ZERO exchange on the join key (CatalogSpec pins the " +
+      "executed plan), so the per-batch marginal is the per-arrival " +
+      "aggregate (narrow count/max partials with map-side combine, " +
+      "arrival-linear rows) + the output sort"),
     "curation_by_lang" -> ("per-language curation slice (r15): four " +
       "doc_id-keyed survivor joins over the memoized lineage-cut " +
       "stage frames + ONE lang-bounded count aggregate + the stack " +

@@ -8,17 +8,18 @@ import org.apache.spark.sql.SparkSession
   * (Dedup.frameMemo, Similarity.bitextSideMemo, Curation.stageMemo,
   * Multimodal's and SimilarityFitted's stage memos).
   *
-  * Why an outer WEAK layer (r15 ADVICE): a flat
+  * Why an outer per-context layer (r15 ADVICE): a flat
   * `ConcurrentHashMap[String, DataFrame]` keyed by
   * `applicationId@dir@stage` holds strong references for the JVM's
   * lifetime, so entries referencing STOPPED SparkContexts accumulate —
   * a test suite that builds many sessions retains every dead context's
   * checkpointed frames (and through each DataFrame, its whole
-  * SessionState). Keying the outer map weakly by [[SparkContext]]
-  * keeps today's sharing semantics exactly — all sibling
-  * `newSession()`s of one context share entries, two contexts never
-  * do — while a stopped, dereferenced context's whole entry set
-  * becomes collectible with it.
+  * SessionState). Scoping the outer map by [[SparkContext]] keeps
+  * today's sharing semantics exactly — all sibling `newSession()`s of
+  * one context share entries, two contexts never do — and the
+  * stopped-context sweep in [[inner]] makes a dead context's whole
+  * entry set collectible (the weak keys alone cannot: see the sweep's
+  * scaladoc for the value→key self-pinning trap).
   *
   * The inner keys keep the established `applicationId@dir@stage`
   * format: [[Tables.keyCoversTables]]/[[Tables.keyCoversPath]] parse
@@ -41,9 +42,23 @@ final class SessionMemo[V] {
     new java.util.WeakHashMap[SparkContext,
       java.util.concurrent.ConcurrentHashMap[String, V]]())
 
+  /** Deterministic eviction of dead contexts' entries. The weak keys
+    * alone CANNOT collect them: a memoized DataFrame references its
+    * SparkSession, which references the SparkContext — the value chain
+    * strongly reaches the key, the documented WeakHashMap self-pinning
+    * case. Explicitly dropping stopped contexts' inner maps breaks
+    * that chain, after which everything is ordinarily collectible.
+    * Called on every lookup — the outer map holds a handful of
+    * contexts at most, so the sweep is O(contexts), not O(entries). */
+  private def sweepStopped(): Unit = outer.synchronized {
+    val it = outer.keySet.iterator()
+    while (it.hasNext) if (it.next().isStopped) it.remove()
+  }
+
   private def inner(
       sc: SparkContext): java.util.concurrent.ConcurrentHashMap[String, V] =
     outer.synchronized {
+      sweepStopped()
       Option(outer.get(sc)).getOrElse {
         val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
         outer.put(sc, m)

@@ -82,4 +82,31 @@ class TablesInvalidateSpec extends AnyFunSuite with SparkSuite {
     assert(before != after,
       "PCA fit unchanged after the corpus was rewritten + invalidated")
   }
+
+  test("SessionMemo: sibling sessions of one context share entries, " +
+    "invalidateKeys is predicate-scoped, failed computes don't poison") {
+    val m = new SessionMemo[String]
+    var builds = 0
+    def build(v: String): String = { builds += 1; v }
+    assert(m.getOrCompute(spark, "k1")(build("v1")) == "v1")
+    // same context, same key: memoized (a sibling newSession shares —
+    // the Dedup.frameMemo contract: checkpoint blocks are app-wide)
+    val sibling = spark.newSession()
+    assert(m.getOrCompute(sibling, "k1")(build("OTHER")) == "v1")
+    assert(builds == 1)
+    // predicate invalidation drops exactly the matching keys
+    assert(m.getOrCompute(spark, "k2")(build("v2")) == "v2")
+    m.invalidateKeys(_ == "k1")
+    assert(m.getOrCompute(spark, "k2")(build("OTHER")) == "v2",
+      "non-matching key must survive invalidateKeys")
+    assert(m.getOrCompute(spark, "k1")(build("v1b")) == "v1b",
+      "matching key must recompute after invalidateKeys")
+    // computeIfAbsent contract: a THROWING compute records nothing,
+    // the next call retries (the Catalog.once poisoning rule)
+    intercept[RuntimeException] {
+      m.getOrCompute(spark, "k3")(throw new RuntimeException("boom"))
+    }
+    assert(m.getOrCompute(spark, "k3")(build("v3")) == "v3",
+      "a failed compute must not poison the key")
+  }
 }
