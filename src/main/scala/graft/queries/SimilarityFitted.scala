@@ -974,11 +974,36 @@ object SimilarityFitted {
     * scratch tree (see the sim_ann_catalog_served Decl comment for why
     * a fixed warehouse path cannot work), and the save is once-guarded
     * per (app, root): reruns serve, they don't re-save. */
+  /** Recursively delete an orphaned scratch dir left by a STOPPED
+    * SparkContext of this same process. [[Catalog.once]] keys on
+    * applicationId while [[Catalog.scratch]] keys on the process pid,
+    * so a fresh context in one JVM re-enters the save guards with the
+    * previous context's managed-table dirs still on disk — and a
+    * managed CTAS refuses an existing location (LOCATION_ALREADY_
+    * EXISTS). Safe by construction: one JVM holds at most one LIVE
+    * SparkContext, so a leftover under this process's scratch tree can
+    * only belong to a dead one. */
+  private def wipeOrphan(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) scala.util.Try {
+      import java.nio.file._
+      import scala.jdk.CollectionConverters._
+      Files.walk(f.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   private[graft] def annCatalogEnsure(s: SparkSession, d: String): String = {
     val sf = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9]", "_")
     val db = f"graft_ann_${sf}_${d.hashCode & 0xffffff}%06x"
     Catalog.once(s, d, s"annCatalogSave@$db") {
       val loc = Catalog.scratch(d, "ann_catalog")
+      // a catalog that does NOT know the db cannot own files at its
+      // location: they are a dead context's leftovers — wipe before
+      // the managed CTAS (which refuses existing locations). A catalog
+      // that DOES know the db (persistent Derby metastore) takes the
+      // normal overwrite path, which drops and recreates cleanly.
+      if (!s.catalog.databaseExists(db)) wipeOrphan(loc)
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       annIndexSaveToCatalog(s, d, db, "idx")
     }
@@ -995,6 +1020,12 @@ object SimilarityFitted {
       d: String): String = {
     val db = annCatalogEnsure(s, d)
     Catalog.once(s, d, s"annCatalogSaveArr@$db") {
+      // same orphan hazard as annCatalogEnsure, for the arr table
+      // alone: the db may exist (a persistent metastore) while the
+      // in-catalog arr table is gone but its dir survives a dead
+      // same-process context
+      if (!s.catalog.tableExists(s"$db.idx_arr"))
+        wipeOrphan(s"${Catalog.scratch(d, "ann_catalog")}/idx_arr")
       HiveTables.writeManagedBucketed(s, db, "idx_arr",
         indexFrameOf(
           Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3)

@@ -604,4 +604,57 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog ANN save survives a dead context's on-disk leftovers " +
+    "(r16: LOCATION_ALREADY_EXISTS repair — Catalog.once is per-appId, " +
+    "scratch dirs are per-process)") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = HiveTables.session(appName = "graft-annwipe-spec",
+      metastoreUris = None, master = "local[2]",
+      localBase = "/root/repo/target/hive_annwipe")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      // a COPY of sf0.001 gives this scenario its own data root → its
+      // own db name, scratch location and untouched Catalog.once keys
+      val src = Paths.get("/root/testdata/sf0.001")
+      val root = Files.createTempDirectory("graft_annwipe")
+      val d = root.resolve("sf0.001")
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = d.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+      // simulate the failing state the suite sweeps hit: a STOPPED
+      // same-process context already wrote the managed tables, so the
+      // dirs exist on disk while THIS catalog knows nothing of the db
+      val loc = Catalog.scratch(d.toString, "ann_catalog")
+      Files.createDirectories(Paths.get(s"$loc/idx_cents"))
+      Files.writeString(Paths.get(s"$loc/idx_cents/leftover"), "junk")
+      // pre-fix this threw LOCATION_ALREADY_EXISTS from the managed CTAS
+      val db = graft.queries.SimilarityFitted
+        .annCatalogEnsure(spark, d.toString)
+      assert(HiveTables.tables(spark, db).toSet
+        .intersect(Set("idx_base", "idx_cents")).size == 2)
+      // arr leg: the db now exists, so plant an orphan dir for idx_arr
+      // alone — the table-level repair must fire
+      Files.createDirectories(Paths.get(s"$loc/idx_arr"))
+      Files.writeString(Paths.get(s"$loc/idx_arr/leftover"), "junk")
+      val db2 = graft.queries.SimilarityFitted
+        .annCatalogEnsureArr(spark, d.toString)
+      assert(db2 == db)
+      assert(HiveTables.tables(spark, db).contains("idx_arr"))
+      // and the served query over the repaired save still answers
+      assert(graft.queries.SimilarityFitted
+        .annTopKFromCatalog(spark, db, "idx", qid = 0L, k = 5)
+        .count() == 5)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
 }
