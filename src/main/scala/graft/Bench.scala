@@ -143,7 +143,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOGLEVEL=INFO: per-job forensics (DAGScheduler "took"
+    // lines, codegen compile times) for isolated profiling runs; the
+    // driver harness leaves it unset (WARN).
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     val clock = new TaskClock
     spark.sparkContext.addSparkListener(clock)
     // a failed query must read as -1, not as a (misleadingly fast)

@@ -160,6 +160,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Scale-adaptive read parallelism for CPU-heavy per-row pipelines
+    * (MinHash signatures, shingle hashing, n×cells centroid
+    * assignment): a test-scale table is a single small parquet file —
+    * one row group, hence ONE scan task no matter how small
+    * `maxPartitionBytes` goes — which serializes the kernel map on a
+    * single core. A production table spans many files/row groups, so
+    * the guard below is false there and NO exchange is added; under
+    * it, the round-robin repartition moves only the rows the pass
+    * must read anyway (guide §2.5 input skew: "one huge unsplittable
+    * file … repartition immediately after the read"). Keyless
+    * repartition is retry-deterministic (sortBeforeRepartition stays
+    * on), and callers are restricted to order-independent consumers
+    * (exact decimal aggregates, distinct, min/max-keyed groupings).
+    * NOT applied to serving/scan-shaped queries whose zero-exchange
+    * plans are pinned — this is for the heavy derivation pipelines
+    * only. */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
+  }
+
   /** `events.ts` has shipped in two parquet encodings across fixture
     * generations, so the loader normalizes both to a session-tz
     * `TimestampType` column (all downstream queries and the DuckDB

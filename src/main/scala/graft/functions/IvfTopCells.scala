@@ -91,14 +91,61 @@ object IvfTopCells {
     c > 0 || (c == 0 && c1 < c2)
   }
 
+  /** Plain-double dot as a SELECTION BOUND for [[topk]]'s skip guard:
+    * fills `out(0)` = recursive double sum of the exact per-term
+    * products, `out(1)` = the sum of their absolute values (the error
+    * budget); returns false when any element is null (the caller must
+    * null the whole result — same contract the exact dot enforces).
+    * Each term `fl(x·y)` of two floats is EXACT in double (24+24
+    * mantissa bits < 53), so the only estimate error is summation
+    * order: |est − Σp| ≤ (n−1)·ε·Σ|p|. */
+  private def estimateDot(a: ArrayData, b: ArrayData,
+      out: Array[Double]): Boolean = {
+    val n = a.numElements()
+    var s = 0.0
+    var sa = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      s += p
+      sa += Math.abs(p)
+      i += 1
+    }
+    out(0) = s
+    out(1) = sa
+    true
+  }
+
   /** Shared by interpreted eval and generated code. Returns the top-k
-    * cid array (best first), or null per the expression's contract. */
+    * cid array (best first), or null per the expression's contract.
+    *
+    * Skip guard (r16): once the k-slot buffer is full, a centroid whose
+    * PLAIN double dot sits provably below the current k-th exact dot
+    * cannot enter the buffer (nor tie it — ties need exact equality),
+    * so the exact decimal dot is computed only for competitive
+    * centroids. The bound is rigorous, not heuristic: per-term products
+    * are exact in double, the estimate's summation error is
+    * ≤ (n−1)·ε·Σ|p|, the exact dot's distance from Σp is the per-term
+    * scale-12 quantization (≤ n·5e-13) plus its final decimal→double
+    * widening (≤ 1 ulp) — all covered with slack by `eps` below, and
+    * the guard only fires when Σ|p| < 1e12, far below the DECIMAL
+    * overflow limits, so a skipped centroid can never be one the exact
+    * path would have errored on. Output is BIT-IDENTICAL to the
+    * guard-free loop (IvfTopCellsSpec pins kernel ≡ declarative sort,
+    * including forced bit-equal ties, which the strict inequality
+    * never skips). Assignment/probe passes over occupancy-scaled cell
+    * counts spend ~all their time here, so skipping the decimal
+    * arithmetic for the non-competitive majority is the fitted
+    * family's single biggest win. */
   def topk(emb: ArrayData, cents: ArrayData, k: Int): ArrayData = {
     val n = cents.numElements()
     val kk = math.min(k, n)
     if (kk <= 0) return new GenericArrayData(Array.empty[Long])
     val ds = new Array[Double](kk)
     val ids = new Array[Long](kk)
+    val est = new Array[Double](2)
+    val nd = emb.numElements()
     var m = 0
     var i = 0
     while (i < n) {
@@ -106,17 +153,35 @@ object IvfTopCells {
       val st = cents.getStruct(i, 2)
       if (st.isNullAt(0) || st.isNullAt(1)) return null
       val cid = st.getLong(0)
-      val d = DecimalDot.dot(emb, st.getArray(1))
-      if (d == null) return null
-      val dv = d.doubleValue()
-      var pos = m
-      while (pos > 0 && isBefore(dv, cid, ds(pos - 1), ids(pos - 1))) pos -= 1
-      if (pos < kk) {
-        var j = math.min(m, kk - 1)
-        while (j > pos) { ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1 }
-        ds(pos) = dv
-        ids(pos) = cid
-        if (m < kk) m += 1
+      val cv = st.getArray(1)
+      var skip = false
+      if (m == kk && nd == cv.numElements()) {
+        // estimateDot also performs the null-element walk the exact
+        // dot would have done, so the null contract is preserved
+        if (!estimateDot(emb, cv, est)) return null
+        val e = est(0)
+        val sa = est(1)
+        if (sa < 1e12 && !java.lang.Double.isNaN(e)) {
+          val kth = ds(kk - 1)
+          val eps = nd * 5e-13 + nd * 4.6e-16 * sa +
+            2 * Math.ulp(Math.max(Math.abs(kth), Math.abs(e)))
+          if (e < kth - 2 * eps) skip = true
+        }
+      }
+      if (!skip) {
+        val d = DecimalDot.dot(emb, cv)
+        if (d == null) return null
+        val dv = d.doubleValue()
+        var pos = m
+        while (pos > 0 && isBefore(dv, cid, ds(pos - 1), ids(pos - 1)))
+          pos -= 1
+        if (pos < kk) {
+          var j = math.min(m, kk - 1)
+          while (j > pos) { ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1 }
+          ds(pos) = dv
+          ids(pos) = cid
+          if (m < kk) m += 1
+        }
       }
       i += 1
     }

@@ -475,6 +475,13 @@ object Dedup {
     frameMemo.getOrCompute(
       s, s"${s.sparkContext.applicationId}@$d@$stage")(build)
 
+  // NOT Tables.spread here (r16, measured): parallelizing the
+  // single-file scan helps the crypto-heavy signature map, but this
+  // chain is ~60 SHORT stages and the added exchange + 32-way task
+  // launches per stage cost more than the one serialized map —
+  // curation_by_lang's isolated cold run read 11.4 s → 17.6 s wall
+  // (task-sec 7 → 110) with the spread in place. The embedding-family
+  // fits keep it (few stages, n×cells kernel dominates).
   private def docsOf(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).filter(col("text").isNotNull)
 

@@ -132,6 +132,11 @@ object SimilarityFitted {
     * budget. The DuckDB twin's `fitm` groups over assigned cells
     * identically, so both engines see the same (possibly smaller)
     * fitted cell count. */
+  /** [[Tables.spread]], applied ONLY to the one-time fit/assignment
+    * passes — never the serving plans, whose zero-exchange shapes are
+    * pinned. */
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df)
+
   private[graft] def fitCentArrWithStride(ne: DataFrame,
       stride: Long): DataFrame = {
     val seeds = ne.filter(col("vec_id") % stride === 0)
@@ -139,7 +144,7 @@ object SimilarityFitted {
     val sArr = seeds
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
         .as("cs"))
-    val a0 = ne.crossJoin(broadcast(sArr))
+    val a0 = spread(ne).crossJoin(broadcast(sArr))
       .select(cellOfArr(col("embedding"), col("cs")).as("cell0"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
     // exact scale-12 decimal mean — the sim_ivf_fit recipe verbatim
@@ -280,7 +285,7 @@ object SimilarityFitted {
     // keys share a bin (the Dedup/Multimodal lesson)
     val fcs0 = fittedCsFull(s, d)
     memoAt(s, d, "annCandidates") {
-      val ne = nonNull(Tables.embeddings(s, d))
+      val ne = spread(nonNull(Tables.embeddings(s, d)))
       val fcs = broadcast(fcs0)
       val a = ne.crossJoin(fcs)
         .select(col("vec_id").as("cv"),
@@ -864,8 +869,10 @@ object SimilarityFitted {
     val fcs = fittedCsFull(s, d)
     HiveTables.writeManaged(s, database, s"${prefix}_cents", fcs)
     HiveTables.writeManagedBucketed(s, database, s"${prefix}_base",
-      indexFrameOf(nonNull(Tables.embeddings(s, d))
-        .select("vec_id", "embedding"), fcs),
+      // spread: the save-time assignment pass is one-time write work,
+      // and the bucketed write's own clustering repartition follows
+      indexFrameOf(spread(nonNull(Tables.embeddings(s, d))
+        .select("vec_id", "embedding")), fcs),
       buckets, "cell")
   }
 
@@ -1028,8 +1035,8 @@ object SimilarityFitted {
         wipeOrphan(s"${Catalog.scratch(d, "ann_catalog")}/idx_arr")
       HiveTables.writeManagedBucketed(s, db, "idx_arr",
         indexFrameOf(
-          Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3)
-            .select("vec_id", "embedding"),
+          spread(Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+            .select("vec_id", "embedding")),
           fittedCsFull(s, d)),
         buckets = 64, bucketCol = "cell")
     }
@@ -1215,7 +1222,7 @@ object SimilarityFitted {
   private[graft] def fittedPqBooks(s: SparkSession, d: String): DataFrame =
     memoAt(s, d, "fittedPqBooks") {
       import Similarity.{PqCodes, PqSubDim, PqSubspaces, pqCodebooks}
-      val ne = nonNull(Tables.embeddings(s, d))
+      val ne = spread(nonNull(Tables.embeddings(s, d)))
       // (sub, code, subvector) under the FIXED assignment — the
       // pq_fit_codebooks body — into exact decimal per-dim means
       val subs = array((0 until PqSubspaces).map(sub => struct(
