@@ -140,6 +140,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Sort-based shuffle writer everywhere (r16): the bypass-merge
+      // writer opens ONE FILE PER REDUCE PARTITION per map task —
+      // M×R file creations per shuffle — and only ever runs when
+      // R ≤ 200, i.e. exactly the local/toy regime; every production
+      // shuffle (R > 200) already takes the sort/serialized writer's
+      // one-spill-file-per-task path. Forcing it here makes local
+      // execution scale-faithful and removes the file-churn floor the
+      // in-process stack sampler measured under every small shuffle
+      // (guide §2.2: many small blocks). Overridable via env.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -37,6 +37,74 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caches — a temp file per
+  // encode AND per decode — so 32 concurrent codec tasks serialize on
+  // temp-file churn (measured r16: spreading the codec map across the
+  // cores made walls WORSE until this flipped). Every payload here is
+  // an in-memory byte array a few KB long; memory-cached streams are
+  // the documented javax.imageio recipe for that shape. Scala object
+  // init runs once per JVM (driver and each executor) before any codec
+  // call below can execute.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG writer SPI and the image-reader SPI list, resolved ONCE —
+    * `ImageIO.write`/`ImageIO.read`/`createImage*Stream` walk the
+    * synchronized IIORegistry on EVERY call (the image-side twin of
+    * the audio JDK13Services lock; measured r16 as the dominant task
+    * time of the 32-way codec stages). The SPIs are stateless
+    * singletons — the per-call reader/writer INSTANCES below are
+    * created fresh exactly as ImageIO creates them, so the codec work
+    * and its output are unchanged. */
+  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+      .asScala
+      .find(_.getFormatNames.exists(_.equalsIgnoreCase("png")))
+      .getOrElse(throw new IllegalStateException("no PNG writer installed"))
+  }
+  private lazy val imageReaderSpis
+      : Seq[javax.imageio.spi.ImageReaderSpi] = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      .asScala.toSeq
+  }
+
+  /** `ImageIO.write(img, "png", out)` minus the per-call registry
+    * walk: same PNG writer plugin, fresh instance, default params,
+    * memory-cached stream (the setUseCache(false) path). */
+  private def writePng(img: java.awt.image.RenderedImage,
+      out: java.io.OutputStream): Unit = {
+    val w = pngWriterSpi.createWriterInstance()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try { w.setOutput(ios); w.write(img); ios.flush() }
+    finally { w.dispose(); ios.close() }
+  }
+
+  /** `ImageIO.read(new ByteArrayInputStream(bytes))` minus the
+    * per-call registry walk — identical protocol: first SPI whose
+    * `canDecodeInput` claims the stream (the spec requires probes to
+    * restore stream position) reads image 0 with default params;
+    * NO claiming SPI returns null, exactly ImageIO.read's contract. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val spi = imageReaderSpis.find { p =>
+      try p.canDecodeInput(iis)
+      catch { case _: java.io.IOException => false }
+    }
+    spi match {
+      case None => iis.close(); null
+      case Some(p) =>
+        val r = p.createReaderInstance()
+        try {
+          r.setInput(iis, true, true)
+          r.read(0, r.getDefaultReadParam)
+        } finally { r.dispose(); iis.close() }
+    }
+  }
+
   final case class PngRow(doc_id: Long, payload: Array[Byte])
   final case class PngFeatures(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, pixel_sum: Long)
@@ -50,6 +118,70 @@ object Multimodal {
   // downstream features are exact integers the DuckDB oracle replays
   // from the closed-form waveform.
   // ------------------------------------------------------------------
+
+  /** The JDK's WAVE writer and audio readers, resolved ONCE per JVM
+    * via the same ServiceLoader mechanism AudioSystem consults on
+    * EVERY call: AudioSystem.write / getAudioInputStream both funnel
+    * through a global synchronized provider cache (JDK13Services),
+    * which serializes concurrent codec tasks (measured r16: 32-task
+    * audio decode spent 79 task-seconds at 3.9 CPU-seconds — pure
+    * monitor wait). The provider INSTANCES are the same stateless
+    * objects AudioSystem hands to concurrent callers, so direct use is
+    * exactly as thread-safe, minus the per-call lock. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer installed"))
+  }
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+    // WAVE-family readers first: the JDK also registers MIDI-backed
+    // AudioFileReaders whose PROBE of non-MIDI bytes walks the
+    // synchronized MidiSystem provider registry — the dominant blocked
+    // monitor in the 32-thread sample (3134/3200 samples). Container
+    // magic numbers are disjoint (RIFF vs FORM vs .snd vs MThd), so a
+    // payload is claimed by the same reader in either order and the
+    // reordering is observably identical to AudioSystem's protocol.
+    val (wave, rest) =
+      all.partition(_.getClass.getName.toLowerCase.contains("wave"))
+    wave ++ rest
+  }
+
+  /** AudioSystem.getAudioInputStream minus the global lock — the
+    * identical provider protocol (first reader that claims the bytes
+    * wins; a non-claiming reader's UnsupportedAudioFileException is
+    * the probe signal; none claiming throws the same exception
+    * AudioSystem would; IO errors propagate). */
+  private def openAudio(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    // a MIDI-backed reader can only claim an SMF container ("MThd"
+    // magic) — skipping its probe for anything else never changes the
+    // claimer, and the probe itself walks the synchronized MidiSystem
+    // registry (the residual blocked monitor on quarantine payloads)
+    val maybeMidi = bytes.length >= 4 && bytes(0) == 'M' &&
+      bytes(1) == 'T' && bytes(2) == 'h' && bytes(3) == 'd'
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (maybeMidi || !r.getClass.getName.toLowerCase.contains("midi")) {
+        try return r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
 
   final case class WavRow(doc_id: Long, payload: Array[Byte])
   final case class WavFeatures(doc_id: Long, n_samples: Long, sum_v: Long,
@@ -94,7 +226,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
+      wavWriter.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       WavRow(id, bos.toByteArray)
     })
@@ -107,8 +239,7 @@ object Multimodal {
     * neither can silently misread a payload the JDK decodes to some
     * other layout (e.g. big-endian or stereo) as little-endian mono. */
   private def decodeWavPcm(payload: Array[Byte]): Array[Byte] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = openAudio(payload)
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
@@ -206,7 +337,7 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      writePng(img, bos)
       PngRow(id, bos.toByteArray)
     })
   }
@@ -220,8 +351,7 @@ object Multimodal {
     * bit-identical to the generator arithmetic — which is what lets
     * the DuckDB oracle check every decoded pixel sum value-for-value. */
   def decodePng(m: PngRow): PngFeatures = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(m.payload))
+    val img = readImage(m.payload)
     var s = 0L
     var y = 0
     while (y < img.getHeight) {
@@ -271,7 +401,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         wr.setOutput(ios)
         wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
         ios.close()
@@ -317,8 +447,7 @@ object Multimodal {
     * trap for any cross-engine contract. The explicit resampler is
     * the same per-pixel cost and pins its own semantics. */
   def resizeAvg(m: PngRow): ResizedFeatures = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(m.payload))
+    val img = readImage(m.payload)
     val w = img.getWidth
     val h = img.getHeight
     val (ow, oh) = fitBox(w, h, ResizeEdge)
@@ -429,7 +558,7 @@ object Multimodal {
         val h = (id % 6 + 1).toInt
         val nf = (id % 4 + 2).toInt
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         try {
           wr.setOutput(ios)
           wr.prepareWriteSequence(null)
@@ -505,7 +634,7 @@ object Multimodal {
     // ACQUISITION sits inside the stream's try too — a payload no
     // installed reader claims must close the stream and fail with a
     // diagnosable error, not leak it behind a bare NoSuchElement.
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(m.payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -566,8 +695,7 @@ object Multimodal {
     * not Throwable: an OOM/VM error must still fail the task. */
   def decodePngSafe(m: PngRow): SafeDecode =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(m.payload))
+      val img = readImage(m.payload)
       if (img == null)
         SafeDecode(m.doc_id, "quarantine", None, None, None,
           Some("no installed codec claims the payload"))
@@ -604,8 +732,7 @@ object Multimodal {
     * (multimodal_embed's slot) swaps in here without touching the
     * mapPartitions shape or the retrieval plan. */
   def pixelEmbed(m: PngRow): PixelFeatures = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(m.payload))
+    val img = readImage(m.payload)
     // ImageIO.read returns NULL (no exception) for unrecognized bytes
     // — fail with the asset id, not an anonymous NPE rows later
     require(img != null,
@@ -661,7 +788,7 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      writePng(img, bos)
       SeedPng(id, seed, bos.toByteArray)
     })
   }
@@ -674,8 +801,7 @@ object Multimodal {
     * `multimodal_resize` models); the hash itself is what makes image
     * near-dup detection a plain groupBy. */
   def avgHashPng(m: SeedPng): PhashRow = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(m.payload))
+    val img = readImage(m.payload)
     val g = new Array[Int](PhashEdge * PhashEdge)
     var sum = 0L
     var y = 0
@@ -796,8 +922,15 @@ object Multimodal {
          org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     implicit val enc = Encoders.product[PixelFeatures]
-    val ids = Tables.documents(s, d)
-      .select(col("doc_id")).as(Encoders.LONG)
+    // Tables.spread (here and in every synthesized-asset decl below):
+    // the codec map (ImageIO / javax.sound encode+decode) is the hot
+    // loop, and the single-file test fixture would serialize it on ONE
+    // scan task; only doc_id longs cross the adaptive exchange — the
+    // payloads are synthesized AFTER it — and at a many-file corpus
+    // the spread is a no-op, so the "payload never shuffles" claim is
+    // untouched.
+    val ids = Tables.spread(Tables.documents(s, d)
+      .select(col("doc_id"))).as(Encoders.LONG)
     val feats = pngOf(ids).mapPartitions(_.map(pixelEmbed))
       .toDF("doc_id", "emb")
       .localCheckpoint(false) // feeds both power-sum passes once
@@ -806,11 +939,16 @@ object Multimodal {
     val fi = feats.select(posexplode(col("emb")).as(Seq("i", "x")))
     val sums = fi.groupBy("i")
       .agg(count(lit(1)).as("n"), dsum12(col("x")).as("s"))
-    val pr = feats.select(explode(expr(
-      "flatten(transform(emb, (xi, i) -> " +
-        "transform(emb, (xj, j) -> struct(i AS i, j AS j, " +
-        "xi * xj AS p))))")).as("t"))
-      .select(col("t.i"), col("t.j"), col("t.p"))
+    // r16: chained posexplodes instead of the nested transform/struct
+    // lambda — higher-order functions are CodegenFallback (interpreted
+    // CreateNamedStruct per element, the IvfTopCells lesson), and this
+    // 100-structs-per-row explode was the fit's hottest stage; two
+    // Generate nodes stay inside whole-stage codegen with the same
+    // (i, j, xi·xj) rows out
+    val pr = feats
+      .select(posexplode(col("emb")).as(Seq("i", "xi")), col("emb"))
+      .select(col("i"), col("xi"), posexplode(col("emb")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"), (col("xi") * col("xj")).as("p"))
     val sp = pr.groupBy("i", "j").agg(dsum12(col("p")).as("sp"))
     val cM = sp
       .join(sums.select(col("i"), col("n"), col("s").as("si")), "i")
@@ -870,31 +1008,69 @@ object Multimodal {
     (feats, sums, v, nrmF)
   }
 
-  /** 8 unrolled power-iteration rounds over a checkpointed covariance
-    * frame `cM(i, j, c)` from the all-ones seed; returns the final
-    * normalized iterate `v(i, v)` and its pre-normalization norm
-    * (1-row frame — the eigenvalue estimate). Spark twin of
-    * [[pcaRound]]'s SQL chain. */
+  /** 8 power-iteration rounds over a covariance frame `cM(i, j, c)`
+    * from the all-ones seed; returns the final normalized iterate
+    * `v(i, v)` and its pre-normalization norm (1-row frame — the
+    * eigenvalue estimate). Spark twin of [[pcaRound]]'s SQL chain.
+    *
+    * r16: the iterate is DIM²-bounded MODEL state (a 10×10 covariance,
+    * corpus-size-independent at any data size), but the previous
+    * unrolled distributed rounds cost ~24 sequential scheduler
+    * round-trips of 10-row joins — pure driver latency (measured:
+    * wall ≫ task). The covariance is collected ONCE (metadata-scale,
+    * the ledger-read class) and the rounds run on the driver with the
+    * IDENTICAL arithmetic: each term re-quantizes through Spark's
+    * Cast(double → DECIMAL(30,12)) semantics (`BigDecimal.valueOf` +
+    * HALF_UP — the DecimalDot contract), decimal sums are exact and
+    * order-free, widenings correctly rounded, null terms skipped like
+    * SQL SUM — so every intermediate double is bit-identical to the
+    * distributed chain the DuckDB twin replays, and the returned
+    * frames are local relations the consumers broadcast for free. */
   private def pcaPower(s: org.apache.spark.sql.SparkSession,
       cM: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    def dsum12(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(30, 12))).cast(DoubleType)
-    val spark = s
-    import spark.implicits._
-    var v = (0 until 10).map(i => (i, 1.0)).toDF("i", "v")
-      .localCheckpoint(false)
-    var nrmF: org.apache.spark.sql.DataFrame = null
-    for (_ <- 1 to 8) {
-      val u = cM.join(v.select(col("i").as("j"), col("v")), "j")
-        .groupBy("i").agg(dsum12(col("c") * col("v")).as("u"))
-      nrmF = u.agg(sqrt(dsum12(col("u") * col("u"))).as("nrm"))
-      v = u.crossJoin(broadcast(nrmF))
-        .select(col("i"), (col("u") / col("nrm")).as("v"))
-        .localCheckpoint(false)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.types._
+    def dec12(x: Double): JBD =
+      JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    val ent = cM.select(col("i"), col("j"), col("c")).collect().map { r =>
+      (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
     }
-    (v, nrmF)
+    var v: Map[Int, Option[Double]] =
+      (0 until 10).map(i => i -> Option(1.0)).toMap
+    var nrm: Option[Double] = None
+    for (_ <- 1 to 8) {
+      // u_i = double(Σ_j dec12(c_ij · v_j)) over entries whose j is a
+      // live iterate key — the join; a group of all-null terms stays a
+      // group with a NULL sum, exactly as the SQL aggregate behaves
+      val terms = ent.iterator
+        .collect { case (i, j, c) if v.contains(j) => (i, c, v(j)) }
+        .toSeq.groupBy(_._1)
+      val u: Map[Int, Option[Double]] = terms.map { case (i, ts) =>
+        val ds = ts.flatMap { case (_, c, vj) =>
+          for { cv <- c; vv <- vj } yield dec12(cv * vv) }
+        i -> (if (ds.isEmpty) None
+              else Some(ds.reduce(_.add(_)).doubleValue()))
+      }
+      val sq = u.valuesIterator.flatten.map(x => dec12(x * x)).toSeq
+      nrm =
+        if (sq.isEmpty) None
+        else Some(math.sqrt(sq.reduce(_.add(_)).doubleValue()))
+      v = u.map { case (i, ui) =>
+        i -> (for { uu <- ui; nn <- nrm } yield uu / nn) }
+    }
+    val vSchema = StructType(Seq(StructField("i", IntegerType, false),
+      StructField("v", DoubleType, true)))
+    val vDf = s.createDataFrame(
+      java.util.Arrays.asList(v.toSeq.sortBy(_._1).map { case (i, ov) =>
+        org.apache.spark.sql.Row(i, ov.map(Double.box).orNull)
+      }: _*), vSchema)
+    val nrmF = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nrm.map(Double.box).orNull)),
+      StructType(Seq(StructField("nrm", DoubleType, true))))
+    (vDf, nrmF)
   }
 
   /** Spark side of the two-component fit ([[pcaSqlWithDeflated]]'s
@@ -908,14 +1084,18 @@ object Multimodal {
          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (feats, sums, cM) = pcaCoreFor(s, d)
     val (v1, n1) = pcaAxis1For(s, d)
-    val c2 = cM
-      .crossJoin(broadcast(n1))
-      .join(broadcast(v1.select(col("i"), col("v").as("vi"))), "i")
-      .join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), "j")
-      .select(col("i"), col("j"),
-        (col("c") - col("nrm") * col("vi") * col("vj")).as("c"))
-      .localCheckpoint(false)
-    val (v2, _) = pcaPower(s, c2)
+    // r16: memoized like axis1 — the deflation + second power run are
+    // model-frame work, but they were re-planned per consuming
+    // execution (multimodal_embed AND _project2 each paid them)
+    val v2 = pcaMemoAt(s, d, "axis2") {
+      val c2 = cM
+        .crossJoin(broadcast(n1))
+        .join(broadcast(v1.select(col("i"), col("v").as("vi"))), "i")
+        .join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), "j")
+        .select(col("i"), col("j"),
+          (col("c") - col("nrm") * col("vi") * col("vj")).as("c"))
+      pcaPower(s, c2)._1
+    }
     (feats, sums, v1, v2)
   }
 
@@ -952,8 +1132,8 @@ object Multimodal {
          |GROUP BY hash_hi, hash_lo
          |ORDER BY hash_hi, hash_lo""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[PhashRow]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 40).as("seed"))
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 40).as("seed")))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       pngOfSeeds(ids)
         .mapPartitions(_.map(avgHashPng))
@@ -1007,8 +1187,8 @@ object Multimodal {
          |WHERE bit_count(xor(h1_hi, h2_hi)) + bit_count(xor(h1_lo, h2_lo)) <= 6
          |ORDER BY h1_hi, h1_lo, h2_hi, h2_lo""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[PhashRow]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 40).as("seed"))
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 40).as("seed")))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       // decode + hash per image, then collapse to distinct hash clusters
       val cl = pngOfSeeds(ids).mapPartitions(_.map(avgHashPng))
@@ -1056,8 +1236,8 @@ object Multimodal {
         |  CAST(doc_id % 7 + 1 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[PngFeatures]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       jpegOf(ids)
         .mapPartitions(_.map(decodeJpeg))
         .select(col("doc_id"), col("width"), col("height"))
@@ -1084,8 +1264,8 @@ object Multimodal {
         |FROM xs JOIN ys ON xs.doc_id = ys.doc_id
         |GROUP BY xs.doc_id ORDER BY xs.doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[PngFeatures]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       pngOf(ids)
         .mapPartitions(_.map(decodePng))
         .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"))
@@ -1125,8 +1305,8 @@ object Multimodal {
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[SafeDecode]
       val pngEnc = Encoders.product[PngRow]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       pngOf(ids)
         .map { m =>
           if (m.doc_id % 7 == 0) PngRow(m.doc_id, m.payload.take(10))
@@ -1177,8 +1357,8 @@ object Multimodal {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       implicit val enc = Encoders.product[ResizedFeatures]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       pngOf(ids)
         .mapPartitions(_.map(resizeAvg))
         .select(col("doc_id"), col("width"), col("height"),
@@ -1316,8 +1496,8 @@ object Multimodal {
          |FROM f, q ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin
     }) { (s, d) =>
       implicit val enc = Encoders.product[PixelFeatures]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       val emb = pngOf(ids)
         .mapPartitions(_.map(pixelEmbed))
         .toDF("doc_id", "emb")
@@ -1386,8 +1566,8 @@ object Multimodal {
         |    AS BIGINT) AS zero_crossings
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[WavFeatures]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       wavOf(ids).mapPartitions(_.map(decodeWavFeatures))
         .toDF().orderBy("doc_id")
     },
@@ -1420,8 +1600,8 @@ object Multimodal {
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[SafeWav]
       val wavEnc = Encoders.product[WavRow]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       wavOf(ids)
         .map { m =>
           if (m.doc_id % 7 == 0) WavRow(m.doc_id, m.payload.take(10))
@@ -1464,8 +1644,8 @@ object Multimodal {
         |  CAST(MAX(len) AS BIGINT) AS longest_run
         |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       implicit val enc = Encoders.product[WavSegments]
-      val ids = Tables.documents(s, d)
-        .select(col("doc_id")).as(Encoders.LONG)
+      val ids = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"))).as(Encoders.LONG)
       wavOf(ids).mapPartitions(_.map(decodeWavSegments))
         .toDF().orderBy("doc_id")
     },

@@ -15,6 +15,9 @@ trait SparkSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+    // sort-based shuffle writer — see the Bench session's note
+    .config("spark.shuffle.sort.bypassMergeThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
