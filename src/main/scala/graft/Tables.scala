@@ -181,6 +181,40 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
   }
 
+  /** [[spread]] for a single-LONG-column id frame feeding per-id
+    * SYNTHESIS (the multimodal codec family): when the under-parallel
+    * ids turn out to be one dense integer range — the common shape of
+    * a key column — re-emit them as `spark.range(min, max+1)` at full
+    * parallelism instead of repartitioning, which costs ZERO shuffle
+    * bytes where the keyless repartition ships every id (row-linear:
+    * ScaleSpec pins multimodal_pca_fit's shuffle as model-bounded, and
+    * the id exchange broke that at 10x rows). The three guard scalars
+    * (count/count-distinct-free min/max) are one columnar pass over the
+    * 8-byte column; non-dense or null-bearing ids fall back to the
+    * plain spread, and the id SET is provably identical either way, so
+    * order-independent consumers (the spread contract above) see the
+    * same rows. */
+  def spreadIds(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 > want) return df
+    val field = df.schema.fields.head
+    // the range re-emission only reproduces a SINGLE long column; any
+    // carried payload column (e.g. phash's (doc_id, seed)) must take
+    // the plain repartition, which preserves all columns
+    if (df.schema.fields.length != 1 ||
+        field.dataType != org.apache.spark.sql.types.LongType)
+      return spread(df)
+    val idCol = field.name
+    val r = df.agg(count(lit(1)), count(col(idCol)),
+      min(col(idCol)), max(col(idCol))).head()
+    val (total, nonNull) = (r.getLong(0), r.getLong(1))
+    if (total == 0) df
+    else if (total == nonNull && r.getLong(3) - r.getLong(2) + 1 == total)
+      df.sparkSession.range(r.getLong(2), r.getLong(3) + 1, 1, want)
+        .toDF(idCol)
+    else df.repartition(want)
+  }
+
   /** `events.ts` has shipped in two parquet encodings across fixture
     * generations, so the loader normalizes both to a session-tz
     * `TimestampType` column (all downstream queries and the DuckDB

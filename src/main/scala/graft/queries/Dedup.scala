@@ -1325,6 +1325,11 @@ object Dedup {
     * splitBuckets: compute the corpus pipeline once, join the
     * materialized result. */
   private[graft] def prefixSimjoin(docs: DataFrame): DataFrame = {
+    // r16 measured: LAZY checkpoints here are a wash (ABAB take-min
+    // medians 2.93 vs 2.88 s) — the cost is the chain's real compute
+    // plus its exchange-bounded stage latency, not the eager
+    // materialization jobs. Kept eager (the measured-at-introduction
+    // form).
     val sh = prefixShingles(docs).localCheckpoint()
     val pref = prefixTokens(sh).localCheckpoint()
     val cand = pref.select(col("doc_id").as("d1"), col("n").as("n1"),

@@ -445,8 +445,15 @@ object Stats {
           .groupBy(key).agg(davg(col(v)).as(out))
       }
       val orders = Tables.orders(s, d)
+      // med feeds TWO consumers (the dev join and the final output
+      // join); unpinned, Spark plans the whole scan→exchange→sort→
+      // window median pipeline once PER consumer (no ReusedExchange
+      // across the differently-projected subtrees — the measured plan
+      // had 3 full window sorts of orders where 2 suffice). The frame
+      // is group-cardinality rows (5 priorities), so the lazy pin is
+      // free at any corpus scale (guide §2.4: share one computation).
       val med = medianOf(orders, "o_orderpriority", "o_totalprice",
-        "o_orderkey", "med")
+        "o_orderkey", "med").localCheckpoint(false)
       val dev = orders.join(med.withColumnRenamed("o_orderpriority", "mp"),
           col("o_orderpriority") === col("mp"))
         .select(col("o_orderpriority"), col("o_orderkey"),

@@ -653,6 +653,14 @@ object TpcH {
           col("r_regionkey") === col("n_regionkey"))
         .select(col("ps_partkey"),
           (col("ps_supplycost") * col("ps_availqty")).as("v"))
+        // nps feeds both the national-average scalar and the per-part
+        // grouping; unpinned, the partsupp scan and its three broadcast
+        // joins execute once per consumer (measured plan: 8 table scans
+        // for 4 tables). The pin carries only (ps_partkey, v) — the
+        // region-filtered fraction of partsupp projected to two columns
+        // — so it is the cheap side of the write-once/read-twice trade
+        // at any scale (guide §2.4).
+        .localCheckpoint(false)
       val tot = nps.agg(
         (dsum(col("v")) / countDistinct(col("ps_partkey")) * 2.0).as("cut"))
       nps.crossJoin(broadcast(tot))
