@@ -188,10 +188,11 @@ object Tables {
     * parallelism instead of repartitioning, which costs ZERO shuffle
     * bytes where the keyless repartition ships every id (row-linear:
     * ScaleSpec pins multimodal_pca_fit's shuffle as model-bounded, and
-    * the id exchange broke that at 10x rows). The three guard scalars
-    * (count/count-distinct-free min/max) are one columnar pass over the
-    * 8-byte column; non-dense or null-bearing ids fall back to the
-    * plain spread, and the id SET is provably identical either way, so
+    * the id exchange broke that at 10x rows). The guard scalars
+    * (count / non-null count / distinct count / min / max) are a tiny
+    * probe over the 8-byte column; non-dense, duplicate-bearing or
+    * null-bearing ids fall back to the plain spread, and the id SET
+    * (as a multiset) is provably identical either way, so
     * order-independent consumers (the spread contract above) see the
     * same rows. */
   def spreadIds(df: DataFrame): DataFrame = {
@@ -205,12 +206,20 @@ object Tables {
         field.dataType != org.apache.spark.sql.types.LongType)
       return spread(df)
     val idCol = field.name
-    val r = df.agg(count(lit(1)), count(col(idCol)),
+    // count(distinct) closes the duplicate-multiset hole: ids [1,2,2,4]
+    // give count=4 and span=4, but re-emitting the range would return
+    // [1,2,3,4] — a DIFFERENT id set. The range path now additionally
+    // requires every id to be unique, so the set really is the dense
+    // range. (The distinct adds a second tiny aggregate over the probe's
+    // 8-byte column; the probe is memoized per (context, data dir) by
+    // its callers, so the cost is one-time.)
+    val r = df.agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol)),
       min(col(idCol)), max(col(idCol))).head()
-    val (total, nonNull) = (r.getLong(0), r.getLong(1))
+    val (total, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
     if (total == 0) df
-    else if (total == nonNull && r.getLong(3) - r.getLong(2) + 1 == total)
-      df.sparkSession.range(r.getLong(2), r.getLong(3) + 1, 1, want)
+    else if (total == nonNull && distinct == total &&
+             r.getLong(4) - r.getLong(3) + 1 == total)
+      df.sparkSession.range(r.getLong(3), r.getLong(4) + 1, 1, want)
         .toDF(idCol)
     else df.repartition(want)
   }

@@ -155,6 +155,16 @@ object Multimodal {
     wave ++ rest
   }
 
+  /** The one stock-JDK reader whose probe walks the synchronized
+    * MidiSystem registry AND can only ever claim an SMF ("MThd")
+    * container. Matched by EXACT class name — a third-party reader
+    * that merely has "midi" in its name must keep its probe (it may
+    * claim non-MThd payloads), so only this known provider is gated
+    * behind the magic check in [[openAudio]]. */
+  private def isJdkMidiBackedReader(
+      r: javax.sound.sampled.spi.AudioFileReader): Boolean =
+    r.getClass.getName == "com.sun.media.sound.SoftMidiAudioFileReader"
+
   /** AudioSystem.getAudioInputStream minus the global lock — the
     * identical provider protocol (first reader that claims the bytes
     * wins; a non-claiming reader's UnsupportedAudioFileException is
@@ -162,16 +172,18 @@ object Multimodal {
     * AudioSystem would; IO errors propagate). */
   private def openAudio(
       bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-    // a MIDI-backed reader can only claim an SMF container ("MThd"
-    // magic) — skipping its probe for anything else never changes the
-    // claimer, and the probe itself walks the synchronized MidiSystem
-    // registry (the residual blocked monitor on quarantine payloads)
+    // the JDK's MIDI-backed reader can only claim an SMF container
+    // ("MThd" magic) — skipping its probe for anything else never
+    // changes the claimer, and the probe itself walks the synchronized
+    // MidiSystem registry (the residual blocked monitor on quarantine
+    // payloads). Gated on the exact provider class: any OTHER reader,
+    // whatever its name, always gets its probe.
     val maybeMidi = bytes.length >= 4 && bytes(0) == 'M' &&
       bytes(1) == 'T' && bytes(2) == 'h' && bytes(3) == 'd'
     val it = audioReaders.iterator
     while (it.hasNext) {
       val r = it.next()
-      if (maybeMidi || !r.getClass.getName.toLowerCase.contains("midi")) {
+      if (maybeMidi || !isJdkMidiBackedReader(r)) {
         try return r.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         catch {
@@ -1054,8 +1066,14 @@ object Multimodal {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.types._
-    def dec12(x: Double): JBD =
-      JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    // Spark's Cast(double → DECIMAL(30,12)) returns NULL when the value
+    // does not fit precision 30 (18 integral digits, non-ANSI overflow
+    // semantics) — mirror that instead of silently keeping a wider
+    // BigDecimal the SQL chain could never produce.
+    def dec12(x: Double): Option[JBD] = {
+      val d = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+      if (d.precision > 30) None else Some(d)
+    }
     val ent = cM.select(col("i"), col("j"), col("c")).collect().map { r =>
       (r.getInt(0), r.getInt(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))
@@ -1072,16 +1090,18 @@ object Multimodal {
         .toSeq.groupBy(_._1)
       val u: Map[Int, Option[Double]] = terms.map { case (i, ts) =>
         val ds = ts.flatMap { case (_, c, vj) =>
-          for { cv <- c; vv <- vj } yield dec12(cv * vv) }
+          for { cv <- c; vv <- vj; d <- dec12(cv * vv) } yield d }
         i -> (if (ds.isEmpty) None
               else Some(ds.reduce(_.add(_)).doubleValue()))
       }
-      val sq = u.valuesIterator.flatten.map(x => dec12(x * x)).toSeq
+      val sq = u.valuesIterator.flatten.flatMap(x => dec12(x * x)).toSeq
       nrm =
         if (sq.isEmpty) None
         else Some(math.sqrt(sq.reduce(_.add(_)).doubleValue()))
+      // Spark's Divide returns NULL on a 0.0 divisor (non-ANSI) where
+      // naked Scala division would yield NaN/Infinity — match it
       v = u.map { case (i, ui) =>
-        i -> (for { uu <- ui; nn <- nrm } yield uu / nn) }
+        i -> (for { uu <- ui; nn <- nrm if nn != 0.0 } yield uu / nn) }
     }
     val vSchema = StructType(Seq(StructField("i", IntegerType, false),
       StructField("v", DoubleType, true)))

@@ -992,11 +992,30 @@ object SimilarityFitted {
     * only belong to a dead one. */
   private def wipeOrphan(path: String): Unit = {
     val f = new java.io.File(path)
-    if (f.exists()) scala.util.Try {
+    if (f.exists()) {
       import java.nio.file._
       import scala.jdk.CollectionConverters._
-      Files.walk(f.toPath).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      // Using closes the walk stream (each walk holds a directory
+      // handle); per-path failures are collected and LOGGED instead of
+      // swallowed, so a half-wiped dir failing the subsequent managed
+      // CTAS with LOCATION_ALREADY_EXISTS is diagnosable.
+      val failed = scala.util.Using(Files.walk(f.toPath)) { st =>
+        st.iterator().asScala.toSeq.reverse.filter { p =>
+          scala.util.Try(Files.deleteIfExists(p)).isFailure
+        }
+      }
+      failed match {
+        case scala.util.Success(ps) if ps.nonEmpty =>
+          System.err.println(
+            s"[graft] wipeOrphan($path): ${ps.size} paths not deleted " +
+              s"(first: ${ps.head}) — a following managed CTAS may " +
+              "fail with LOCATION_ALREADY_EXISTS")
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"[graft] wipeOrphan($path) failed: $e — a following " +
+              "managed CTAS may fail with LOCATION_ALREADY_EXISTS")
+        case _ => ()
+      }
     }
   }
 

@@ -54,6 +54,17 @@ class SpreadIdsSpec extends AnyFunSuite with SparkSuite {
       .toSeq == (1L to 10L).map(i => (i, i % 4)))
   }
 
+  test("duplicate ids spanning a dense range keep the multiset (r16 ADVICE)") {
+    // [1,2,2,4]: count=4 and max-min+1=4 — the pre-fix probe mistook
+    // this for the dense range [1,2,3,4] and silently emitted a
+    // DIFFERENT id set. The distinct-count guard must route it to the
+    // repartition path, preserving the duplicate.
+    val ids = Seq(1L, 2L, 2L, 4L)
+    val out = Tables.spreadIds(onePart(ids))
+    assert(out.as[Long].collect().sorted.toSeq == ids,
+      "duplicate-bearing ids must round-trip as a multiset")
+  }
+
   test("already-parallel frames pass through untouched") {
     val df = (1L to 40L).toDF("doc_id")
       .repartition(spark.sparkContext.defaultParallelism)
