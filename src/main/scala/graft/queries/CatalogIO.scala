@@ -254,17 +254,36 @@ object CatalogIO {
          |ORDER BY codec, l_returnflag""".stripMargin
     }) { (s, d) =>
       val codecs = Seq("gzip", "snappy", "zstd")
+      // r17 (§2.6 + §5): the 3-row aggregate is lineage-cut ONCE — the
+      // three codec writes previously each re-ran the full lineitem
+      // groupBy (3 scans + 3 aggregates for one 3-row frame) — and the
+      // three writes are submitted from a thread pool: they are
+      // independent single-file encodes of the same tiny frame whose
+      // wall was three back-to-back job latencies. Each codec's bytes,
+      // paths and read-back are unchanged.
       val agg = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(dsum(col("l_extendedprice")).as("revenue"))
-      val frames = codecs.map { c =>
-        val path = Catalog.scratch(d, s"sink_codec_$c")
-        Catalog.once(s, d, path) {
-          agg.write.mode("overwrite").option("compression", c).parquet(path)
-        }
-        // writer-schema read (see sink_parquet): no footer inference
-        s.read.schema(agg.schema).parquet(path).withColumn("codec", lit(c))
-      }
+        .localCheckpoint(false)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val frames =
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          val fs = codecs.map { c => Future {
+            val path = Catalog.scratch(d, s"sink_codec_$c")
+            Catalog.once(s, d, path) {
+              agg.write.mode("overwrite").option("compression", c)
+                .parquet(path)
+            }
+            // writer-schema read (see sink_parquet): no footer inference
+            s.read.schema(agg.schema).parquet(path)
+              .withColumn("codec", lit(c))
+          } }
+          fs.map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
       frames.reduce(_.unionAll(_))
         .select(col("codec"), col("l_returnflag"), col("revenue"))
         .orderBy("codec", "l_returnflag")

@@ -88,25 +88,65 @@ object Curation {
 
   private def stagesUncached(s: SparkSession, d: String): Stages = {
     val docs = Tables.documents(s, d)
-    // stage 1: the declared Gopher gate's keep set
-    val qk = q("text_gopher_rules")(s, d).filter(col("keep"))
-      .select("doc_id").localCheckpoint(false)
-    // stage 2: exact-dedup action among survivors (min id per hash)
-    val ek = docs.join(qk, Seq("doc_id"), "left_semi")
-      .groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id").localCheckpoint(false)
+    // Guide §2.6 — overlap independent jobs from driver threads. The
+    // chain's data dependencies are qk→ek→nk→dk→packs with mw joining
+    // at nk and the contamination verdicts joining at dk, so THREE
+    // branches are mutually independent up to the nk barrier:
+    //   (a) gopher gate → exact-dedup survivors   (qk, ek)
+    //   (b) mix_dedup_weights                      (mw — the memoized
+    //       LSH/component labels + cluster sizes)
+    //   (c) decontamination verdicts               (contaminated)
+    // Sequential, each branch pays its OWN planning + janino codegen +
+    // stage jobs back to back on the driver thread (measured r17:
+    // first execution ≈ 4.2 s of codegen compile + 3.5 s of jobs + the
+    // planning gaps, sum ≈ 8 s — driver latency, not compute).
+    // Submitting the branches from a 3-thread pool overlaps all three
+    // cost kinds (planning and codegen happen on the calling thread;
+    // concurrent jobs back-fill the executor tail, FIFO by default).
+    // Each branch's OWN dataflow is byte-identical to the sequential
+    // version — only the submission order changes, and the nk/dk/packs
+    // consumers still join at the same barriers, so the declared
+    // results cannot change. Branch memos (Dedup components, gram
+    // sets) are SessionMemo/computeIfAbsent — atomic per key, so a
+    // concurrent standalone query would block on, not duplicate, the
+    // shared fit.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val (qk, ek, mw, contaminated) =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val fQkEk = Future {
+          // stage 1: the declared Gopher gate's keep set
+          val qk = q("text_gopher_rules")(s, d).filter(col("keep"))
+            .select("doc_id").localCheckpoint(false)
+          // stage 2: exact-dedup action among survivors (min id per hash)
+          val ek = docs.join(qk, Seq("doc_id"), "left_semi")
+            .groupBy(sha2(col("text"), 256).as("h"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select("doc_id").localCheckpoint(false)
+          (qk, ek)
+        }
+        // stage 3's cluster input: mw carries the memoized component
+        // labels + global cluster sizes, shared with stage 6
+        val fMw = Future { q("mix_dedup_weights")(s, d) }
+        // stage 4's verdicts: the declared decontamination drops
+        val fCt = Future {
+          q("text_decontaminate")(s, d)
+            .filter(col("dropped")).select("doc_id").localCheckpoint(false)
+        }
+        val (qk, ek) = Await.result(fQkEk, Duration.Inf)
+        (qk, ek, Await.result(fMw, Duration.Inf),
+          Await.result(fCt, Duration.Inf))
+      } finally pool.shutdown()
     // stage 3: near-dedup action — smallest SURVIVING member per
-    // (raw-corpus) cluster; mw carries the memoized component
-    // labels + global cluster sizes, shared with stage 6
-    val mw = q("mix_dedup_weights")(s, d)
+    // (raw-corpus) cluster
     val nk = mw.join(ek, Seq("doc_id"), "left_semi")
       .groupBy("label").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").localCheckpoint(false)
     // stage 4: train split only, minus eval-gram collisions (the
     // declared decontamination verdicts, filtered to survivors)
-    val contaminated = q("text_decontaminate")(s, d)
-      .filter(col("dropped")).select("doc_id").localCheckpoint(false)
     val dk = nk.filter(col("doc_id") % 20 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
