@@ -151,6 +151,18 @@ object Bench {
       // (guide §2.2: many small blocks). Overridable via env.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+      // Generated-class cache sized to the workload (r17): the default
+      // 100-entry cache thrashes under a 306-query registry — an INFO
+      // profile counted 3293 janino compiles (48 s serialized on the
+      // executing thread) of which ~960 were EVICTION re-compiles of
+      // code the session had already built (10k-entry run: 2330
+      // compiles / 42 s — the rest is genuinely unique code). Any
+      // long-lived production driver running a many-query workload
+      // wants this sized likewise; it trades a few tens of MB of
+      // driver class storage, changes no generated code and no plan.
+      // Static conf, so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -141,8 +141,17 @@ object Tables {
           schemaMemo.put(key, (fp, cached._2, now))
           cached._2
         } else {
-          // racing threads may both infer — benign, same value wins
-          val inferred = s.read.parquet(path).schema
+          // racing threads may both infer — benign, same value wins.
+          // r17: the fixture tables are single parquet files, so the
+          // footer is read and converted ON THE DRIVER (SchemaBridge —
+          // Spark's own converter under the session's SQLConf flags)
+          // instead of scheduling the distributed footer-merge job
+          // (~0.2–0.4 s of scheduler round-trip per table per process).
+          // Any layout where single-footer inference isn't equivalent
+          // (multi-file, partitioned, empty) falls back to the job.
+          val inferred = org.apache.spark.sql.graftbridge.SchemaBridge
+            .inferSingleFooter(s, path)
+            .getOrElse(s.read.parquet(path).schema)
           schemaMemo.put(key, (fp, inferred, now))
           inferred
         }

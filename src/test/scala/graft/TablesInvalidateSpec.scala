@@ -109,4 +109,44 @@ class TablesInvalidateSpec extends AnyFunSuite with SparkSuite {
     assert(m.getOrCompute(spark, "k3")(build("v3")) == "v3",
       "a failed compute must not poison the key")
   }
+
+  test("SchemaBridge footer probe equals Spark's job-based inference " +
+      "on every fixture table at every SF (r17)") {
+    // the driver-direct probe (single footer + Spark's own converter
+    // under the session SQLConf) must be indistinguishable from
+    // spark.read.parquet(path).schema — including nullability and
+    // field metadata — or explicit-schema reads could change plans.
+    // events needs the same conf Tables.events sets before inference.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for {
+      sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+      name <- Tables.names
+    } {
+      val path = s"$sfDir/$name.parquet"
+      val bridge = org.apache.spark.sql.graftbridge.SchemaBridge
+        .inferSingleFooter(spark, path)
+      assert(bridge.isDefined,
+        s"$path: single-footer probe unexpectedly fell back")
+      val inferred = spark.read.parquet(path).schema
+      assert(bridge.get == inferred,
+        s"$path: bridge schema != job-based inference\n" +
+          s"bridge:   ${bridge.get.toDDL}\ninferred: ${inferred.toDDL}")
+    }
+    // layouts the probe must REFUSE (fall back to the job): multi-file
+    // and partitioned dirs
+    val dir = tmpRoot()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/multi.parquet")
+    assert(org.apache.spark.sql.graftbridge.SchemaBridge
+      .inferSingleFooter(spark, s"$dir/multi.parquet").isEmpty,
+      "multi-file layout must fall back to job-based inference")
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "k")
+      .write.mode("overwrite").partitionBy("k")
+      .parquet(s"$dir/part.parquet")
+    assert(org.apache.spark.sql.graftbridge.SchemaBridge
+      .inferSingleFooter(spark, s"$dir/part.parquet").isEmpty,
+      "partitioned layout must fall back (inference injects key columns)")
+  }
 }
