@@ -185,14 +185,45 @@ object Bench {
     // broadcast machinery — deliberately NO table reads (footer caches
     // stay cold; each query still pays its own data costs), so the
     // alphabetically-first query no longer absorbs ~4 s of startup that
-    // has nothing to do with its plan.
+    // has nothing to do with its plan. r17 extends it to the engine
+    // paths the r16 warm-up left cold and whose C2 compilation the
+    // alphabetical front (ab_test_z + the agg_* family) was measured
+    // absorbing (first executions 3–6× their steady walls): window
+    // frames over a sort, a non-broadcast join, string/regex and
+    // decimal-aggregate evaluation, and one parquet write+read round
+    // trip of SYNTHETIC rows through a temp dir (exercises the
+    // vectorized reader/writer without touching any fixture — data
+    // costs still land on the queries that read the data).
     locally {
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val w = spark.range(1000000).select(col("id"),
-        (col("id") % 97).as("k"))
+        (col("id") % 97).as("k"),
+        (col("id") % 1000).cast("double").as("v"),
+        concat(lit("w"), col("id") % 100).as("t"))
       w.groupBy("k").count().join(
         broadcast(spark.range(97).select(col("id").as("k"))), "k")
         .orderBy(col("count").desc).limit(5).count()
+      val win = Window.partitionBy("k").orderBy(col("v"), col("id"))
+      w.select(col("k"), col("v"),
+          row_number().over(win).as("rn"),
+          sum(col("v").cast("decimal(30,6)"))
+            .over(win.rowsBetween(Window.unboundedPreceding, 0)).as("cs"),
+          avg(col("v")).over(win.rowsBetween(-2, 0)).as("ma"),
+          regexp_extract(col("t"), "([0-9]+)", 1).as("d"))
+        .filter(col("rn") <= 3).count()
+      w.join(w.select(col("id"), col("v").as("v2")), "id")
+        .groupBy("k").agg(count(lit(1))).count()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_warm").toString
+      w.limit(100000).write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).filter(col("v") > 1.0).count()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
     }
     // SPARK_GRAFT_REPEAT=n executes each query n times in this JVM and
     // reports name, name#2, ... — isolated-profiling aid that separates a
