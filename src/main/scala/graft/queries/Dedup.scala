@@ -1369,10 +1369,20 @@ object Dedup {
     * shingles by (freq, token) — the sort_array-of-structs makes the
     * collect_list order-independent — and keep the first
     * n - ceil(0.8·n) + 1 (integer form: n - (4n+4) DIV 5 + 1). */
-  private def prefixTokens(sh: DataFrame): DataFrame = {
+  private[graft] def prefixTokens(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("s")).as("tok"))
-    val f = ex.groupBy("tok").agg(count(lit(1)).as("c"))
-    ex.join(f, "tok")
+    // r17 (§2.4 — two operations keyed the same way share one
+    // exchange): the document frequency used to be a groupBy(tok)
+    // aggregate JOINED back onto the token stream — the SMJ sorted the
+    // full stream by tok anyway, so the pipeline paid exchange+agg+join
+    // where a count() OVER (PARTITION BY tok) pays exactly one
+    // exchange+sort and emits (doc_id, tok, c) directly. Same exact
+    // integer count per token ⇒ identical prefix ordering and oracle
+    // hashes (pinned tri-scale). The declared query's dumped plan only
+    // shows the checkpoint scans, so the shape is pinned where it
+    // lives: DedupSpec asserts this pipeline plans join-free with
+    // exactly two shuffles (tok window, doc_id regroup).
+    ex.withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("c"), col("tok")))).as("st"))
       .select(col("doc_id"), expr("transform(st, x -> x.tok)").as("os"),

@@ -461,4 +461,26 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_.getLong(2)).sum > 0,
       "3-token spans over a ~40-word vocabulary must collide across docs")
   }
+
+  test("simjoin prefix-token pipeline plans join-free on one token " +
+      "shuffle (r17)") {
+    // the document frequency is a count() OVER (PARTITION BY tok), not
+    // a groupBy(tok)-and-join-back: the pipeline must plan with NO join
+    // and exactly two shuffles (the tok window's, the doc_id regroup's).
+    // The declared query's dumped plan only shows the localCheckpoint
+    // scans, so the shape is pinned here on the pipeline frame itself.
+    val sh = queries.Dedup.prefixShingles(
+      Tables.documents(spark, sf))
+    val pt = queries.Dedup.prefixTokens(sh)
+    pt.write.format("noop").mode("overwrite").save()
+    val plan = pt.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"prefix-token pipeline must not join the freq table back:\n$plan")
+    assert(plan.contains("Window"),
+      s"expected the tok-partitioned count window:\n$plan")
+    val shuffles =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2,
+      s"expected exactly 2 hash exchanges (tok, doc_id), got $shuffles:\n$plan")
+  }
 }
