@@ -1317,20 +1317,37 @@ object Text {
         |FROM pair, n
         |JOIN df d1 ON t1 = d1.tok JOIN df d2 ON t2 = d2.tok
         |WHERE c12 >= 5 ORDER BY t1, t2""".stripMargin) { (s, d) =>
-      // presence feeds a SELF-join plus two aggregates — materialize it
-      // once (the simjoin_prefix lesson: differently-aliased subtrees
-      // get no ReusedExchange and re-execute the scan per side).
-      val pres = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok")).distinct()
+      // r17 (§2.4/§3.3 — don't join what one group-by can carry): the
+      // presence SELF-join on doc_id cost two join-side exchanges plus
+      // the distinct's — 5 exchanges end to end. The per-doc token SET
+      // is vocabulary-bounded, so ONE groupBy(doc_id) collects it as a
+      // sorted array (subsuming the distinct — collect_set dedups) and
+      // the ordered pairs (a.tok < b.tok ≡ index pairs i < j of the
+      // sorted-distinct array: sort_array and the string `<` share
+      // UTF8 binary order) explode MAP-SIDE via two Generates. Same
+      // pair multiset ⇒ identical c12/df/pmi (oracle bit-identical
+      // tri-scale). Plan (cooccur_pmi_{before,after}.txt): the pair
+      // join — broadcast at test scale, a full presence shuffle once
+      // pres outgrows the threshold at production scale — is GONE,
+      // replaced by two whole-stage Generates feeding the (t1,t2)
+      // partial aggregate; the distinct's exchange is subsumed by the
+      // collect_set groupBy.
+      val grouped = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("tok"))).as("arr"))
         .localCheckpoint()
       val nd = Tables.documents(s, d)
         .agg(countDistinct("doc_id").as("nd"))
-      val df = pres.groupBy("tok").agg(count(lit(1)).as("df"))
+      val df = grouped.select(explode(col("arr")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
         .localCheckpoint()
-      val pair = pres.as("a")
-        .join(pres.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
-        .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
+      val pair = grouped
+        .select(posexplode(col("arr")).as(Seq("i", "t1")), col("arr"))
+        .select(col("t1"), explode(
+          slice(col("arr"), col("i") + 2, size(col("arr")) - col("i") - 1))
+          .as("t2"))
+        .groupBy("t1", "t2")
         .agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 5)
       pair.crossJoin(broadcast(nd))
