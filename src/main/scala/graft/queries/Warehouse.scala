@@ -612,17 +612,31 @@ object Warehouse {
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       val ed = supplierEdges(s, d).localCheckpoint(true)
       // attach each node's degree to its edges ONCE, before the wedge
-      // join — degrees then ride along and the post-aggregation joins
-      // disappear (2 fewer shuffles than the join-back formulation);
-      // deg_a/deg_b are constant per node, so first() under the pair
-      // groupBy is deterministic
-      val deg = ed.groupBy("x").agg(count(lit(1)).as("dg"))
-      val edN = ed.join(deg, "x").localCheckpoint(true)
+      // enumeration — degrees ride along and the post-aggregation
+      // joins disappear (2 fewer shuffles than the join-back
+      // formulation); deg_a/deg_b are constant per node, so first()
+      // under the pair groupBy is deterministic. r17 (§2.4, the
+      // cooccur_pmi pattern): the degree is a count() OVER
+      // (PARTITION BY x) instead of a groupBy+join-back, and the wedge
+      // SELF-join on y becomes a per-y adjacency array whose ordered
+      // pairs explode MAP-SIDE (edges are distinct ⇒ per-y x values
+      // are distinct ⇒ sorted index pairs i < j are exactly a < b).
+      // Same wedge multiset ⇒ identical common/deg/unions (oracle
+      // bit-identical tri-scale); the join and two exchanges are gone
+      // (graph_jaccard_{before,after}.txt). Per-y adjacency memory is
+      // max-degree-bounded — the standard adjacency-list layout.
+      val edN = ed.withColumn("dg",
+        count(lit(1)).over(Window.partitionBy("x")))
       val com = edN
-        .select(col("x").as("a"), col("y"), col("dg").as("deg_a"))
-        .join(edN.select(col("x").as("b"), col("y"), col("dg").as("deg_b")),
-          Seq("y"))
-        .filter(col("a") < col("b"))
+        .groupBy("y")
+        .agg(sort_array(collect_list(struct(col("x"), col("dg"))))
+          .as("ns"))
+        .select(posexplode(col("ns")).as(Seq("i", "na")), col("ns"))
+        .select(col("na.x").as("a"), col("na.dg").as("deg_a"),
+          explode(slice(col("ns"), col("i") + 2,
+            size(col("ns")) - col("i") - 1)).as("nb"))
+        .select(col("a"), col("deg_a"),
+          col("nb.x").as("b"), col("nb.dg").as("deg_b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("common"), first("deg_a").as("deg_a"),
           first("deg_b").as("deg_b"))
