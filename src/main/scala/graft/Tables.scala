@@ -215,20 +215,55 @@ object Tables {
         field.dataType != org.apache.spark.sql.types.LongType)
       return spread(df)
     val idCol = field.name
-    // count(distinct) closes the duplicate-multiset hole: ids [1,2,2,4]
-    // give count=4 and span=4, but re-emitting the range would return
-    // [1,2,3,4] — a DIFFERENT id set. The range path now additionally
-    // requires every id to be unique, so the set really is the dense
-    // range. (The distinct adds a second tiny aggregate over the probe's
-    // 8-byte column; the probe is memoized per (context, data dir) by
-    // its callers, so the cost is one-time.)
-    val r = df.agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol)),
-      min(col(idCol)), max(col(idCol))).head()
-    val (total, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    if (total == 0) df
-    else if (total == nonNull && distinct == total &&
-             r.getLong(4) - r.getLong(3) + 1 == total)
-      df.sparkSession.range(r.getLong(3), r.getLong(4) + 1, 1, want)
+    // Duplicate-freeness closes the duplicate-multiset hole: ids
+    // [1,2,2,4] give count=4 and span=4, but re-emitting the range
+    // would return [1,2,3,4] — a DIFFERENT id set. The certificate is
+    // computed with ZERO shuffle bytes (a countDistinct here would
+    // ship every distinct id — row-linear, which broke the pca_fit
+    // model-bounded ScaleSpec pin): one map-only pass emits per-task
+    // (count, non-null count, min, max, in-partition-dup?) tuples to
+    // the driver (partition-count rows — metadata-scale), and ids are
+    // certified globally unique iff no partition saw an in-partition
+    // duplicate AND the partitions' [min,max] ranges are pairwise
+    // disjoint. Disjointness is sufficient, not necessary — a frame
+    // whose partitions interleave ids falls back to the plain spread
+    // (conservative: the helper's guard means the common case is ONE
+    // partition, where disjointness is trivial). The per-task dup set
+    // is capped: past 4M ids the partition reports "uncertain" and the
+    // fallback path is taken rather than growing task memory.
+    val stats = df.select(col(idCol)).queryExecution.toRdd
+      .mapPartitions { it =>
+        var n = 0L; var nn = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var dup = false; var uncertain = false
+        val seen = new java.util.HashSet[java.lang.Long]()
+        while (it.hasNext) {
+          val r = it.next(); n += 1
+          if (!r.isNullAt(0)) {
+            nn += 1; val v = r.getLong(0)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (!uncertain) {
+              if (seen.size >= 4000000) { uncertain = true; seen.clear() }
+              else if (!seen.add(v)) dup = true
+            }
+          }
+        }
+        Iterator.single((n, nn, mn, mx, dup, uncertain))
+      }.collect()
+    val total = stats.map(_._1).sum
+    val nonNull = stats.map(_._2).sum
+    if (total == 0) return df
+    val nonEmpty = stats.filter(_._2 > 0).sortBy(_._3)
+    val disjoint = nonEmpty.iterator.sliding(2).withPartial(false)
+      .forall { case Seq(a, b) => a._4 < b._3 }
+    val uniqueCertified = nonEmpty.forall(p => !p._5 && !p._6) && disjoint
+    if (total == nonNull && uniqueCertified && nonEmpty.nonEmpty && {
+        val (mn, mx) = (nonEmpty.head._3, nonEmpty.map(_._4).max)
+        mx - mn + 1 == total
+      })
+      df.sparkSession
+        .range(nonEmpty.head._3, nonEmpty.map(_._4).max + 1, 1, want)
         .toDF(idCol)
     else df.repartition(want)
   }
