@@ -571,14 +571,27 @@ object Warehouse {
         .localCheckpoint(true)
       // wedge (u→v, u→w) with ord(v) < ord(w); the closing edge {v,w}
       // — if it exists — is stored oriented v→w by transitivity of the
-      // total order, so one equi-join probe closes the triangle
-      val w1 = oriented.select(col("u"), col("v"), col("dv"))
-      val w2 = oriented.select(col("u"), col("v").as("w"),
-        col("dv").as("dw"))
+      // total order, so one equi-join probe closes the triangle.
+      // r17 (§2.4, the graph_jaccard pattern): the wedge SELF-join on
+      // u becomes a per-u out-neighbor array sorted by (dv, v) — the
+      // SAME comparator as the orientation's total order — whose
+      // ordered index pairs i < j are exactly ord(v) < ord(w),
+      // exploded map-side through two Generates. Same wedge multiset
+      // ⇒ identical triangles (oracle bit-identical tri-scale); only
+      // the closing-edge equi-join remains. Per-u adjacency memory is
+      // out-degree-bounded, which the degree orientation itself caps
+      // at O(√E).
       val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
-      val tri = w1.join(w2, Seq("u"))
-        .filter(col("dv") < col("dw")
-          || (col("dv") === col("dw") && col("v") < col("w")))
+      val tri = oriented
+        .groupBy("u")
+        .agg(sort_array(collect_list(struct(col("dv"), col("v"))))
+          .as("ns"))
+        .select(col("u"), posexplode(col("ns")).as(Seq("i", "nv")),
+          col("ns"))
+        .select(col("u"), col("nv.v").as("v"),
+          explode(slice(col("ns"), col("i") + 2,
+            size(col("ns")) - col("i") - 1)).as("nw"))
+        .select(col("u"), col("v"), col("nw.v").as("w"))
         .join(closing, col("v") === col("cv") && col("w") === col("cw"))
       // one row per triangle → three per-node participation rows
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
